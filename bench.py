@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark: DWA control solves/s per chip at the BASELINE workload.
+
+Workload (BASELINE.json): DWA with ~2000 velocity samples, 30-step horizon,
+full cost-weight set, 512-ray laserscan. Measures:
+
+  * sustained throughput in the fleet configuration (batch of independent
+    robot scenarios resident on device, one dispatch per fleet tick) —
+    the production serving mode and the headline metric;
+  * single-solve round-trip latency through the packed one-buffer
+    interface (includes host<->device transfer; on remote-attached dev
+    chips this is dominated by tunnel RTT).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N/100}
+(vs_baseline: BASELINE.json north-star is >100 solves/s/chip.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from kompass_core_tpu.models import (
+    AngularCtrlLimits,
+    LinearCtrlLimits,
+    RobotCtrlLimits,
+)
+from kompass_core_tpu.ops.solver import (
+    SolverSpec,
+    get_packed_dwa_solver,
+    pack_solver_input,
+    packed_input_size,
+    unpack_solver_output,
+)
+from kompass_core_tpu.ops.window import sample_velocity_window
+from kompass_core_tpu.parallel.fleet import make_fleet_solver
+from kompass_core_tpu.utils.runtime import enable_persistent_compilation_cache
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_spec():
+    # 45 x 45 grid = 2025 samples (closest odd-bumped grid to the 2000-sample
+    # BASELINE config), 30-step horizon.
+    return SolverSpec(
+        is_omni=False,
+        n_vx=45,
+        n_vy=1,
+        n_omega=45,
+        max_points=30,
+        num_ctrl_points=6,
+        scan_size=512,
+        seg_size=384,
+        drop_samples=True,
+    )
+
+
+def build_scenario(spec, rng, robot_index=0):
+    """One realistic robot scenario: curved tracked segment, cluttered scan."""
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(max_vel=2.0, max_acc=3.0, max_decel=3.0),
+    ).to_array()
+    limits[3:6] = 0.0
+
+    dt = 0.1
+    x0 = 0.1 * robot_index
+    yaw0 = 0.05 * robot_index
+
+    # tracked segment: gentle arc ahead of the robot, 3 m @ 1 cm spacing
+    n_seg = 301
+    s = 0.01 * np.arange(n_seg, dtype=np.float32)
+    curv = 0.2
+    seg_x = np.full(spec.seg_size, 1e8, np.float32)
+    seg_y = np.full(spec.seg_size, 1e8, np.float32)
+    seg_arc = np.zeros(spec.seg_size, np.float32)
+    seg_x[:n_seg] = x0 + s * np.cos(yaw0)
+    seg_y[:n_seg] = s * np.sin(yaw0) + 0.5 * curv * s**2
+    seg_arc[:n_seg] = s
+
+    # 512-ray scan: obstacles scattered at 2.5-9 m
+    n_rays = spec.scan_size
+    ranges = rng.uniform(2.5, 9.0, n_rays)
+    angles = np.linspace(-np.pi, np.pi, n_rays, endpoint=False)
+    ox = ranges * np.cos(angles + yaw0) + x0
+    oy = ranges * np.sin(angles + yaw0)
+    obs = np.stack([ox, oy], axis=1).astype(np.float32)
+
+    vel = (0.5, 0.0, 0.1)
+    window = sample_velocity_window(
+        vel, limits, dt, spec.n_vx, spec.n_vy, spec.n_omega, spec.is_omni
+    )
+    params = np.array(
+        [dt, 0.3, 0.05, 2.0, 1.0, 1.0, 0.1, 0.05, 5.0, 0.0, 3.0, 10.0 / 3],
+        np.float32,
+    )
+    buf = np.zeros(packed_input_size(spec), np.float32)
+    pack_solver_input(
+        spec,
+        buf,
+        params_vec=params,
+        state=(x0, 0.0, yaw0),
+        window=window,
+        obs_xy=obs,
+        obs_count=n_rays,
+        seg_x=seg_x,
+        seg_y=seg_y,
+        seg_arc=seg_arc,
+        seg_count=n_seg,
+        seg_total_len=float(s[-1]),
+        ref_total_len=10.0,
+        active_points=spec.max_points,
+    )
+    return buf
+
+
+def main():
+    enable_persistent_compilation_cache()
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    spec = build_spec()
+    rng = np.random.default_rng(0)
+
+    # ---- single-solve latency (packed round trip) ----
+    solver = get_packed_dwa_solver(spec)
+    buf = build_scenario(spec, rng)
+    t0 = time.time()
+    out = np.asarray(solver(buf))
+    log(f"first solve (compile): {time.time() - t0:.1f} s")
+    found, cost, _b, n_adm, *_ = unpack_solver_output(spec, out)
+    log(f"sanity: found={found} cost={cost:.4f} admissible={n_adm}")
+    lat = []
+    for _ in range(30):
+        t0 = time.time()
+        np.asarray(solver(buf))
+        lat.append(time.time() - t0)
+    lat = np.array(lat) * 1000
+    p50, p99 = np.percentile(lat, [50, 99])
+    log(f"single-solve round-trip: p50={p50:.2f} ms p99={p99:.2f} ms")
+
+    # ---- fleet throughput (device-resident batch) ----
+    B = 256
+    fleet_solver = make_fleet_solver(spec)
+    inputs = np.stack([build_scenario(spec, rng, i) for i in range(B)])
+    inputs_dev = jax.device_put(inputs)
+    t0 = time.time()
+    fleet_out = fleet_solver(inputs_dev)
+    fleet_out.block_until_ready()
+    log(f"fleet first call (compile): {time.time() - t0:.1f} s")
+    # sanity on a few rows
+    rows = np.asarray(fleet_out[:4])
+    for i, row in enumerate(rows):
+        f, c, _b, n_adm, *_ = unpack_solver_output(spec, row)
+        log(f"  robot {i}: found={f} cost={c:.4f} admissible={n_adm}")
+
+    reps = 20
+    t0 = time.time()
+    for _ in range(reps):
+        fleet_out = fleet_solver(inputs_dev)
+    fleet_out.block_until_ready()
+    elapsed = time.time() - t0
+    solves_per_s = B * reps / elapsed
+    per_solve_us = elapsed / (B * reps) * 1e6
+    log(
+        f"fleet throughput: {solves_per_s:,.0f} solves/s "
+        f"({per_solve_us:.1f} us/solve, batch={B})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "dwa_solves_per_s_per_chip_2025x30",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / 100.0, 2),
+                "extra": {
+                    "single_solve_p50_ms": round(float(p50), 2),
+                    "single_solve_p99_ms": round(float(p99), 2),
+                    "batch": B,
+                    "samples": spec.num_samples,
+                    "horizon_steps": spec.max_points,
+                    "scan_rays": spec.scan_size,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

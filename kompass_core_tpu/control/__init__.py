@@ -1,0 +1,31 @@
+from .follower import Follower, FollowerConfig, FollowingTarget  # noqa: F401
+from .trajectory_costs import TrajectoryCostsWeights  # noqa: F401
+from .dwa import DWA, DWAConfig  # noqa: F401
+
+ControlClasses = {"DWA": DWA}
+
+try:
+    from .stanley import Stanley, StanleyConfig  # noqa: F401
+    from .pure_pursuit import PurePursuit, PurePursuitConfig  # noqa: F401
+    from .dvz import DVZ, DVZConfig  # noqa: F401
+
+    ControlClasses.update({"Stanley": Stanley, "PurePursuit": PurePursuit, "DVZ": DVZ})
+except ImportError:  # controllers are added progressively during the build
+    pass
+
+try:
+    from .vision_followers import (  # noqa: F401
+        VisionRGBDFollower,
+        VisionRGBDFollowerConfig,
+        VisionRGBFollower,
+        VisionRGBFollowerConfig,
+    )
+
+    ControlClasses.update(
+        {
+            "VisionRGBFollower": VisionRGBFollower,
+            "VisionRGBDFollower": VisionRGBDFollower,
+        }
+    )
+except ImportError:
+    pass

@@ -1,0 +1,315 @@
+"""Path-following base: target tracking on a segmented reference path.
+
+Host-side (NumPy) equivalent of the reference ``Follower``
+(``controllers/follower.cpp``): interpolated + segmented path ownership,
+binary-search closest-segment lookup, closest-point-on-segment with signed
+crosstrack error, sticky target determination with the 90%-of-segment
+re-search rule, goal-reached / losing-goal detection, and the exponential
+curvature/rotation speed regulation factor.
+
+This logic runs per tick on host (a few hundred numpy ops on small arrays);
+the expensive sampling/cost math runs on device. The fleet-scale variant
+(``parallel/fleet.py``) re-expresses target determination in JAX so hundreds
+of robots never touch the host.
+"""
+
+import math
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+import numpy as np
+from attrs import define, field
+
+from ..datatypes.path import InterpolationType, ReferencePath
+from ..models import RobotState
+from ..utils.angles import normalize_to_minus_pi_pi
+from ..utils.config import BaseAttrs, base_validators
+
+
+@define
+class FollowerConfig(BaseAttrs):
+    """Follower parameters (defaults mirror reference ``follower.h:16-65`` /
+    ``control/_base_.py:86-120``)."""
+
+    max_point_interpolation_distance: float = field(
+        default=0.01, validator=base_validators.in_range(1e-4, 1e2)
+    )
+    lookahead_distance: float = field(
+        default=1.0, validator=base_validators.in_range(1e-4, 1e2)
+    )
+    goal_dist_tolerance: float = field(
+        default=0.1, validator=base_validators.in_range(1e-4, 1e2)
+    )
+    goal_orientation_tolerance: float = field(
+        default=0.1, validator=base_validators.in_range(1e-4, math.pi)
+    )
+    path_segment_length: float = field(
+        default=1.0, validator=base_validators.in_range(1e-4, 1e2)
+    )
+    loosing_goal_distance: float = field(
+        default=0.2, validator=base_validators.in_range(1e-4, 1e2)
+    )
+    speed_regulation_curvature: float = field(
+        default=0.5, validator=base_validators.in_range(1e-3, 1.0)
+    )
+    speed_regulation_angular: float = field(
+        default=0.5, validator=base_validators.in_range(1e-3, 1.0)
+    )
+    min_speed_regulation_factor: float = field(
+        default=0.1, validator=base_validators.in_range(1e-3, 1.0)
+    )
+    curvature_horizon_tolerance: float = field(
+        default=1.5, validator=base_validators.in_range(0.5, 1e2)
+    )
+    enable_reverse_driving: bool = field(default=False)
+
+
+@dataclass
+class PathPosition:
+    """Closest-point bookkeeping (reference ``Path::PathPosition``,
+    ``datatypes/path.h:301-308``)."""
+
+    index: int = 0
+    segment_index: int = 0
+    segment_length: float = -1.0  # normalized position in segment, [0, 1]
+    normal_distance: float = 0.0
+    parallel_distance: float = 0.0  # signed crosstrack
+    x: float = 0.0
+    y: float = 0.0
+    yaw: float = 0.0
+
+
+@dataclass
+class FollowingTarget:
+    """Tracked target handed to controllers (reference ``Follower::Target``,
+    ``follower.h:71-79``)."""
+
+    segment_index: int = 0
+    position_in_segment: float = 0.0
+    movement: RobotState = dc_field(default_factory=RobotState)
+    lookahead: float = 0.0
+    crosstrack_error: float = 0.0
+    heading_error: float = 0.0
+    reverse: bool = False
+
+
+class Follower:
+    """Stateful path follower base class."""
+
+    def __init__(
+        self,
+        config: Optional[FollowerConfig] = None,
+        is_ackermann: bool = False,
+    ):
+        self.config = config or FollowerConfig()
+        self._path: Optional[ReferencePath] = None
+        self._closest = PathPosition()
+        self._target: Optional[FollowingTarget] = None
+        self._interpolation_type = InterpolationType.LINEAR
+        self.current_state = RobotState()
+        self._current_segment_index = 0
+        self._max_segment_index = 0
+        self._path_processing = False
+        self._reached_goal = True
+        self._goal_distance = float("inf")
+        self._goal_orientation = 0.0
+        # Ackermann bases cannot rotate in place (follower.cpp:41-46)
+        self.rotate_in_place = not is_ackermann
+
+    # --- configuration ---
+
+    @property
+    def max_segment_size(self) -> int:
+        """Max points per segment (reference ``follower.cpp:54-59``)."""
+        return (
+            int(
+                self.config.path_segment_length
+                / self.config.max_point_interpolation_distance
+            )
+            + 1
+        )
+
+    def set_interpolation_type(self, interpolation_type: InterpolationType):
+        self._interpolation_type = interpolation_type
+
+    # --- path management (follower.cpp:67-105) ---
+
+    def clear_current_path(self):
+        self._path = None
+        self._reached_goal = True
+        self._path_processing = False
+
+    def set_current_path(self, path: ReferencePath, interpolate: bool = True):
+        self._path = path
+        if interpolate:
+            self._path.interpolate(
+                self.config.max_point_interpolation_distance,
+                self._interpolation_type,
+            )
+        self._path.segment(self.config.path_segment_length, self.max_segment_size)
+        self._max_segment_index = self._path.num_segments - 1
+        self._path_processing = True
+        self._current_segment_index = 0
+        self._closest = PathPosition()
+        self._goal_distance = float("inf")
+        self._goal_orientation = self._path.end_orientation()
+        self._reached_goal = False
+
+    def has_path(self) -> bool:
+        return self._path is not None
+
+    def get_current_path(self) -> Optional[ReferencePath]:
+        return self._path
+
+    # --- state ---
+
+    def set_current_state(self, x, y, yaw, speed=0.0):
+        self.current_state.x = float(x)
+        self.current_state.y = float(y)
+        self.current_state.yaw = float(yaw)
+        self.current_state.speed = float(speed)
+
+    def get_tracked_target(self) -> Optional[FollowingTarget]:
+        return self._target
+
+    # --- goal detection (follower.cpp:109-142) ---
+
+    def is_goal_reached(self) -> bool:
+        if not self._path_processing:
+            return True
+        gx, gy = self._path.end
+        current_goal_distance = math.hypot(
+            self.current_state.x - gx, self.current_state.y - gy
+        )
+        end_reached = current_goal_distance <= self.config.goal_dist_tolerance
+        loosing_goal = False
+        if (self._current_segment_index + 1) >= self._max_segment_index:
+            if current_goal_distance < self._goal_distance:
+                self._goal_distance = current_goal_distance
+            elif (
+                abs(current_goal_distance - self._goal_distance)
+                > self.config.loosing_goal_distance
+            ):
+                loosing_goal = True
+        if end_reached or loosing_goal:
+            self._path_processing = False
+            self._reached_goal = True
+        return self._reached_goal
+
+    # --- closest point machinery (follower.cpp:149-264) ---
+
+    def _dist_sq_to(self, px: float, py: float) -> float:
+        dx = self.current_state.x - px
+        dy = self.current_state.y - py
+        return dx * dx + dy * dy
+
+    def _find_closest_segment_index(self, left: int, right: int) -> int:
+        """Binary-search-like descent over segment start points
+        (follower.cpp:155-183)."""
+        while left != right:
+            mid = (left + right) // 2
+            ls = self._path.segment_start_point(left)
+            rs = self._path.segment_start_point(right)
+            left_d = self._dist_sq_to(ls[0], ls[1])
+            right_d = self._dist_sq_to(rs[0], rs[1])
+            if mid == right or mid == left:
+                return left if left_d <= right_d else right
+            if left_d <= right_d:
+                right = mid
+            else:
+                left = mid
+        return left
+
+    def _find_closest_point_on_segment(self, segment_index: int) -> PathPosition:
+        """Linear scan over a segment's points; ties keep the later point
+        (`<=` comparison in follower.cpp:225)."""
+        sl = self._path.segment_slice(segment_index)
+        xs = self._path.xs[sl]
+        ys = self._path.ys[sl]
+        start_index = self._path.segment_start_index(segment_index)
+        n = len(xs)
+        start = self._path.segment_start_point(segment_index)
+        end = self._path.segment_end_point(segment_index)
+        segment_heading = math.atan2(end[1] - start[1], end[0] - start[0])
+
+        d2 = (self.current_state.x - xs) ** 2 + (self.current_state.y - ys) ** 2
+        # last index achieving the minimum (reference tie behavior)
+        min_val = d2.min()
+        closest_idx = int(np.where(d2 == min_val)[0][-1])
+
+        pos = PathPosition()
+        pos.index = closest_idx + start_index
+        pos.segment_index = segment_index
+        pos.segment_length = (closest_idx / (n - 1)) if n > 1 else 1.0
+        pos.x = float(xs[closest_idx])
+        pos.y = float(ys[closest_idx])
+        pos.yaw = segment_heading
+        pos.normal_distance = math.sqrt(float(min_val))
+        # signed crosstrack via cross product (follower.cpp:247-261)
+        vec_x = self.current_state.x - pos.x
+        vec_y = self.current_state.y - pos.y
+        cross = math.cos(pos.yaw) * vec_y - math.sin(pos.yaw) * vec_x
+        pos.parallel_distance = (
+            pos.normal_distance if cross > 0 else -pos.normal_distance
+        )
+        return pos
+
+    def _find_closest_path_point(self) -> PathPosition:
+        self._current_segment_index = self._find_closest_segment_index(
+            0, self._max_segment_index
+        )
+        return self._find_closest_point_on_segment(self._current_segment_index)
+
+    def determine_target(self) -> FollowingTarget:
+        """Sticky target determination (follower.cpp:266-304): re-search
+        globally only when entering a segment, passing its end, or passing
+        90% of its length."""
+        if (
+            self._closest.segment_length <= 0.0
+            or self._closest.index
+            >= self._path.segment_end_index(self._current_segment_index)
+            or self._closest.segment_length >= 0.9
+        ):
+            self._closest = self._find_closest_path_point()
+        else:
+            self._closest = self._find_closest_point_on_segment(
+                self._closest.segment_index
+            )
+
+        target = FollowingTarget()
+        target.segment_index = self._current_segment_index
+        target.position_in_segment = self._closest.segment_length
+        target.movement = RobotState(
+            x=self._closest.x, y=self._closest.y, yaw=self._closest.yaw
+        )
+        target.lookahead = self.config.lookahead_distance
+        target.heading_error = normalize_to_minus_pi_pi(
+            self._closest.yaw - self.current_state.yaw
+        )
+        target.crosstrack_error = self._closest.parallel_distance
+        target.reverse = False
+        self._target = target
+        return target
+
+    # --- speed regulation (follower.cpp:319-353) ---
+
+    def exponential_speed_factor(self, current_angular_vel: float) -> float:
+        """factor = max(exp(-(k_c * sum|kappa| + k_w * |omega|)), min_factor)
+        integrating curvature over the lookahead distance ahead."""
+        if self._path is None or not self._path_processing:
+            return 1.0
+        curvature_sum = 0.0
+        dist = 0.0
+        idx = self._closest.index
+        xs, ys, k = self._path.xs, self._path.ys, self._path.curvature
+        while idx < self._path.size() - 1:
+            curvature_sum += abs(float(k[idx]))
+            dist += math.hypot(xs[idx + 1] - xs[idx], ys[idx + 1] - ys[idx])
+            if dist >= self.config.lookahead_distance:
+                break
+            idx += 1
+        exponent = (
+            self.config.speed_regulation_curvature * curvature_sum
+            + self.config.speed_regulation_angular * abs(current_angular_vel)
+        )
+        return max(math.exp(-exponent), self.config.min_speed_regulation_factor)

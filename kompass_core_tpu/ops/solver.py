@@ -1,0 +1,674 @@
+"""The DWA control tick as a single jitted TPU tensor program.
+
+This is the TPU-native redesign of the reference's hot path — the three
+components that dominate its benchmarks (``trajectory_sampler.cpp``
+rollout+collision loops, ``cost_evaluator[_gpu].cpp`` cost kernels, and the
+argmin reduction) — fused into one XLA program over SoA arrays:
+
+    grid [S] -> rollout [S, T] (closed-form cumsum, no sequential loop)
+             -> masked point-robot collision vs obstacle points [S, T]
+             -> drop / truncate semantics as masks (no ragged shapes)
+             -> five cost kernels + custom costs -> weighted sum [S]
+             -> argmin (first-minimum-wins, matching the reference's
+                serial scan in ``cost_evaluator.cpp:102-106``)
+
+Design notes (TPU-first):
+  * All shapes are static (`SolverSpec`); the adaptive prediction horizon is
+    a dynamic ``active_points`` scalar masking the trailing steps — changing
+    the horizon never recompiles (the reference resizes buffers instead,
+    ``trajectory_sampler.cpp:316-326``).
+  * Colliding samples are masked with +inf cost instead of being dropped
+    (the reference compacts them out, ``trajectory_sampler.cpp:157-177``);
+    ordering is preserved so the argmin picks the same winner.
+  * Collision model: circumscribed robot radius + voxel-inflation margin vs
+    raw obstacle points, replacing FCL-vs-octree
+    (``collision_check.cpp:149-163``); see SURVEY §7 for the rationale.
+  * Everything is float32; the velocity grid itself is produced on host in
+    float64 (`ops/window.py`) for exact grid-placement parity.
+
+Cost formula contracts are copied exactly from ``cost_evaluator.cpp:111-233``
+(the golden-value unit tests in ``tests/test_costs.py`` pin them down).
+"""
+
+import dataclasses
+import functools as _functools
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .window import MIN_VEL
+
+_BIG = jnp.float32(1e8)
+_INF = jnp.float32(jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class SolverSpec:
+    """Static compile-time geometry of the solver."""
+
+    is_omni: bool
+    n_vx: int
+    n_vy: int
+    n_omega: int
+    max_points: int  # T: points per trajectory (>= 2)
+    num_ctrl_points: int  # control horizon in steps
+    scan_size: int  # padded obstacle-point capacity
+    seg_size: int  # padded tracked-segment capacity
+    drop_samples: bool = True
+
+    @property
+    def num_samples(self) -> int:
+        if self.is_omni:
+            return self.n_vx * (self.n_vy + self.n_omega)
+        return self.n_vx * self.n_omega
+
+
+class SolverParams(NamedTuple):
+    """Dynamic (non-recompiling) solver parameters, all jnp/np scalars."""
+
+    time_step: jnp.ndarray
+    robot_radius: jnp.ndarray
+    collision_margin: jnp.ndarray  # voxel inflation added to the radius
+    weight_path: jnp.ndarray
+    weight_goal: jnp.ndarray
+    weight_obstacles: jnp.ndarray
+    weight_smoothness: jnp.ndarray
+    weight_jerk: jnp.ndarray
+    acc_limit_vx: jnp.ndarray
+    acc_limit_vy: jnp.ndarray
+    acc_limit_omega: jnp.ndarray
+    max_obstacles_dist: jnp.ndarray  # range at which obstacle cost hits 0
+
+    @classmethod
+    def create(
+        cls,
+        time_step,
+        robot_radius,
+        collision_margin,
+        weights,  # dict-like with the 5 cost weights
+        acc_limits,  # (vx_acc, vy_acc, omega_acc)
+        max_obstacles_dist,
+    ) -> "SolverParams":
+        f = jnp.float32
+        return cls(
+            time_step=f(time_step),
+            robot_radius=f(robot_radius),
+            collision_margin=f(collision_margin),
+            weight_path=f(weights["reference_path_distance_weight"]),
+            weight_goal=f(weights["goal_distance_weight"]),
+            weight_obstacles=f(weights["obstacles_distance_weight"]),
+            weight_smoothness=f(weights["smoothness_weight"]),
+            weight_jerk=f(weights["jerk_weight"]),
+            acc_limit_vx=f(acc_limits[0]),
+            acc_limit_vy=f(acc_limits[1]),
+            acc_limit_omega=f(acc_limits[2]),
+            max_obstacles_dist=f(max_obstacles_dist),
+        )
+
+
+class SolveResult(NamedTuple):
+    found: jnp.ndarray  # bool scalar
+    cost: jnp.ndarray  # f32 scalar (winning total cost)
+    best_index: jnp.ndarray  # int32 scalar
+    velocities: jnp.ndarray  # [T-1, 3] winning velocity sequence
+    path: jnp.ndarray  # [T, 2] winning rollout
+    costs: jnp.ndarray  # [S] total masked costs (inf = inadmissible)
+    num_admissible: jnp.ndarray  # int32 scalar
+
+
+# ---------------------------------------------------------------------------
+# grid construction
+# ---------------------------------------------------------------------------
+
+
+def _build_velocity_grid(spec: SolverSpec, window) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand the (vx, vy, omega) axis grids into per-sample velocities
+    [S, 3] + validity [S], matching the reference's single-thread sampling
+    order exactly (vx outer loop ascending; for omni: the vy block precedes
+    the omega block per vx — ``trajectory_sampler.cpp:254-273``)."""
+    vx_vals, vx_mask, vy_vals, vy_mask, w_vals, w_mask = window
+    vx_vals = jnp.asarray(vx_vals)
+    vx_mask = jnp.asarray(vx_mask)
+    vy_vals = jnp.asarray(vy_vals)
+    vy_mask = jnp.asarray(vy_mask)
+    w_vals = jnp.asarray(w_vals)
+    w_mask = jnp.asarray(w_mask)
+
+    min_vel = jnp.float32(MIN_VEL)
+
+    if not spec.is_omni:
+        # S = n_vx * n_omega, sample s = (i_vx, j_omega)
+        vx = jnp.repeat(vx_vals, spec.n_omega)
+        w = jnp.tile(w_vals, spec.n_vx)
+        vy = jnp.zeros_like(vx)
+        valid = (
+            jnp.repeat(vx_mask, spec.n_omega)
+            & jnp.tile(w_mask, spec.n_vx)
+            & (jnp.abs(vx) >= min_vel)
+        )
+        vels = jnp.stack([vx, vy, w], axis=-1)
+        return vels, valid
+
+    # omni: per vx, first the (vx, vy, 0) block then the (vx, 0, omega) block
+    blk = spec.n_vy + spec.n_omega
+    vx = jnp.repeat(vx_vals, blk)
+    vx_m = jnp.repeat(vx_mask, blk)
+    vy_blk = jnp.concatenate([vy_vals, jnp.zeros(spec.n_omega, jnp.float32)])
+    w_blk = jnp.concatenate([jnp.zeros(spec.n_vy, jnp.float32), w_vals])
+    vy_m_blk = jnp.concatenate([vy_mask, jnp.ones(spec.n_omega, bool)])
+    w_m_blk = jnp.concatenate([jnp.ones(spec.n_vy, bool), w_mask])
+    is_omega_blk = jnp.concatenate(
+        [jnp.zeros(spec.n_vy, bool), jnp.ones(spec.n_omega, bool)]
+    )
+    vy = jnp.tile(vy_blk, spec.n_vx)
+    w = jnp.tile(w_blk, spec.n_vx)
+    blk_valid = jnp.tile(vy_m_blk & w_m_blk, spec.n_vx)
+    is_omega = jnp.tile(is_omega_blk, spec.n_vx)
+
+    # omega sub-block requires |vx| >= MIN_VEL (trajectory_sampler.cpp:263);
+    # any sample with all velocity components ~0 is skipped
+    # (trajectory_sampler.cpp:122-125)
+    nonzero = (
+        (jnp.abs(vx) >= min_vel)
+        | (jnp.abs(vy) >= min_vel)
+        | (jnp.abs(w) >= min_vel)
+    )
+    valid = (
+        vx_m
+        & blk_valid
+        & nonzero
+        & (~is_omega | (jnp.abs(vx) >= min_vel))
+    )
+    vels = jnp.stack([vx, vy, w], axis=-1)
+    return vels, valid
+
+
+# ---------------------------------------------------------------------------
+# rollout
+# ---------------------------------------------------------------------------
+
+
+def _rollout(spec: SolverSpec, params: SolverParams, state, vels):
+    """Constant-velocity unicycle rollout, closed form.
+
+    Kinematics per reference ``datatypes/path.h:24-30``: position update at
+    step t uses the pre-update heading yaw_t = yaw0 + omega * t * dt, so the
+    whole [S, T] rollout is a cumulative sum of rotated displacements — no
+    sequential dependency for XLA to serialize.
+    """
+    T = spec.max_points
+    dt = params.time_step
+    x0, y0, yaw0 = state[0], state[1], state[2]
+    t = jnp.arange(T - 1, dtype=jnp.float32)  # step index
+    vx = vels[:, 0:1]
+    vy = vels[:, 1:2]
+    w = vels[:, 2:3]
+    yaw_t = yaw0 + w * t[None, :] * dt  # [S, T-1] heading before each step
+    c = jnp.cos(yaw_t)
+    s = jnp.sin(yaw_t)
+    dx = (vx * c - vy * s) * dt
+    dy = (vx * s + vy * c) * dt
+    px = jnp.concatenate(
+        [jnp.full((vels.shape[0], 1), x0), x0 + jnp.cumsum(dx, axis=1)], axis=1
+    )
+    py = jnp.concatenate(
+        [jnp.full((vels.shape[0], 1), y0), y0 + jnp.cumsum(dy, axis=1)], axis=1
+    )
+    return px, py  # each [S, T]
+
+
+# ---------------------------------------------------------------------------
+# collision + admissibility
+# ---------------------------------------------------------------------------
+
+
+def _min_obstacle_dist_sq(px, py, obs_xy, pt_mask):
+    """[S, T] -> per-point min squared distance to any obstacle point.
+
+    Padded obstacle slots sit at +1e8 so they never win the min. Masked
+    trajectory points get +inf.
+    """
+    ox = obs_xy[:, 0]
+    oy = obs_xy[:, 1]
+    # [S, T, O] fused reduce — XLA fuses the subtract/square into the min
+    # reduction, so the cube never materializes in HBM.
+    d2 = jnp.min(
+        (px[:, :, None] - ox[None, None, :]) ** 2
+        + (py[:, :, None] - oy[None, None, :]) ** 2,
+        axis=-1,
+    )
+    return jnp.where(pt_mask[None, :], d2, _INF)
+
+
+def _admissibility(spec, params, px, py, obs_xy, active_points, valid):
+    """Drop / truncate semantics from ``trajectory_sampler.cpp:118-178``
+    expressed as masks.
+
+    The reference rolls each sample forward, checks collision at every
+    updated pose (poses 1 .. active-1), and on first collision either drops
+    the sample or zero-pads it from the last free point.
+    """
+    S, T = px.shape
+    t_idx = jnp.arange(T)
+    # poses checked by the reference loop: t in [1, active_points - 1]
+    check_mask = (t_idx >= 1) & (t_idx <= active_points - 1)
+    d2 = _min_obstacle_dist_sq(px, py, obs_xy, check_mask)
+    r = params.robot_radius + params.collision_margin
+    collide = d2 < r * r  # [S, T]; masked entries are inf -> False
+
+    any_col = jnp.any(collide, axis=1)
+    first_bad_pose = jnp.where(any_col, jnp.argmax(collide, axis=1), T + 1)
+    i_col = first_bad_pose - 1  # step index at which the loop broke
+    last_free = jnp.where(i_col > 0, i_col - 1, active_points - 1)
+
+    truncate_ok = (
+        (not spec.drop_samples)
+        & any_col
+        & (last_free > spec.num_ctrl_points)
+        & (last_free < active_points - 1)
+    )
+    admissible = valid & (~any_col | truncate_ok)
+    return admissible, truncate_ok, i_col, last_free
+
+
+def _apply_truncation(px, py, vels, truncate_ok, i_col, last_free, T):
+    """Zero velocities from the collision step onward and freeze the path at
+    the last free point (``trajectory_sampler.cpp:157-168`` semantics,
+    including the reference's exact fill point path[last_free])."""
+    S = px.shape[0]
+    t_idx = jnp.arange(T)[None, :]
+    j_idx = jnp.arange(T - 1)[None, :]
+
+    lf_x = jnp.take_along_axis(px, last_free[:, None], axis=1)
+    lf_y = jnp.take_along_axis(py, last_free[:, None], axis=1)
+    freeze = truncate_ok[:, None] & (t_idx > i_col[:, None])
+    px = jnp.where(freeze, lf_x, px)
+    py = jnp.where(freeze, lf_y, py)
+
+    zero_vel = truncate_ok[:, None] & (j_idx >= i_col[:, None])  # [S, T-1]
+    vel_traj = jnp.where(
+        zero_vel[:, :, None], 0.0, vels[:, None, :]
+    )  # [S, T-1, 3]
+    return px, py, vel_traj
+
+
+# ---------------------------------------------------------------------------
+# cost kernels (contracts: cost_evaluator.cpp:111-233)
+# ---------------------------------------------------------------------------
+
+
+def _path_cost(px, py, seg_x, seg_y, seg_last_xy, seg_total_len, active_points):
+    """Average min-distance of every rollout point to the tracked segment,
+    plus normalized endpoint distance, halved (``cost_evaluator.cpp:111-141``).
+    """
+    S, T = px.shape
+    t_idx = jnp.arange(T)
+    pt_mask = t_idx < active_points
+    # [S, T, SEG] fused min reduce; padded segment slots at +1e8
+    d2 = jnp.min(
+        (px[:, :, None] - seg_x[None, None, :]) ** 2
+        + (py[:, :, None] - seg_y[None, None, :]) ** 2,
+        axis=-1,
+    )
+    d = jnp.sqrt(d2)
+    avg = jnp.sum(jnp.where(pt_mask[None, :], d, 0.0), axis=1) / active_points.astype(
+        jnp.float32
+    )
+    end_x = jnp.take_along_axis(px, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
+    end_y = jnp.take_along_axis(py, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
+    end_dist = (
+        jnp.sqrt((end_x - seg_last_xy[0]) ** 2 + (end_y - seg_last_xy[1]) ** 2)
+        / seg_total_len
+    )
+    return (avg + end_dist) / 2.0
+
+
+def _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len, active_points):
+    """Remaining-arc-length goal cost + normalized euclidean tie-breaker
+    (``cost_evaluator.cpp:150-177``). First minimum wins on ties, like the
+    reference's strict `<` scan."""
+    S, T = px.shape
+    end_x = jnp.take_along_axis(px, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
+    end_y = jnp.take_along_axis(py, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
+    d2 = (end_x[:, None] - seg_x[None, :]) ** 2 + (
+        end_y[:, None] - seg_y[None, :]
+    ) ** 2  # [S, SEG]; padded slots huge
+    j_star = jnp.argmin(d2, axis=1)
+    min_d2 = jnp.take_along_axis(d2, j_star[:, None], axis=1)[:, 0]
+    arc_at = seg_arc[j_star]
+    return (ref_total_len - arc_at) / ref_total_len + jnp.sqrt(min_d2) / ref_total_len
+
+
+def _obstacles_cost(px, py, obs_xy, active_points, max_obstacles_dist):
+    """Linear decay 1 -> 0 over [0, max_obstacles_dist] of the min
+    rollout-to-obstacle distance (``cost_evaluator.cpp:179-184`` +
+    ``trajectory.h:217-235`` minDist2D over all points incl. start)."""
+    T = px.shape[1]
+    t_idx = jnp.arange(T)
+    pt_mask = t_idx < active_points
+    d2 = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
+    d = jnp.sqrt(jnp.min(d2, axis=1))
+    return jnp.maximum(max_obstacles_dist - d, 0.0) / max_obstacles_dist
+
+
+def _smoothness_cost(vel_traj, active_points, acc_limits):
+    """Sum of squared velocity first-differences per component, normalized by
+    the acceleration limit, averaged over 3 * num_vel_entries
+    (``cost_evaluator.cpp:187-206``)."""
+    S, Tm1, _ = vel_traj.shape
+    j = jnp.arange(Tm1)
+    diff_mask = (j >= 1) & (j <= active_points - 2)  # valid diffs
+    dv = vel_traj[:, 1:, :] - vel_traj[:, :-1, :]  # [S, T-2, 3]
+    dm = diff_mask[1:]  # mask aligned with dv's j index (j from 1)
+    cost = jnp.zeros(S, jnp.float32)
+    for c, acc in enumerate(acc_limits):
+        term = jnp.sum(jnp.where(dm[None, :], dv[:, :, c] ** 2, 0.0), axis=1) / acc
+        cost = cost + jnp.where(acc > 0, term, 0.0)
+    return cost / (3.0 * (active_points - 1).astype(jnp.float32))
+
+
+def _jerk_cost(vel_traj, active_points, acc_limits):
+    """Sum of squared velocity second-differences (``cost_evaluator.cpp:
+    209-233``)."""
+    S, Tm1, _ = vel_traj.shape
+    j = jnp.arange(Tm1)
+    ddv = vel_traj[:, 2:, :] - 2.0 * vel_traj[:, 1:-1, :] + vel_traj[:, :-2, :]
+    dm = (j >= 2) & (j <= active_points - 2)
+    dm = dm[2:]
+    cost = jnp.zeros(S, jnp.float32)
+    for c, acc in enumerate(acc_limits):
+        term = jnp.sum(jnp.where(dm[None, :], ddv[:, :, c] ** 2, 0.0), axis=1) / acc
+        cost = cost + jnp.where(acc > 0, term, 0.0)
+    return cost / (3.0 * (active_points - 1).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# full solve
+# ---------------------------------------------------------------------------
+
+
+def dwa_solve(
+    spec: SolverSpec,
+    params: SolverParams,
+    state,  # [3] x, y, yaw (world)
+    window,  # VelocityWindow arrays (host-built, padded)
+    obs_xy,  # [R, 2] obstacle points, world frame, padded with +1e8
+    obs_count,  # int32 scalar: number of real obstacle points
+    seg_x,  # [SEG] tracked segment x, padded with +1e8
+    seg_y,  # [SEG]
+    seg_arc,  # [SEG] absolute prefix arc length on the full path
+    seg_count,  # int32 scalar
+    seg_total_len,  # f32 scalar (View.totalSegmentLength)
+    ref_total_len,  # f32 scalar (full interpolated path length)
+    active_points,  # int32 scalar <= spec.max_points (adaptive horizon)
+    custom_costs: Sequence = (),
+) -> SolveResult:
+    """One DWA tick: returns the argmin trajectory over the dynamic window.
+
+    Orchestration mirror of ``DWA::findBestPath`` (``dwa.h:183-230``) minus
+    the host-side target determination, which the caller does (see
+    ``control/dwa.py``).
+
+    ``custom_costs`` is a sequence of ``(weight, fn)`` where
+    ``fn(vel_traj [S,T-1,3], px [S,T], py [S,T], active_points) -> [S]`` —
+    the user-defined cost hook (reference ``DWA::addCustomCost``,
+    ``dwa.h:103``).
+    """
+    active_points = jnp.asarray(active_points, jnp.int32)
+    vels, valid = _build_velocity_grid(spec, window)
+    px, py = _rollout(spec, params, state, vels)
+
+    admissible, truncate_ok, i_col, last_free = _admissibility(
+        spec, params, px, py, obs_xy, active_points, valid
+    )
+    px, py, vel_traj = _apply_truncation(
+        px, py, vels, truncate_ok, i_col, last_free, spec.max_points
+    )
+
+    acc_limits = (params.acc_limit_vx, params.acc_limit_vy, params.acc_limit_omega)
+    f32 = jnp.float32
+    total = jnp.zeros(spec.num_samples, f32)
+
+    has_path = ref_total_len > 0.0
+    seg_last_x = seg_x[jnp.maximum(seg_count - 1, 0)]
+    seg_last_y = seg_y[jnp.maximum(seg_count - 1, 0)]
+
+    goal = _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len, active_points)
+    total += jnp.where(
+        has_path & (params.weight_goal > 0), params.weight_goal * goal, 0.0
+    )
+
+    pathc = _path_cost(
+        px, py, seg_x, seg_y, (seg_last_x, seg_last_y), seg_total_len, active_points
+    )
+    total += jnp.where(
+        has_path & (params.weight_path > 0), params.weight_path * pathc, 0.0
+    )
+
+    obst = _obstacles_cost(px, py, obs_xy, active_points, params.max_obstacles_dist)
+    total += jnp.where(
+        (obs_count > 0) & (params.weight_obstacles > 0),
+        params.weight_obstacles * obst,
+        0.0,
+    )
+
+    smooth = _smoothness_cost(vel_traj, active_points, acc_limits)
+    total += jnp.where(
+        params.weight_smoothness > 0, params.weight_smoothness * smooth, 0.0
+    )
+
+    jerk = _jerk_cost(vel_traj, active_points, acc_limits)
+    total += jnp.where(params.weight_jerk > 0, params.weight_jerk * jerk, 0.0)
+
+    for weight, fn in custom_costs:
+        total += jnp.float32(weight) * fn(vel_traj, px, py, active_points)
+
+    costs = jnp.where(admissible, total, _INF)
+    best = jnp.argmin(costs).astype(jnp.int32)
+    found = jnp.any(admissible)
+
+    return SolveResult(
+        found=found,
+        cost=costs[best],
+        best_index=best,
+        velocities=vel_traj[best],
+        path=jnp.stack([px[best], py[best]], axis=-1),
+        costs=costs,
+        num_admissible=jnp.sum(admissible).astype(jnp.int32),
+    )
+
+
+def make_dwa_solver(spec: SolverSpec, custom_costs: Sequence = ()):
+    """Build a jit-compiled solver for a fixed `SolverSpec`.
+
+    The returned callable takes only dynamic arguments; repeated calls with
+    the same spec reuse the compiled executable. Plays the role of the
+    reference's construction-time GPU JIT warmup (``dwa.cpp:75-91``) — call
+    once with representative shapes to pay compilation up front.
+    """
+    solve = partial(dwa_solve, spec, custom_costs=custom_costs)
+    return jax.jit(solve)
+
+
+# ---------------------------------------------------------------------------
+# single-buffer (packed) interface
+# ---------------------------------------------------------------------------
+#
+# Host <-> device transfers dominate small-batch control-loop latency (each
+# separate array is a separate transfer; through a remote-attached chip each
+# transfer is a round trip). The packed interface moves ONE f32 buffer per
+# tick in each direction — the TPU-native analog of the reference GPU
+# backend's persistent device buffers + one memcpy batch per call
+# (``cost_evaluator_gpu.cpp:220-235``).
+
+_HDR = 20  # header scalars, see layout below
+
+
+def packed_input_size(spec: SolverSpec) -> int:
+    return (
+        _HDR
+        + 2 * (spec.n_vx + spec.n_vy + spec.n_omega)
+        + 2 * spec.scan_size
+        + 3 * spec.seg_size
+    )
+
+
+def pack_solver_input(
+    spec: SolverSpec,
+    buf,  # np.ndarray [packed_input_size] float32, written in place
+    params_vec,  # [12] float32: dt, radius, margin, 5 weights, 3 acc, maxObsDist
+    state,  # (x, y, yaw)
+    window,
+    obs_xy,  # [R, 2] padded
+    obs_count: int,
+    seg_x,
+    seg_y,
+    seg_arc,
+    seg_count: int,
+    seg_total_len: float,
+    ref_total_len: float,
+    active_points: int,
+):
+    """Serialize one tick's dynamic inputs into the packed buffer (host)."""
+    buf[0:3] = state
+    buf[3] = obs_count
+    buf[4] = seg_count
+    buf[5] = seg_total_len
+    buf[6] = ref_total_len
+    buf[7] = active_points
+    buf[8:20] = params_vec
+    o = _HDR
+    for arr in (
+        window.vx_vals,
+        window.vx_mask,
+        window.vy_vals,
+        window.vy_mask,
+        window.omega_vals,
+        window.omega_mask,
+    ):
+        n = arr.shape[0]
+        buf[o : o + n] = arr
+        o += n
+    r = spec.scan_size
+    buf[o : o + r] = obs_xy[:, 0]
+    buf[o + r : o + 2 * r] = obs_xy[:, 1]
+    o += 2 * r
+    g = spec.seg_size
+    buf[o : o + g] = seg_x
+    buf[o + g : o + 2 * g] = seg_y
+    buf[o + 2 * g : o + 3 * g] = seg_arc
+    return buf
+
+
+def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
+    """Device-side unpack of the single input buffer + solve + packed output.
+
+    Output layout: [found, cost, best_index, num_admissible,
+                    vx[T-1], vy[T-1], omega[T-1], px[T], py[T]].
+    """
+    from .window import VelocityWindow
+
+    state = buf[0:3]
+    obs_count = buf[3].astype(jnp.int32)
+    seg_count = buf[4].astype(jnp.int32)
+    seg_total_len = buf[5]
+    ref_total_len = buf[6]
+    active_points = buf[7].astype(jnp.int32)
+    p = buf[8:20]
+    params = SolverParams(
+        time_step=p[0],
+        robot_radius=p[1],
+        collision_margin=p[2],
+        weight_path=p[3],
+        weight_goal=p[4],
+        weight_obstacles=p[5],
+        weight_smoothness=p[6],
+        weight_jerk=p[7],
+        acc_limit_vx=p[8],
+        acc_limit_vy=p[9],
+        acc_limit_omega=p[10],
+        max_obstacles_dist=p[11],
+    )
+    o = _HDR
+    nx, ny, nw = spec.n_vx, spec.n_vy, spec.n_omega
+    vx_vals = buf[o : o + nx]
+    vx_mask = buf[o + nx : o + 2 * nx] > 0.5
+    o += 2 * nx
+    vy_vals = buf[o : o + ny]
+    vy_mask = buf[o + ny : o + 2 * ny] > 0.5
+    o += 2 * ny
+    w_vals = buf[o : o + nw]
+    w_mask = buf[o + nw : o + 2 * nw] > 0.5
+    o += 2 * nw
+    window = VelocityWindow(vx_vals, vx_mask, vy_vals, vy_mask, w_vals, w_mask)
+    r = spec.scan_size
+    obs_xy = jnp.stack([buf[o : o + r], buf[o + r : o + 2 * r]], axis=1)
+    o += 2 * r
+    g = spec.seg_size
+    seg_x = buf[o : o + g]
+    seg_y = buf[o + g : o + 2 * g]
+    seg_arc = buf[o + 2 * g : o + 3 * g]
+
+    res = dwa_solve(
+        spec,
+        params,
+        state,
+        window,
+        obs_xy,
+        obs_count,
+        seg_x,
+        seg_y,
+        seg_arc,
+        seg_count,
+        seg_total_len,
+        ref_total_len,
+        active_points,
+        custom_costs=custom_costs,
+    )
+    out = jnp.concatenate(
+        [
+            res.found.astype(jnp.float32)[None],
+            res.cost[None],
+            res.best_index.astype(jnp.float32)[None],
+            res.num_admissible.astype(jnp.float32)[None],
+            res.velocities[:, 0],
+            res.velocities[:, 1],
+            res.velocities[:, 2],
+            res.path[:, 0],
+            res.path[:, 1],
+        ]
+    )
+    return out
+
+
+def unpack_solver_output(spec: SolverSpec, out):
+    """Host-side split of the packed output vector (numpy array)."""
+    T = spec.max_points
+    found = bool(out[0] > 0.5)
+    cost = float(out[1])
+    best_index = int(out[2])
+    num_admissible = int(out[3])
+    o = 4
+    vx = out[o : o + T - 1]
+    vy = out[o + T - 1 : o + 2 * (T - 1)]
+    omega = out[o + 2 * (T - 1) : o + 3 * (T - 1)]
+    o += 3 * (T - 1)
+    px = out[o : o + T]
+    py = out[o + T : o + 2 * T]
+    return found, cost, best_index, num_admissible, vx, vy, omega, px, py
+
+
+def make_packed_dwa_solver(spec: SolverSpec, custom_costs: Sequence = ()):
+    """Jit-compiled single-buffer solver: f32[packed_input_size] ->
+    f32[4 + 3*(T-1) + 2*T]. One transfer each way per control tick."""
+    solve = partial(_unpack_and_solve, spec, custom_costs=custom_costs)
+    return jax.jit(solve)
+
+
+@_functools.lru_cache(maxsize=64)
+def get_packed_dwa_solver(spec: SolverSpec):
+    """Process-wide shared packed solver (no custom costs): controllers with
+    identical specs reuse one compiled executable."""
+    return make_packed_dwa_solver(spec)

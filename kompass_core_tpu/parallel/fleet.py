@@ -1,0 +1,134 @@
+"""Multi-robot / multi-chip scale-out over a ``jax.sharding.Mesh``.
+
+The reference is a single-robot, single-process library; its only
+parallelism is a CPU thread pool and in-device SYCL work groups
+(SURVEY §2.8). The TPU-native scale-out axes here are new components:
+
+1. **Fleet data-parallel** (`make_fleet_solver`): a batch of independent
+   robot scenarios (one packed solver input each) vmapped over the sample
+   axis and sharded across chips of a mesh — each robot's solve stays
+   chip-local, no cross-chip communication in steady state. This is the
+   BASELINE.json "100+ concurrent robot scenarios sharded across hosts"
+   configuration.
+
+2. **Sample-parallel** (`make_sample_parallel_solver`): one robot's sample
+   axis S split across chips with a cross-chip argmin combine over ICI
+   (``jax.lax.pmin`` + deterministic lowest-rank tie-break) — the
+   distributed analog of the reference GPU backend's ``LowestCost``
+   reduction object (``datatypes/trajectory.h:621-644``). Only needed for
+   extreme sample counts; at 2k-64k samples a single chip wins.
+
+Multi-host: build the mesh over ``jax.devices()`` after
+``jax.distributed.initialize``; scenario dispatch rides DCN, solves stay on
+ICI-local chips.
+"""
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.solver import (
+    SolverSpec,
+    _unpack_and_solve,
+    pack_solver_input,
+    packed_input_size,
+)
+
+
+def make_fleet_solver(
+    spec: SolverSpec,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "robots",
+    custom_costs: Sequence = (),
+):
+    """Batched solver: f32[N, packed_input_size] -> f32[N, out_size].
+
+    With a mesh, the batch axis is sharded over ``axis_name`` and each
+    chip solves its local robots; without one, it is a plain vmap on the
+    default device.
+    """
+    solve_one = partial(_unpack_and_solve, spec, custom_costs=custom_costs)
+    batched = jax.vmap(solve_one)
+    if mesh is None:
+        return jax.jit(batched)
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.jit(batched, in_shardings=sharding, out_shardings=sharding)
+
+
+def make_sample_parallel_solver(
+    spec: SolverSpec,
+    mesh: Mesh,
+    axis_name: str = "sp",
+):
+    """Single-scenario solve with the *sample* axis sharded across chips.
+
+    Each chip receives its own packed input whose velocity-window block
+    covers a disjoint slice of the global sample grid (the caller builds
+    per-chip windows); the local argmin results are combined over ICI with
+    a deterministic lowest-cost / lowest-rank reduction.
+
+    Returns a function f32[n_chips, packed_input_size] -> packed output of
+    the globally winning chip.
+    """
+
+    def _local_then_combine(bufs):
+        def per_chip(buf):
+            out = _unpack_and_solve(spec, buf[0])
+            # out[1] is the local winning cost (inf if no admissible sample)
+            local_cost = out[1]
+            global_min = jax.lax.pmin(local_cost, axis_name)
+            rank = jax.lax.axis_index(axis_name)
+            n = jax.lax.axis_size(axis_name)
+            has_min = local_cost == global_min
+            winner_rank = jax.lax.pmin(
+                jnp.where(has_min, rank, n), axis_name
+            )
+            is_winner = rank == winner_rank
+            # broadcast the winner's packed output to all chips via psum
+            contrib = jnp.where(is_winner, out, 0.0)
+            return jax.lax.psum(contrib, axis_name)[None]
+
+        return jax.shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=P(axis_name, None),
+            out_specs=P(axis_name, None),
+        )(bufs)
+
+    return jax.jit(_local_then_combine)
+
+
+class FleetPlanner:
+    """Convenience wrapper managing N robot scenarios on a device mesh.
+
+    Host keeps a [N, L] packed input matrix; ``step`` uploads it once and
+    returns the [N, out] result matrix. For sustained operation, callers
+    mutate only the rows that changed (scan/state updates) and re-upload.
+    """
+
+    def __init__(
+        self,
+        spec: SolverSpec,
+        num_robots: int,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = "robots",
+    ):
+        self.spec = spec
+        self.num_robots = num_robots
+        self.mesh = mesh
+        self.solver = make_fleet_solver(spec, mesh, axis_name)
+        self.inputs = np.zeros(
+            (num_robots, packed_input_size(spec)), dtype=np.float32
+        )
+
+    def set_scenario(self, robot_index: int, **kwargs):
+        """Fill one robot's packed input row (same args as
+        ``pack_solver_input`` minus spec/buf)."""
+        pack_solver_input(self.spec, self.inputs[robot_index], **kwargs)
+
+    def step(self) -> np.ndarray:
+        return np.asarray(self.solver(self.inputs))

@@ -1,0 +1,168 @@
+"""Closed-loop DWA integration test.
+
+Mirrors the reference's pytest control loop
+(``tests/test_controllers.py:168-254`` run_control + ``:430-464`` test_dwa):
+an Ackermann cylinder robot follows a short curved global path with the
+canonical config {path weight 3.0, goal weight 1.0, rest 0}, 4x4 samples,
+10-step horizon @ 0.1 s, and must reach the end within 100 sim steps.
+
+The path fixture is synthetic (generated, comparable in length/curvature to
+the recorded path the reference tests use).
+"""
+
+import numpy as np
+import pytest
+
+from kompass_core_tpu.control import DWA, DWAConfig, TrajectoryCostsWeights
+from kompass_core_tpu.datatypes.laserscan import LaserScanData
+from kompass_core_tpu.models import (
+    AngularCtrlLimits,
+    LinearCtrlLimits,
+    Robot,
+    RobotCtrlLimits,
+    RobotGeometry,
+    RobotType,
+)
+
+
+def make_global_path():
+    """Short gently-curving path, ~4 m, starting near the robot spawn."""
+    t = np.linspace(0.0, 1.0, 6)
+    x = -0.5 + 2.2 * t**2
+    y = 3.3 * t
+    return np.stack([x, y], axis=1)
+
+
+@pytest.fixture
+def robot():
+    return Robot(
+        robot_type=RobotType.ACKERMANN,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.1, 0.4]),
+    )
+
+
+@pytest.fixture
+def ctrl_limits():
+    return RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+
+
+def run_control(controller, global_path, robot, control_time_step, max_steps=100):
+    """Apply the controller's control-horizon commands in closed loop until
+    the end of the path is reached (reference run_control semantics)."""
+    controller.set_path(global_path)
+    robot.state.x = float(global_path[0][0])
+    robot.state.y = 0.0
+    robot.state.yaw = np.pi / 2
+
+    laser_scan = LaserScanData()
+    end_reached = False
+    i = 0
+    while not end_reached and i < max_steps:
+        ok = controller.loop_step(current_state=robot.state, laser_scan=laser_scan)
+        if not ok:
+            end_reached = controller.reached_end()
+            break
+        for vx, vy, omega in zip(
+            controller.linear_x_control,
+            controller.linear_y_control,
+            controller.angular_control,
+        ):
+            robot.set_control(velocity_x=vx, velocity_y=vy, omega=omega)
+            robot.get_state(dt=control_time_step)
+            i += 1
+            end_reached = controller.reached_end()
+    return end_reached, i
+
+
+def test_dwa_reaches_goal(robot, ctrl_limits):
+    control_time_step = 0.1
+    cost_weights = TrajectoryCostsWeights(
+        reference_path_distance_weight=3.0,
+        goal_distance_weight=1.0,
+        smoothness_weight=0.0,
+        jerk_weight=0.0,
+        obstacles_distance_weight=0.0,
+    )
+    config = DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        octree_resolution=0.1,
+        costs_weights=cost_weights,
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=control_time_step,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    reached, steps = run_control(
+        dwa, make_global_path(), robot, control_time_step
+    )
+    assert reached, f"DWA did not reach the goal (ran {steps} steps)"
+
+
+def test_dwa_avoids_head_on_obstacle(robot, ctrl_limits):
+    """With an obstacle wall blocking the straight line, samples that collide
+    must be dropped and the planner must still find an admissible command."""
+    control_time_step = 0.1
+    config = DWAConfig(
+        max_linear_samples=6,
+        max_angular_samples=6,
+        octree_resolution=0.1,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=2.0,
+            goal_distance_weight=1.0,
+            obstacles_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=control_time_step,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    path = np.array([[0.0, 0.0], [0.0, 3.0]])
+    dwa.set_path(path)
+    robot.state.x, robot.state.y, robot.state.yaw = 0.0, 0.0, np.pi / 2
+
+    # wall of obstacle points directly ahead at y = 0.45 (within one horizon)
+    angles = np.linspace(-0.5, 0.5, 21)  # sensor frame: ahead of the robot
+    ranges = np.full_like(angles, 0.45)
+    scan = LaserScanData(ranges=ranges, angles=angles)
+
+    dwa.set_current_state(robot.state.x, robot.state.y, robot.state.yaw)
+    result = dwa.compute_velocity_commands((0.0, 0.0, 0.0), laser_scan=scan)
+    assert result.is_found
+    # the winning rollout must stay clear of the wall
+    wall_y = 0.45
+    clearance = wall_y - np.max(result.trajectory.path_y)
+    assert clearance > robot.radius, (
+        f"winning trajectory grazes the wall (clearance {clearance:.3f})"
+    )
+
+
+def test_dwa_no_admissible_when_enclosed(robot, ctrl_limits):
+    """Fully enclosed by close obstacles -> every sample collides -> no
+    command possible (reference drop-samples semantics)."""
+    control_time_step = 0.1
+    config = DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        octree_resolution=0.1,
+        costs_weights=TrajectoryCostsWeights(),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=control_time_step,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [0.0, 3.0]]))
+    dwa.set_current_state(0.0, 0.0, np.pi / 2)
+
+    angles = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    scan = LaserScanData(ranges=np.full_like(angles, 0.12), angles=angles)
+    result = dwa.compute_velocity_commands((0.5, 0.0, 0.0), laser_scan=scan)
+    assert not result.is_found
