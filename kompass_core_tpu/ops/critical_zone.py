@@ -1,0 +1,146 @@
+"""Critical-zone emergency-stop check.
+
+TPU port of the reference ``CriticalZoneChecker``
+(``utils/critical_zone_check.cpp`` CPU and ``critical_zone_check_gpu.cpp``
+SYCL): precompute the in-cone beam masks at setup, then per scan compute the
+robot-surface distance of every in-cone return and reduce to a slowdown
+factor in [0, 1] (0 = emergency stop).
+
+The reference CPU loop early-returns 0.0 at the first critical hit; the
+masked-min formulation here is numerically identical (min of the per-beam
+factors, where any critical hit forces 0), matching the GPU backend's
+``sycl::reduction(minimum)`` structure.
+"""
+
+import dataclasses
+import math
+from functools import lru_cache, partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.angles import normalize_to_minus_pi_pi
+from .mapping import pointcloud_to_scan
+
+
+@dataclasses.dataclass(frozen=True)
+class CriticalZoneSpec:
+    """Static data of a configured checker (host-precomputed masks)."""
+
+    robot_radius: float
+    critical_distance: float
+    slowdown_distance: float
+    # per-beam sensor-frame trig + body-frame cone membership
+    cos_angles: tuple
+    sin_angles: tuple
+    forward_mask: tuple
+    backward_mask: tuple
+    # planar sensor->body transform
+    sensor_x: float
+    sensor_y: float
+    sensor_yaw: float
+
+
+def build_critical_zone(
+    robot_shape_type: str,
+    robot_dimensions: Sequence[float],
+    sensor_position_body: Sequence[float],
+    sensor_rotation_body: Sequence[float],  # quaternion (x, y, z, w)
+    critical_angle_deg: float,
+    critical_distance: float,
+    slowdown_distance: float,
+    angles: Sequence[float],
+) -> CriticalZoneSpec:
+    """Host-side preset (reference ``critical_zone_check.cpp:13-85``)."""
+    if slowdown_distance <= critical_distance:
+        raise ValueError(
+            "SlowDown distance must be greater than the Critical distance!"
+        )
+    shape = robot_shape_type.upper()
+    if shape in ("CYLINDER", "CAPSULE", "CONE"):
+        radius = float(robot_dimensions[0])
+    elif shape == "SPHERE":
+        radius = float(robot_dimensions[0])
+    elif shape in ("BOX", "ELLIPSOID"):
+        radius = (
+            math.sqrt(robot_dimensions[0] ** 2 + robot_dimensions[1] ** 2) / 2
+        )
+    else:
+        raise ValueError("Invalid robot geometry type")
+
+    qx, qy, qz, qw = (float(v) for v in sensor_rotation_body)
+    syaw = math.atan2(2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz))
+    sx, sy = float(sensor_position_body[0]), float(sensor_position_body[1])
+
+    half_cone = normalize_to_minus_pi_pi(
+        critical_angle_deg * math.pi / 180.0 / 2.0
+    )
+
+    ang = np.asarray(angles, np.float64)
+    ca, sa = np.cos(ang), np.sin(ang)
+    # unit beam direction through the sensor transform (reference preset
+    # transforms the unit point, translation included)
+    bx = math.cos(syaw) * ca - math.sin(syaw) * sa + sx
+    by = math.sin(syaw) * ca + math.cos(syaw) * sa + sy
+    abs_theta = np.abs(np.arctan2(by, bx))
+    forward = abs_theta <= half_cone
+    backward = abs_theta >= math.pi - half_cone
+
+    return CriticalZoneSpec(
+        robot_radius=radius,
+        critical_distance=float(critical_distance),
+        slowdown_distance=float(slowdown_distance),
+        cos_angles=tuple(ca.tolist()),
+        sin_angles=tuple(sa.tolist()),
+        forward_mask=tuple(bool(v) for v in forward),
+        backward_mask=tuple(bool(v) for v in backward),
+        sensor_x=sx,
+        sensor_y=sy,
+        sensor_yaw=syaw,
+    )
+
+
+def critical_zone_check(spec: CriticalZoneSpec, ranges, forward):
+    """Slowdown factor in [0, 1] (reference ``check``,
+    ``critical_zone_check.cpp:87-119``). ``forward`` is a traced bool."""
+    ranges = jnp.asarray(ranges, jnp.float32)
+    ca = jnp.asarray(spec.cos_angles, jnp.float32)
+    sa = jnp.asarray(spec.sin_angles, jnp.float32)
+    fwd = jnp.asarray(spec.forward_mask)
+    bwd = jnp.asarray(spec.backward_mask)
+    mask = jnp.where(forward, fwd, bwd)
+
+    x = ranges * ca
+    y = ranges * sa
+    c, s = math.cos(spec.sensor_yaw), math.sin(spec.sensor_yaw)
+    bx2 = c * x - s * y + spec.sensor_x
+    by2 = s * x + c * y + spec.sensor_y
+    dist = jnp.sqrt(bx2 * bx2 + by2 * by2) - spec.robot_radius
+
+    crit = spec.critical_distance
+    slow = spec.slowdown_distance
+    factor = jnp.clip((dist - crit) / (slow - crit), 0.0, 1.0)
+    factor = jnp.where(mask, factor, 1.0)
+    return jnp.min(factor)
+
+
+@lru_cache(maxsize=32)
+def get_critical_zone_checker(spec: CriticalZoneSpec):
+    return jax.jit(partial(critical_zone_check, spec))
+
+
+def critical_zone_check_cloud(
+    spec: CriticalZoneSpec, points, forward, range_max, min_z, max_z
+):
+    """Point-cloud variant: bin the cloud into the preset angular grid, then
+    run the scan check (reference ``critical_zone_check.cpp:121-131``)."""
+    num_bins = len(spec.cos_angles)
+    ranges = pointcloud_to_scan(points, num_bins, range_max, min_z, max_z)
+    return critical_zone_check(spec, ranges, forward)
+
+
+@lru_cache(maxsize=32)
+def get_critical_zone_checker_cloud(spec: CriticalZoneSpec):
+    return jax.jit(partial(critical_zone_check_cloud, spec))

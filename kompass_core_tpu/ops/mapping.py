@@ -1,0 +1,328 @@
+"""Occupancy-grid mapping kernels: laserscan/pointcloud -> egocentric grid.
+
+TPU-native redesign of the reference's ray-cast mappers
+(``mapping/local_mapper.cpp:127-241`` CPU Bresenham, and the SYCL DDA kernel
+``mapping/local_mapper_gpu.cpp:207-327``). Scatter-style line stamping is
+hostile to XLA; instead every kernel here is a **pure per-cell gather**:
+
+  for each cell: compute its polar coordinates about the sensor cell, look
+  up the 3 angularly-nearest beams, and test membership in each beam's
+  rasterized line segment (diamond / super-cover criterion) and endpoint
+  cell. OCCUPIED > EMPTY > UNEXPLORED combine via max, exactly like the
+  reference's ``fetch_max`` stamping.
+
+This matches the reference CPU output up to the same order of divergence
+the reference's own GPU backend exhibits vs its CPU backend (both
+approximate the super-cover walk; see the DDA + neighbor-stamp + distance
+field gating in the SYCL kernel).
+
+The Bayesian layer implements the identical inverse sensor model
+(``local_mapper.cpp:106-125``) and the previous-grid egocentric
+re-projection (``local_mapper.cpp:17-78``) as a bilinear gather warp.
+
+All kernels assume a uniform angular grid of beams: bin b covers angle
+``angle_offset + b * angle_step`` (the ``scanToGrid`` consistency contract,
+``local_mapper.h:40-55``). Arbitrary scans are bin-min resampled on host
+(`resample_scan_uniform`), mirroring the pointcloud->laserscan path
+(``utils/pointcloud.h:116-176``).
+"""
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UNEXPLORED = -1
+EMPTY = 0
+OCCUPIED = 100
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class MapperSpec:
+    """Static geometry of the compiled mapping program."""
+
+    grid_height: int
+    grid_width: int
+    num_bins: int  # uniform angular bins in the scan
+    resolution: float
+    # sensor mounting (static per mapper, baked into the program)
+    laserscan_position_x: float = 0.0
+    laserscan_position_y: float = 0.0
+    laserscan_orientation: float = 0.0
+
+    @property
+    def central_point(self):
+        # round(H/2) - 1 per local_mapper.h:26-27
+        return (
+            int(round(self.grid_height / 2)) - 1,
+            int(round(self.grid_width / 2)) - 1,
+        )
+
+    @property
+    def start_cell(self):
+        # localToGrid(laserscan position): central + trunc(pos/res)
+        ci, cj = self.central_point
+        return (
+            ci + int(self.laserscan_position_x / self.resolution),
+            cj + int(self.laserscan_position_y / self.resolution),
+        )
+
+
+def _cell_geometry(spec: MapperSpec):
+    """Per-cell polar coordinates about the sensor start cell."""
+    si, sj = spec.start_cell
+    ii = jnp.arange(spec.grid_height, dtype=jnp.float32)[:, None]
+    jj = jnp.arange(spec.grid_width, dtype=jnp.float32)[None, :]
+    di = ii - si
+    dj = jj - sj
+    d = jnp.sqrt(di * di + dj * dj)
+    theta = jnp.arctan2(dj, di)  # angle of the cell in the grid frame
+    return di, dj, d, theta
+
+
+def _beam_endpoint_cells(spec: MapperSpec, ranges, angle_offset):
+    """Endpoint grid cell per beam — CPU localToGrid semantics
+    (``local_mapper.cpp:127-134`` + ``local_mapper.h:210-222``:
+    truncation toward zero)."""
+    b = jnp.arange(spec.num_bins, dtype=jnp.float32)
+    ang = spec.laserscan_orientation + angle_offset + b * (
+        2.0 * jnp.pi / spec.num_bins
+    )
+    ex = spec.laserscan_position_x + ranges * jnp.cos(ang)
+    ey = spec.laserscan_position_y + ranges * jnp.sin(ang)
+    ci, cj = spec.central_point
+    e_i = ci + jnp.trunc(ex / spec.resolution).astype(jnp.int32)
+    e_j = cj + jnp.trunc(ey / spec.resolution).astype(jnp.int32)
+    return e_i, e_j
+
+
+def _line_membership(spec: MapperSpec, di, dj, e_i, e_j, cand):
+    """Diamond (super-cover) membership test of each cell against the line
+    from the start cell to candidate beams' endpoint cells.
+
+    Returns (on_line [H,W,C], is_endpoint [H,W,C], t [H,W,C]) where t is the
+    distance along the line in cells.
+    """
+    si, sj = spec.start_cell
+    vx = (e_i[cand] - si).astype(jnp.float32)  # [H,W,C]
+    vy = (e_j[cand] - sj).astype(jnp.float32)
+    L = jnp.sqrt(vx * vx + vy * vy)
+    L_safe = jnp.maximum(L, 1e-6)
+    t = (di[:, :, None] * vx + dj[:, :, None] * vy) / L_safe
+    perp = jnp.abs(di[:, :, None] * vy - dj[:, :, None] * vx) / L_safe
+    halfwidth = (jnp.abs(vx) + jnp.abs(vy)) / (2.0 * L_safe) + 1e-4
+    on_line = (t >= -0.5) & (t <= L) & (perp <= halfwidth) & (L > 0)
+    ii = jnp.arange(spec.grid_height, dtype=jnp.int32)[:, None, None]
+    jj = jnp.arange(spec.grid_width, dtype=jnp.int32)[None, :, None]
+    is_endpoint = (ii == e_i[cand]) & (jj == e_j[cand])
+    return on_line, is_endpoint, t
+
+
+def _candidate_bins(spec: MapperSpec, theta, angle_offset, n_side=2):
+    """Angularly nearest bins per cell: fractional bin position +- n_side."""
+    step = 2.0 * jnp.pi / spec.num_bins
+    rel = theta - spec.laserscan_orientation - angle_offset
+    frac = rel / step
+    base = jnp.round(frac).astype(jnp.int32)
+    offsets = jnp.arange(-n_side, n_side + 1, dtype=jnp.int32)
+    cand = (base[:, :, None] + offsets[None, None, :]) % spec.num_bins
+    return cand
+
+
+def scan_to_grid(spec: MapperSpec, ranges, angle_offset=0.0):
+    """Non-Bayesian occupancy grid from a uniform scan.
+
+    ``ranges``: [num_bins] f32. Returns int32 grid [H, W] of
+    {UNEXPLORED, EMPTY, OCCUPIED} (reference ``scanToGrid``,
+    ``local_mapper.cpp:204-220``).
+    """
+    ranges = jnp.asarray(ranges, jnp.float32)
+    di, dj, d, theta = _cell_geometry(spec)
+    cand = _candidate_bins(spec, theta, angle_offset)
+    e_i, e_j = _beam_endpoint_cells(spec, ranges, angle_offset)
+    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i, e_j, cand)
+
+    occupied = jnp.any(is_endpoint, axis=-1)
+    empty = jnp.any(on_line, axis=-1)
+    grid = jnp.where(
+        occupied, OCCUPIED, jnp.where(empty, EMPTY, UNEXPLORED)
+    ).astype(jnp.int32)
+    return grid
+
+
+def bayes_cell_update(spec: MapperSpec, dist_m, current_range, previous_prob,
+                      p_prior, p_empty, p_occupied, range_sure, range_max,
+                      wall_size):
+    """Inverse sensor model + Bayes odds update, exact formula port of
+    ``updateGridCellProbability`` (``local_mapper.cpp:106-125``)."""
+    rng = current_range - wall_size
+    p_f = jnp.where(dist_m < rng, p_empty, p_occupied)
+    delta = jnp.where(dist_m < range_sure, 0.0, 1.0)
+    p_sensor = p_f + delta * ((dist_m - range_sure) / range_max) * (
+        p_prior - p_f
+    )
+    odds = (
+        (previous_prob / (1.0 - previous_prob))
+        * (p_sensor / (1.0 - p_sensor))
+        * ((1.0 - p_prior) / p_prior)
+    )
+    return 1.0 - 1.0 / (1.0 + odds)
+
+
+def scan_to_grid_bayesian(
+    spec: MapperSpec,
+    ranges,
+    previous_prob_grid,
+    p_prior,
+    p_empty,
+    p_occupied,
+    range_sure,
+    range_max,
+    wall_size,
+    angle_offset=0.0,
+):
+    """Bayesian occupancy update (reference ``scanToGridBaysian``,
+    ``local_mapper.cpp:161-241``): returns (occupancy int32 [H,W],
+    probability f32 [H,W]).
+
+    Cells on a beam's line get the inverse-sensor-model Bayes update with
+    the *previous* probability grid (already re-projected to the current
+    pose); uncovered cells hold p_prior. Where the reference lets the last
+    beam win on multi-covered cells, this kernel deterministically uses the
+    angularly nearest covering beam.
+    """
+    ranges = jnp.asarray(ranges, jnp.float32)
+    previous_prob_grid = jnp.asarray(previous_prob_grid, jnp.float32)
+    di, dj, d, theta = _cell_geometry(spec)
+    cand = _candidate_bins(spec, theta, angle_offset)
+    e_i, e_j = _beam_endpoint_cells(spec, ranges, angle_offset)
+    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i, e_j, cand)
+
+    occupied = jnp.any(is_endpoint, axis=-1)
+    empty = jnp.any(on_line, axis=-1)
+    occ_grid = jnp.where(
+        occupied, OCCUPIED, jnp.where(empty, EMPTY, UNEXPLORED)
+    ).astype(jnp.int32)
+
+    # nearest covering candidate: order candidates by |offset| — index
+    # ordering [-n..n] means distance from center is |k - n|
+    n_c = cand.shape[-1]
+    center = n_c // 2
+    pref = -jnp.abs(jnp.arange(n_c) - center).astype(jnp.float32)  # prefer 0
+    score = jnp.where(on_line, pref[None, None, :], -jnp.inf)
+    best_c = jnp.argmax(score, axis=-1)  # [H,W]
+    covered = jnp.any(on_line, axis=-1)
+    best_bin = jnp.take_along_axis(cand, best_c[:, :, None], axis=-1)[:, :, 0]
+    beam_range = ranges[best_bin]
+
+    dist_m = d * spec.resolution
+    new_prob = bayes_cell_update(
+        spec, dist_m, beam_range, previous_prob_grid,
+        p_prior, p_empty, p_occupied, range_sure, range_max, wall_size,
+    )
+    prob_grid = jnp.where(covered, new_prob, p_prior)
+    return occ_grid, prob_grid
+
+
+def warp_previous_grid(spec: MapperSpec, prob_grid, shift_xy, shift_yaw,
+                       p_prior):
+    """Re-project the previous probability grid into the current egocentric
+    pose with bilinear interpolation.
+
+    Implements the *documented intent* of ``getPreviousGridInCurrentPose``
+    (``local_mapper.cpp:17-78``: "Transform a grid to be centered in
+    egocentric view of the current position given its previous position").
+    The reference's own transformation matrix is internally inconsistent
+    (an identity shift translates the grid by ~half its size) and that code
+    path — Bayesian fusion, default-off — is untested upstream, so this is
+    a deliberate corrected divergence: a new-grid cell at local offset p
+    samples the previous grid at R(dyaw)·p + shift (the new pose expressed
+    in the previous egocentric frame), bilinear, prior outside.
+    """
+    prob_grid = jnp.asarray(prob_grid, jnp.float32)
+    H, W = spec.grid_height, spec.grid_width
+    ci, cj = spec.central_point
+    dx = shift_xy[0] / spec.resolution
+    dy = shift_xy[1] / spec.resolution
+    c = jnp.cos(shift_yaw)
+    s = jnp.sin(shift_yaw)
+
+    pi = jnp.arange(H, dtype=jnp.float32)[:, None] - ci  # new-frame i offset
+    pj = jnp.arange(W, dtype=jnp.float32)[None, :] - cj
+    src_i = ci + (c * pi - s * pj + dx)
+    src_j = cj + (s * pi + c * pj + dy)
+
+    valid = (
+        (src_i >= 0) & (src_i < H - 1) & (src_j >= 0) & (src_j < W - 1)
+    )
+    i0 = jnp.clip(jnp.floor(src_i).astype(jnp.int32), 0, H - 2)
+    j0 = jnp.clip(jnp.floor(src_j).astype(jnp.int32), 0, W - 2)
+    wi = src_i - i0
+    wj = src_j - j0
+    g = prob_grid
+    val = (1 - wi) * ((1 - wj) * g[i0, j0] + wj * g[i0, j0 + 1]) + wi * (
+        (1 - wj) * g[i0 + 1, j0] + wj * g[i0 + 1, j0 + 1]
+    )
+    return jnp.where(valid, val, p_prior)
+
+
+def pointcloud_to_scan(points, num_bins, range_max, min_z, max_z):
+    """Bin a [N, 3] cloud into a uniform laserscan: per-bin min range.
+
+    Port of ``pointCloudToLaserScanFromRaw`` (``utils/pointcloud.h:116-176``):
+    z filter, origin filter, atan2 binning with bin width 2*pi/num_bins,
+    bin-min combine. Pure JAX (segment_min over static bins).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    r2 = x * x + y * y
+    ok = (r2 >= 1e-6) & (z >= min_z) & jnp.where(
+        max_z >= 0.0, z <= max_z, True
+    )
+    ang = jnp.arctan2(y, x)
+    ang = jnp.where(ang < 0, ang + 2 * jnp.pi, ang)
+    step = 2.0 * jnp.pi / num_bins
+    bins = jnp.minimum((ang / step).astype(jnp.int32), num_bins - 1)
+    dist = jnp.where(ok, jnp.sqrt(r2), jnp.inf)
+    ranges = jax.ops.segment_min(
+        dist, bins, num_segments=num_bins, indices_are_sorted=False
+    )
+    return jnp.minimum(ranges, range_max)
+
+
+def resample_scan_uniform(angles, ranges, num_bins, range_max):
+    """Host: bin-min resample an arbitrary scan onto the uniform grid the
+    gather kernels assume. Uniform input scans map 1:1."""
+    angles = np.mod(np.asarray(angles, np.float64), 2 * np.pi)
+    ranges = np.asarray(ranges, np.float64)
+    step = 2 * np.pi / num_bins
+    bins = np.minimum((angles / step).astype(np.int64), num_bins - 1)
+    out = np.full(num_bins, np.float64(range_max))
+    np.minimum.at(out, bins, np.where(np.isfinite(ranges), ranges, range_max))
+    return out.astype(np.float32)
+
+
+@lru_cache(maxsize=32)
+def get_scan_to_grid(spec: MapperSpec):
+    return jax.jit(partial(scan_to_grid, spec))
+
+
+@lru_cache(maxsize=32)
+def get_scan_to_grid_bayesian(spec: MapperSpec):
+    return jax.jit(partial(scan_to_grid_bayesian, spec))
+
+
+@lru_cache(maxsize=32)
+def get_warp_previous_grid(spec: MapperSpec):
+    return jax.jit(partial(warp_previous_grid, spec))
+
+
+@lru_cache(maxsize=32)
+def get_pointcloud_to_scan(num_bins: int):
+    return jax.jit(
+        lambda pts, range_max, min_z, max_z: pointcloud_to_scan(
+            pts, num_bins, range_max, min_z, max_z
+        )
+    )

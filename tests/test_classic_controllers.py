@@ -1,0 +1,143 @@
+"""Closed-loop tests for the classic follower controllers.
+
+Mirrors the reference's ``test_controllers.py`` scenarios: Stanley, DVZ and
+PurePursuit must each drive the robot to the end of the curved global path;
+PID matches its textbook law.
+"""
+
+import numpy as np
+import pytest
+
+from kompass_core_tpu.control import (
+    DVZ,
+    PID,
+    PurePursuit,
+    PurePursuitConfig,
+    Stanley,
+    StanleyConfig,
+)
+from kompass_core_tpu.datatypes.laserscan import LaserScanData
+from kompass_core_tpu.models import (
+    AngularCtrlLimits,
+    LinearCtrlLimits,
+    Robot,
+    RobotCtrlLimits,
+    RobotGeometry,
+    RobotType,
+)
+
+from test_dwa_closed_loop import make_global_path, run_control
+
+
+@pytest.fixture
+def robot():
+    return Robot(
+        robot_type=RobotType.ACKERMANN,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.1, 0.4]),
+    )
+
+
+@pytest.fixture
+def ctrl_limits():
+    return RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+
+
+def test_stanley_reaches_goal(robot, ctrl_limits):
+    controller = Stanley(
+        robot=robot,
+        ctrl_limits=ctrl_limits,
+        config=StanleyConfig(cross_track_gain=1.5, heading_gain=2.0),
+        control_time_step=0.1,
+    )
+    reached, steps = run_control(controller, make_global_path(), robot, 0.1)
+    assert reached, f"Stanley did not reach the goal ({steps} steps)"
+
+
+def test_pure_pursuit_reaches_goal(robot, ctrl_limits):
+    controller = PurePursuit(
+        robot=robot,
+        ctrl_limits=ctrl_limits,
+        config=PurePursuitConfig(
+            wheel_base=robot.wheelbase,
+            lookahead_gain_forward=1.0,
+            # neutralize the curvature-sum speed regulation: per-point
+            # curvature spikes at interpolation knots (follower.cpp:319-353
+            # sums raw per-point curvature) would otherwise pin the speed
+            # factor at its minimum for most of this short path
+            speed_regulation_curvature=1e-3,
+            speed_regulation_angular=1e-3,
+        ),
+        control_time_step=0.1,
+    )
+    reached, steps = run_control(controller, make_global_path(), robot, 0.1)
+    assert reached, f"PurePursuit did not reach the goal ({steps} steps)"
+
+
+def test_dvz_reaches_goal(robot, ctrl_limits):
+    controller = DVZ(robot=robot, ctrl_limits=ctrl_limits, control_time_step=0.1)
+    reached, steps = run_control(controller, make_global_path(), robot, 0.1)
+    assert reached, f"DVZ did not reach the goal ({steps} steps)"
+
+
+def test_dvz_slows_near_obstacles(robot, ctrl_limits):
+    """Close frontal intrusion must reduce the linear command relative to
+    free space."""
+    free = DVZ(robot=robot, ctrl_limits=ctrl_limits, control_time_step=0.1)
+    blocked = DVZ(robot=robot, ctrl_limits=ctrl_limits, control_time_step=0.1)
+    path = np.array([[0.0, 0.0], [3.0, 0.0]])
+    for c in (free, blocked):
+        c.set_path(path)
+    state = robot.state
+    state.x, state.y, state.yaw = 0.0, 0.0, 0.0
+
+    angles = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    clear = LaserScanData(ranges=np.full(72, 10.0), angles=angles)
+    close = np.full(72, 10.0)
+    close[:4] = 0.4  # intrusion straight ahead
+    close[-4:] = 0.4
+    wall = LaserScanData(ranges=close, angles=angles)
+
+    for _ in range(5):
+        free.loop_step(laser_scan=clear, current_state=state)
+        blocked.loop_step(laser_scan=wall, current_state=state)
+    assert blocked._dvz_linear < free._dvz_linear
+
+
+def test_pure_pursuit_stops_for_blocking_wall(robot, ctrl_limits):
+    controller = PurePursuit(
+        robot=robot,
+        ctrl_limits=ctrl_limits,
+        config=PurePursuitConfig(wheel_base=robot.wheelbase),
+        control_time_step=0.1,
+    )
+    controller.set_path(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    state = robot.state
+    state.x, state.y, state.yaw = 0.0, 0.0, 0.0
+    state.vx = 0.5
+    # dense wall arc ahead
+    angles = np.linspace(-1.2, 1.2, 41)
+    scan = LaserScanData(ranges=np.full(41, 0.35), angles=angles)
+    ok = controller.loop_step(current_state=state, laser_scan=scan)
+    assert ok
+    # nominal command collides -> must deviate or stop; rollout of the
+    # returned command must stay collision-free
+    cmd = controller._result.velocity_command
+    assert not controller._check_command_collisions(cmd, 0.1)
+
+
+def test_pid_textbook_values():
+    pid = PID(kp=2.0, ki=0.5, kd=0.1)
+    # first step: e=1, integral=1, derivative=1
+    u1 = pid.compute(target=1.0, current=0.0, delta_time=0.1)
+    assert u1 == pytest.approx(2.0 * 1 + 0.5 * 1 * 0.1 + 0.1 * 1 / 0.1)
+    # second step with same error: derivative zero, integral=2
+    u2 = pid.compute(target=1.0, current=0.0, delta_time=0.1)
+    assert u2 == pytest.approx(2.0 * 1 + 0.5 * 2 * 0.1)
+    pid.reset()
+    assert pid._integral == 0.0

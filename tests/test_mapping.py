@@ -1,0 +1,232 @@
+"""Local mapper tests.
+
+Modeled on the reference's mapper test strategy
+(``tests/test_local_mapper_pytest.py``: circle scans, occupancy-count
+assertions, synthetic pointcloud rings, z-filtering) plus a direct
+rasterization comparison against an independent super-cover line walker.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from kompass_core_tpu.datatypes import LaserScanData, PointCloudData
+from kompass_core_tpu.datatypes.pose import PoseData
+from kompass_core_tpu.datatypes.scan_model import ScanModelConfig
+from kompass_core_tpu.mapping import LocalMapper, MapConfig
+from kompass_core_tpu.ops.mapping import (
+    EMPTY,
+    OCCUPIED,
+    UNEXPLORED,
+    MapperSpec,
+    get_pointcloud_to_scan,
+    get_scan_to_grid,
+    get_scan_to_grid_bayesian,
+    get_warp_previous_grid,
+)
+
+
+def supercover_line(x0, y0, x1, y1):
+    """Independent reference implementation: all integer cells crossed by
+    the segment between cell centers (for comparing against the gather
+    kernel's diamond test)."""
+    cells = set()
+    dx, dy = x1 - x0, y1 - y0
+    n = 2 * max(abs(dx), abs(dy)) + 1
+    for k in range(n + 1):
+        t = k / n
+        x = x0 + t * dx
+        y = y0 + t * dy
+        cells.add((round(x), round(y)))
+    return cells
+
+
+SPEC = MapperSpec(
+    grid_height=61, grid_width=61, num_bins=72, resolution=0.1
+)
+
+
+def test_ring_scan_structure():
+    """Uniform ring at 2 m: OCCUPIED ring, EMPTY interior, UNEXPLORED
+    beyond."""
+    ranges = np.full(SPEC.num_bins, 2.0, np.float32)
+    grid = np.asarray(get_scan_to_grid(SPEC)(ranges))
+    si, sj = SPEC.start_cell
+    assert grid[si, sj] == EMPTY  # sensor cell is on every line
+    # straight +x beam: endpoint at 2.0m -> cell si+20
+    assert grid[si + 20, sj] == OCCUPIED
+    assert np.all(grid[si + 1 : si + 19, sj] == EMPTY)
+    # beyond the ring stays unexplored
+    assert grid[si + 25, sj] == UNEXPLORED
+    n_occ = np.sum(grid == OCCUPIED)
+    # ring of radius 20 cells: ~60-130 boundary cells hit by 72 beams
+    assert 40 <= n_occ <= 130
+
+
+def test_single_short_beam_matches_supercover():
+    """All cells the gather kernel marks EMPTY/OCCUPIED for one beam must
+    lie on (or adjacent to) the independent super-cover walk."""
+    # keep all other beams short (2 cells) so the long test beam's line is
+    # isolated beyond radius 4
+    ranges = np.full(SPEC.num_bins, 0.25, np.float32)
+    beam = 5  # angle 5 * 2pi/72 = 25 deg
+    ranges[beam] = 1.7
+    grid = np.asarray(get_scan_to_grid(SPEC)(ranges))
+    si, sj = SPEC.start_cell
+    ang = beam * 2 * np.pi / SPEC.num_bins
+    ex = si + int(1.7 * math.cos(ang) / SPEC.resolution)
+    ey = sj + int(1.7 * math.sin(ang) / SPEC.resolution)
+    assert grid[ex, ey] == OCCUPIED
+    ref_cells = supercover_line(si, sj, ex, ey)
+    far = lambda i, j: (i - si) ** 2 + (j - sj) ** 2 > 16  # noqa: E731
+    marked = {
+        (int(i), int(j))
+        for i, j in zip(*np.nonzero(grid >= EMPTY))
+        if far(i, j)
+    }
+    # every reference line cell must be marked
+    missing = {c for c in ref_cells if far(*c)} - marked
+    assert not missing, f"kernel missed line cells: {missing}"
+    # no marked cell further than 1 cell from the reference line
+    for i, j in marked:
+        assert any(
+            abs(i - ri) <= 1 and abs(j - rj) <= 1 for ri, rj in ref_cells
+        ), f"spurious cell {(i, j)}"
+
+
+def test_bayesian_probabilities():
+    ranges = np.full(SPEC.num_bins, 2.0, np.float32)
+    prior = 0.5
+    prev = np.full((SPEC.grid_height, SPEC.grid_width), prior, np.float32)
+    occ, prob = get_scan_to_grid_bayesian(SPEC)(
+        ranges,
+        prev,
+        np.float32(prior),
+        np.float32(0.4),
+        np.float32(0.6),
+        np.float32(1.0),
+        np.float32(20.0),
+        np.float32(0.2),
+    )
+    occ = np.asarray(occ)
+    prob = np.asarray(prob)
+    si, sj = SPEC.start_cell
+    # along the +x beam: cells well before the hit get p < prior
+    assert prob[si + 5, sj] < prior
+    # at the obstacle cell: p > prior
+    assert prob[si + 20, sj] > prior
+    # far beyond any beam: exactly prior
+    assert prob[si + 28, sj + 1] == pytest.approx(prior)
+    # occupancy layer agrees with the non-bayesian kernel
+    ref = np.asarray(get_scan_to_grid(SPEC)(ranges))
+    np.testing.assert_array_equal(occ, ref)
+
+
+def test_warp_identity_preserves_grid():
+    rng = np.random.default_rng(1)
+    g = rng.uniform(0.2, 0.8, (SPEC.grid_height, SPEC.grid_width)).astype(
+        np.float32
+    )
+    out = np.asarray(
+        get_warp_previous_grid(SPEC)(
+            g, np.zeros(2, np.float32), np.float32(0.0), np.float32(0.5)
+        )
+    )
+    # interior preserved under identity warp
+    np.testing.assert_allclose(out[5:-5, 5:-5], g[5:-5, 5:-5], atol=1e-4)
+
+
+def test_warp_translation_shifts_feature():
+    g = np.full((SPEC.grid_height, SPEC.grid_width), 0.5, np.float32)
+    g[40, 30] = 1.0  # bright feature
+    # robot moved +0.5 m in x (5 cells): the feature must move to lower i
+    out = np.asarray(
+        get_warp_previous_grid(SPEC)(
+            g,
+            np.array([0.5, 0.0], np.float32),
+            np.float32(0.0),
+            np.float32(0.5),
+        )
+    )
+    peak = np.unravel_index(np.argmax(out), out.shape)
+    assert abs(peak[0] - 35) <= 1 and abs(peak[1] - 30) <= 1
+
+
+def test_pointcloud_binning():
+    """Hand-built points -> bin-min semantics (modeled on the reference's
+    ``test_pointcloud_data.py`` unit tests)."""
+    pts = np.array(
+        [
+            [1.0, 0.0, 0.0],  # angle 0, r=1
+            [2.0, 0.01, 0.0],  # angle ~0, r=2 (same bin; min keeps 1)
+            [0.0, 3.0, 0.2],  # angle 90deg, r=3
+            [-1.5, 0.0, 0.0],  # angle 180deg
+            [0.5, 0.5, 9.0],  # filtered by z
+            [0.0, 0.0, 0.0],  # origin filtered
+        ],
+        np.float32,
+    )
+    fn = get_pointcloud_to_scan(8)  # 45-degree bins
+    ranges = np.asarray(fn(pts, np.float32(10.0), np.float32(-1.0), np.float32(1.0)))
+    assert ranges[0] == pytest.approx(1.0, abs=1e-5)
+    assert ranges[2] == pytest.approx(3.0, abs=1e-5)
+    assert ranges[4] == pytest.approx(1.5, abs=1e-5)
+    # empty bins clip to range_max
+    assert ranges[3] == pytest.approx(10.0)
+    # z-filtered point must not shrink bin 1 (45 deg)
+    assert ranges[1] == pytest.approx(10.0)
+
+
+def test_local_mapper_end_to_end_laserscan():
+    config = MapConfig(width=6.0, height=6.0, resolution=0.1)
+    mapper = LocalMapper(config, ScanModelConfig(p_prior=0.5))
+    angles = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    scan = LaserScanData(ranges=np.full(72, 2.0), angles=angles)
+    pose = PoseData()
+    mapper.update_from_scan(pose, scan)
+    occ = mapper.occupancy
+    assert np.sum(occ == OCCUPIED) > 30
+    assert np.sum(occ == EMPTY) > 500
+    assert np.sum(occ == UNEXPLORED) > 500
+
+
+def test_local_mapper_bayesian_accumulates():
+    config = MapConfig(width=6.0, height=6.0, resolution=0.1, baysian_update=True)
+    mapper = LocalMapper(config, ScanModelConfig(p_prior=0.5))
+    angles = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    scan = LaserScanData(ranges=np.full(72, 2.0), angles=angles)
+    pose = PoseData()
+    mapper.update_from_scan(pose, scan)
+    first = mapper._prev_prob.copy()
+    mapper.update_from_scan(pose, scan)  # same pose, same scan
+    second = mapper._prev_prob
+    si, sj = mapper._spec.start_cell
+    # repeated occupied evidence strengthens the obstacle belief
+    assert second[si + 20, sj] > first[si + 20, sj] > 0.5
+    # repeated free evidence strengthens emptiness
+    assert second[si + 5, sj] < first[si + 5, sj] < 0.5
+    # thresholded layers exposed
+    assert np.any(mapper.probabilistic_occupancy == OCCUPIED)
+    assert np.any(mapper.probabilistic_occupancy == EMPTY)
+
+
+def test_local_mapper_pointcloud_ring():
+    """Synthetic ring cloud -> occupied ring (reference's synthetic-ring
+    pointcloud test shape)."""
+    config = MapConfig(width=6.0, height=6.0, resolution=0.1)
+    mapper = LocalMapper(
+        config, ScanModelConfig(p_prior=0.5, angle_step=2 * np.pi / 72)
+    )
+    theta = np.linspace(0, 2 * np.pi, 500, endpoint=False)
+    pts = np.stack(
+        [2.0 * np.cos(theta), 2.0 * np.sin(theta), np.zeros_like(theta)],
+        axis=1,
+    ).astype(np.float32)
+    mapper.update_from_scan(PoseData(), PointCloudData(points=pts))
+    occ = mapper.occupancy
+    assert np.sum(occ == OCCUPIED) > 30
+    si, sj = mapper._spec.start_cell
+    # float truncation puts the 2.0 m hit at cell 19 or 20
+    assert OCCUPIED in (occ[si + 19, sj], occ[si + 20, sj])
+    assert occ[si + 10, sj] == EMPTY
