@@ -14,19 +14,16 @@ ControlClasses = {
     "DVZ": DVZ,
 }
 
-try:
-    from .vision_followers import (  # noqa: F401
-        VisionRGBDFollower,
-        VisionRGBDFollowerConfig,
-        VisionRGBFollower,
-        VisionRGBFollowerConfig,
-    )
+from .vision_followers import (  # noqa: F401
+    VisionRGBDFollower,
+    VisionRGBDFollowerConfig,
+    VisionRGBFollower,
+    VisionRGBFollowerConfig,
+)
 
-    ControlClasses.update(
-        {
-            "VisionRGBFollower": VisionRGBFollower,
-            "VisionRGBDFollower": VisionRGBDFollower,
-        }
-    )
-except ImportError:
-    pass
+ControlClasses.update(
+    {
+        "VisionRGBFollower": VisionRGBFollower,
+        "VisionRGBDFollower": VisionRGBDFollower,
+    }
+)
