@@ -242,21 +242,25 @@ def _min_obstacle_dist_sq(px, py, obs_xy, pt_mask):
     return jnp.where(pt_mask[None, :], d2, _INF)
 
 
-def _admissibility(spec, params, px, py, obs_xy, active_points, valid):
+def _admissibility(spec, params, d2_obs, active_points, valid):
     """Drop / truncate semantics from ``trajectory_sampler.cpp:118-178``
     expressed as masks.
 
     The reference rolls each sample forward, checks collision at every
     updated pose (poses 1 .. active-1), and on first collision either drops
     the sample or zero-pads it from the last free point.
+
+    ``d2_obs``: shared per-point min squared obstacle distance [S, T]
+    (masked to t < active_points); also consumed by the obstacle cost — one
+    obstacle sweep serves both, like the reference GPU backend's single
+    upload + two kernels.
     """
-    S, T = px.shape
+    S, T = d2_obs.shape
     t_idx = jnp.arange(T)
     # poses checked by the reference loop: t in [1, active_points - 1]
     check_mask = (t_idx >= 1) & (t_idx <= active_points - 1)
-    d2 = _min_obstacle_dist_sq(px, py, obs_xy, check_mask)
     r = params.robot_radius + params.collision_margin
-    collide = d2 < r * r  # [S, T]; masked entries are inf -> False
+    collide = (d2_obs < r * r) & check_mask[None, :]
 
     any_col = jnp.any(collide, axis=1)
     first_bad_pose = jnp.where(any_col, jnp.argmax(collide, axis=1), T + 1)
@@ -341,15 +345,14 @@ def _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len, active_points):
     return (ref_total_len - arc_at) / ref_total_len + jnp.sqrt(min_d2) / ref_total_len
 
 
-def _obstacles_cost(px, py, obs_xy, active_points, max_obstacles_dist):
+def _obstacles_cost(d2_obs, max_obstacles_dist):
     """Linear decay 1 -> 0 over [0, max_obstacles_dist] of the min
     rollout-to-obstacle distance (``cost_evaluator.cpp:179-184`` +
-    ``trajectory.h:217-235`` minDist2D over all points incl. start)."""
-    T = px.shape[1]
-    t_idx = jnp.arange(T)
-    pt_mask = t_idx < active_points
-    d2 = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
-    d = jnp.sqrt(jnp.min(d2, axis=1))
+    ``trajectory.h:217-235`` minDist2D over all points incl. start).
+
+    ``d2_obs``: shared per-point min squared obstacle distance [S, T],
+    already truncation-adjusted and masked to active points."""
+    d = jnp.sqrt(jnp.min(d2_obs, axis=1))
     return jnp.maximum(max_obstacles_dist - d, 0.0) / max_obstacles_dist
 
 
@@ -420,12 +423,22 @@ def dwa_solve(
     vels, valid = _build_velocity_grid(spec, window)
     px, py = _rollout(spec, params, state, vels)
 
+    # single obstacle sweep shared by collision + obstacle cost
+    t_idx = jnp.arange(spec.max_points)
+    pt_mask = t_idx < active_points
+    d2_obs = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
+
     admissible, truncate_ok, i_col, last_free = _admissibility(
-        spec, params, px, py, obs_xy, active_points, valid
+        spec, params, d2_obs, active_points, valid
     )
     px, py, vel_traj = _apply_truncation(
         px, py, vels, truncate_ok, i_col, last_free, spec.max_points
     )
+    # truncation freezes path points at path[last_free]; their obstacle
+    # distance equals d2_obs[:, last_free] — adjust without re-sweeping
+    d2_lf = jnp.take_along_axis(d2_obs, last_free[:, None], axis=1)
+    frozen = truncate_ok[:, None] & (t_idx[None, :] > i_col[:, None])
+    d2_obs = jnp.where(frozen, d2_lf, d2_obs)
 
     acc_limits = (params.acc_limit_vx, params.acc_limit_vy, params.acc_limit_omega)
     f32 = jnp.float32
@@ -447,7 +460,7 @@ def dwa_solve(
         has_path & (params.weight_path > 0), params.weight_path * pathc, 0.0
     )
 
-    obst = _obstacles_cost(px, py, obs_xy, active_points, params.max_obstacles_dist)
+    obst = _obstacles_cost(d2_obs, params.max_obstacles_dist)
     total += jnp.where(
         (obs_count > 0) & (params.weight_obstacles > 0),
         params.weight_obstacles * obst,

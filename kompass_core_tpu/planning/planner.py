@@ -1,0 +1,518 @@
+"""Global path planning: batched sampling-based planners in JAX.
+
+Covers the role of the reference's OMPL integration
+(``planning/ompl.cpp`` + ``ompl_bindings/bindings.cpp`` +
+``third_party/ompl/planner.py``) with a TPU-native design instead of a
+third-party C++ dependency: the entire planning problem — sampling, edge
+validity, graph search — is expressed as dense tensor programs.
+
+Planners:
+  * ``PRM``: probabilistic roadmap. K samples drawn in one shot, the full
+    K x K edge-validity matrix checked as a single [K, K, E] gather against
+    an inflated occupancy field, then Bellman-Ford relaxation (dense
+    min-plus updates with predecessor tracking) — all on device.
+  * ``RRT``: incremental tree growth under ``lax.scan`` (sequential by
+    nature; provided for parity of the planner registry).
+  * ``RRTstar``: RRT with radius-neighborhood rewiring of the new node.
+
+Collision model: obstacle points are rasterized into an occupancy grid
+which is inflated by the robot's circumscribed radius with a max-pool
+(disc structuring element) — the planning analog of the engine's
+point-robot + margin model, replacing the reference's per-state FCL
+callback (``ompl.cpp:87-100``).
+
+The ``OMPLGeometric``-compatible wrapper keeps the reference front-end
+surface: ``setup_problem(map_meta, start..., goal..., map_3d)``,
+``solve()``, ``path_cost``.
+"""
+
+import math
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from attrs import define, field
+
+from ..models import Robot, RobotGeometry
+from ..utils.config import BaseAttrs, base_validators
+from ..utils.runtime import enable_persistent_compilation_cache
+
+
+@define
+class GlobalPlannerConfig(BaseAttrs):
+    """Planner configuration (role of ``OMPLGeometricConfig``)."""
+
+    planner_id: str = field(default="PRM")
+    planning_timeout: float = field(default=5.0)  # accepted for API parity
+    map_resolution: float = field(
+        default=0.05, validator=base_validators.in_range(1e-4, 10.0)
+    )
+    num_samples: int = field(
+        default=512, validator=base_validators.in_range(16, 8192)
+    )
+    connection_radius: float = field(default=3.0)
+    edge_check_points: int = field(
+        default=32, validator=base_validators.in_range(2, 512)
+    )
+    margin: float = field(default=0.0)
+    seed: int = field(default=0)
+    simplify: bool = field(default=True)
+    max_iterations: int = field(default=2048)  # RRT expansions
+    step_size: float = field(default=0.5)  # RRT extension step
+
+
+# ---------------------------------------------------------------------------
+# occupancy field
+# ---------------------------------------------------------------------------
+
+
+def build_inflated_grid(
+    obstacle_points: np.ndarray,
+    origin_xy,
+    width: int,
+    height: int,
+    resolution: float,
+    inflation_radius: float,
+):
+    """Rasterize obstacle points and inflate by the robot radius.
+
+    Returns a bool grid [H, W] where True = blocked. Inflation is a disc
+    max-pool implemented with ``lax.reduce_window``.
+    """
+    pts = np.asarray(obstacle_points, np.float64).reshape(-1, obstacle_points.shape[-1])
+    gx = ((pts[:, 0] - origin_xy[0]) / resolution).astype(np.int64)
+    gy = ((pts[:, 1] - origin_xy[1]) / resolution).astype(np.int64)
+    ok = (gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
+    occ = np.zeros((height, width), dtype=bool)
+    occ[gy[ok], gx[ok]] = True
+
+    r_cells = int(math.ceil(inflation_radius / resolution))
+    if r_cells == 0:
+        return jnp.asarray(occ)
+
+    k = 2 * r_cells + 1
+    yy, xx = np.mgrid[-r_cells : r_cells + 1, -r_cells : r_cells + 1]
+    disc = (xx * xx + yy * yy) <= r_cells * r_cells
+
+    occ_f = jnp.asarray(occ, jnp.float32)
+    # dilate: max over the disc neighborhood (separable window max over the
+    # square, then mask the corners via a conv with the disc)
+    blocked = (
+        jax.lax.conv_general_dilated(
+            occ_f[None, None, :, :],
+            jnp.asarray(disc, jnp.float32)[None, None, :, :],
+            window_strides=(1, 1),
+            padding=((r_cells, r_cells), (r_cells, r_cells)),
+        )[0, 0]
+        > 0.5
+    )
+    return blocked
+
+
+def _point_free(blocked, origin_xy, resolution, xy):
+    """True if the world point lies in free, in-bounds space."""
+    gx = jnp.floor((xy[..., 0] - origin_xy[0]) / resolution).astype(jnp.int32)
+    gy = jnp.floor((xy[..., 1] - origin_xy[1]) / resolution).astype(jnp.int32)
+    H, W = blocked.shape
+    in_bounds = (gx >= 0) & (gx < W) & (gy >= 0) & (gy < H)
+    gx = jnp.clip(gx, 0, W - 1)
+    gy = jnp.clip(gy, 0, H - 1)
+    return in_bounds & ~blocked[gy, gx]
+
+
+def _segment_free(blocked, origin_xy, resolution, a, b, num_check: int):
+    """All ``num_check`` interpolation points of segment a->b free.
+    a, b: [..., 2]."""
+    t = jnp.linspace(0.0, 1.0, num_check)
+    pts = a[..., None, :] + t[:, None] * (b[..., None, :] - a[..., None, :])
+    return jnp.all(_point_free(blocked, origin_xy, resolution, pts), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# PRM
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_samples", "edge_check_points", "num_relax_iters"),
+)
+def _prm_solve(
+    blocked,
+    origin_xy,
+    bounds_lo,
+    bounds_hi,
+    resolution,
+    start,
+    goal,
+    connection_radius,
+    key,
+    num_samples: int,
+    edge_check_points: int,
+    num_relax_iters: int,
+):
+    """Dense PRM: sample -> validate -> KxK edges -> Bellman-Ford."""
+    K = num_samples
+    pts = jax.random.uniform(
+        key, (K, 2), minval=bounds_lo, maxval=bounds_hi, dtype=jnp.float32
+    )
+    pts = pts.at[0].set(start).at[1].set(goal)
+    node_free = _point_free(blocked, origin_xy, resolution, pts)
+
+    diff = pts[:, None, :] - pts[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [K, K]
+    seg_ok = _segment_free(
+        blocked, origin_xy, resolution, pts[:, None, :], pts[None, :, :],
+        edge_check_points,
+    )
+    connected = (
+        seg_ok
+        & (dist <= connection_radius)
+        & node_free[:, None]
+        & node_free[None, :]
+        & (dist > 0)
+    )
+    W = jnp.where(connected, dist, jnp.inf)
+
+    # Bellman-Ford from node 0 (start) with predecessor tracking
+    INF = jnp.float32(jnp.inf)
+    dist0 = jnp.full((K,), INF).at[0].set(0.0)
+    pred0 = jnp.full((K,), -1, jnp.int32)
+
+    def relax(carry, _):
+        d, p = carry
+        cand = d[:, None] + W  # [K(j), K(k)]
+        best_j = jnp.argmin(cand, axis=0)
+        best_d = jnp.take_along_axis(cand, best_j[None, :], axis=0)[0]
+        improved = best_d < d
+        d = jnp.where(improved, best_d, d)
+        p = jnp.where(improved, best_j.astype(jnp.int32), p)
+        return (d, p), None
+
+    (dist_final, pred), _ = jax.lax.scan(
+        relax, (dist0, pred0), None, length=num_relax_iters
+    )
+    return pts, dist_final, pred
+
+
+# ---------------------------------------------------------------------------
+# RRT / RRT*
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "edge_check_points", "rewire"),
+)
+def _rrt_solve(
+    blocked,
+    origin_xy,
+    bounds_lo,
+    bounds_hi,
+    resolution,
+    start,
+    goal,
+    step_size,
+    goal_tolerance,
+    key,
+    max_iterations: int,
+    edge_check_points: int,
+    rewire: bool = False,
+):
+    """RRT(*) under lax.scan: fixed-capacity tree arrays, masked growth."""
+    N = max_iterations + 2
+    nodes = jnp.zeros((N, 2), jnp.float32).at[0].set(start)
+    parents = jnp.full((N,), -1, jnp.int32)
+    costs = jnp.full((N,), jnp.inf).at[0].set(0.0)
+    count = jnp.int32(1)
+
+    goal_bias = 0.1
+
+    def body(carry, key_i):
+        nodes, parents, costs, count = carry
+        k1, k2 = jax.random.split(key_i)
+        sample = jnp.where(
+            jax.random.uniform(k1) < goal_bias,
+            goal,
+            jax.random.uniform(
+                k2, (2,), minval=bounds_lo, maxval=bounds_hi, dtype=jnp.float32
+            ),
+        )
+        alive = jnp.arange(N) < count
+        d = jnp.where(
+            alive, jnp.linalg.norm(nodes - sample, axis=1), jnp.inf
+        )
+        nearest = jnp.argmin(d)
+        direction = sample - nodes[nearest]
+        dn = jnp.maximum(jnp.linalg.norm(direction), 1e-9)
+        new_pt = nodes[nearest] + direction / dn * jnp.minimum(dn, step_size)
+        ok = _segment_free(
+            blocked, origin_xy, resolution, nodes[nearest], new_pt,
+            edge_check_points,
+        ) & _point_free(blocked, origin_xy, resolution, new_pt)
+
+        parent = nearest.astype(jnp.int32)
+        new_cost = costs[nearest] + jnp.linalg.norm(new_pt - nodes[nearest])
+        if rewire:
+            radius = 2.0 * step_size
+            near = alive & (jnp.linalg.norm(nodes - new_pt, axis=1) <= radius)
+            seg_ok = _segment_free(
+                blocked, origin_xy, resolution, nodes,
+                jnp.broadcast_to(new_pt, nodes.shape), edge_check_points,
+            )
+            through = jnp.where(
+                near & seg_ok,
+                costs + jnp.linalg.norm(nodes - new_pt, axis=1),
+                jnp.inf,
+            )
+            best = jnp.argmin(through)
+            better = through[best] < new_cost
+            parent = jnp.where(better, best.astype(jnp.int32), parent)
+            new_cost = jnp.minimum(through[best], new_cost)
+
+        idx = count
+        nodes = jnp.where(ok, nodes.at[idx].set(new_pt), nodes)
+        parents = jnp.where(ok, parents.at[idx].set(parent), parents)
+        costs = jnp.where(ok, costs.at[idx].set(new_cost), costs)
+        count = count + ok.astype(jnp.int32)
+        return (nodes, parents, costs, count), None
+
+    keys = jax.random.split(key, max_iterations)
+    (nodes, parents, costs, count), _ = jax.lax.scan(
+        body, (nodes, parents, costs, count), keys
+    )
+    # connect to goal: nearest tree node within tolerance with a free segment
+    alive = jnp.arange(N) < count
+    dgoal = jnp.where(alive, jnp.linalg.norm(nodes - goal, axis=1), jnp.inf)
+    seg_ok = _segment_free(
+        blocked, origin_xy, resolution, nodes,
+        jnp.broadcast_to(goal, nodes.shape), edge_check_points,
+    )
+    reach = jnp.where(
+        alive & seg_ok & (dgoal <= goal_tolerance), costs + dgoal, jnp.inf
+    )
+    best = jnp.argmin(reach)
+    return nodes, parents, best.astype(jnp.int32), reach[best]
+
+
+# ---------------------------------------------------------------------------
+# front-end
+# ---------------------------------------------------------------------------
+
+
+class GlobalPlanner:
+    """Reference-front-end-compatible global planner
+    (role of ``OMPLGeometric``, ``third_party/ompl/planner.py:45-``)."""
+
+    def __init__(
+        self,
+        robot: Robot,
+        log_level: str = "ERROR",
+        use_fcl: bool = True,  # accepted for API parity
+        config: Optional[GlobalPlannerConfig] = None,
+        config_file: Optional[str] = None,
+        **_,
+    ):
+        enable_persistent_compilation_cache()
+        self._robot = robot
+        self._config = config or GlobalPlannerConfig()
+        if config_file:
+            self._config.from_file(config_file)
+        if self._config.planner_id not in planner_registry:
+            raise ValueError(
+                f"Unknown planner '{self._config.planner_id}'. Available: "
+                f"{sorted(planner_registry)}"
+            )
+        self.solution: Optional[np.ndarray] = None
+        self._blocked = None
+        self._problem = None
+
+    @property
+    def available_planners(self):
+        return dict(planner_registry)
+
+    @property
+    def planner_id(self) -> str:
+        return self._config.planner_id
+
+    def setup_problem(
+        self,
+        map_meta_data: Dict,
+        start_x: float,
+        start_y: float,
+        start_yaw: float,
+        goal_x: float,
+        goal_y: float,
+        goal_yaw: float,
+        map_3d: Optional[np.ndarray] = None,
+    ):
+        """Set bounds from the map and rasterize + inflate obstacles
+        (role of ``ompl.cpp:22-54``)."""
+        meta = dict(map_meta_data)
+        if "origin" in meta:  # nested ROS-style meta
+            meta["origin_x"] = meta["origin"]["position"]["x"]
+            meta["origin_y"] = meta["origin"]["position"]["y"]
+        res = float(meta["resolution"])
+        width = int(meta["width"])
+        height = int(meta["height"])
+        ox, oy = float(meta["origin_x"]), float(meta["origin_y"])
+
+        radius = RobotGeometry.get_radius(
+            self._robot.geometry_type, self._robot.geometry_params
+        )
+        obstacles = (
+            np.asarray(map_3d, np.float64)
+            if map_3d is not None
+            else np.zeros((0, 3))
+        )
+        self._blocked = build_inflated_grid(
+            obstacles, (ox, oy), width, height, res,
+            radius + self._config.margin,
+        )
+        self._problem = dict(
+            origin=np.array([ox, oy], np.float32),
+            lo=np.array([ox, oy], np.float32),
+            hi=np.array([ox + width * res, oy + height * res], np.float32),
+            resolution=np.float32(res),
+            start=np.array([start_x, start_y], np.float32),
+            goal=np.array([goal_x, goal_y], np.float32),
+            start_yaw=float(start_yaw),
+            goal_yaw=float(goal_yaw),
+        )
+        self.solution = None
+
+    def solve(self) -> Optional[np.ndarray]:
+        """Plan. Returns the path as an [N, 2] array (world frame) or
+        None."""
+        if self._problem is None:
+            raise RuntimeError("Call setup_problem first")
+        solver = planner_registry[self._config.planner_id]
+        path = solver(self, self._problem)
+        if path is not None and self._config.simplify:
+            path = self._shortcut(path)
+        self.solution = path
+        return path
+
+    def get_solution(self) -> Optional[np.ndarray]:
+        return self.solution
+
+    @property
+    def path_cost(self) -> float:
+        """Solution arc length (role of ``ompl.cpp:77-85``)."""
+        if self.solution is None or len(self.solution) < 2:
+            return float("inf")
+        return float(
+            np.hypot(*np.diff(np.asarray(self.solution), axis=0).T).sum()
+        )
+
+    # --- helpers ---
+
+    def _segment_free_host(self, a, b) -> bool:
+        n = self._config.edge_check_points
+        return bool(
+            _segment_free(
+                self._blocked,
+                self._problem["origin"],
+                self._problem["resolution"],
+                jnp.asarray(a, jnp.float32),
+                jnp.asarray(b, jnp.float32),
+                n,
+            )
+        )
+
+    def _shortcut(self, path: np.ndarray) -> np.ndarray:
+        """Greedy path simplification: connect the farthest visible vertex
+        (role of OMPL's simplifySolution, ``ompl.cpp:56-67``)."""
+        path = np.asarray(path)
+        out = [path[0]]
+        i = 0
+        while i < len(path) - 1:
+            j = len(path) - 1
+            while j > i + 1 and not self._segment_free_host(path[i], path[j]):
+                j -= 1
+            out.append(path[j])
+            i = j
+        return np.asarray(out)
+
+
+# --- planner implementations (registry) -----------------------------------
+
+
+def _solve_prm(planner: GlobalPlanner, prob) -> Optional[np.ndarray]:
+    cfg = planner._config
+    key = jax.random.PRNGKey(cfg.seed)
+    K = cfg.num_samples
+    pts, dist, pred = _prm_solve(
+        planner._blocked,
+        prob["origin"],
+        prob["lo"],
+        prob["hi"],
+        prob["resolution"],
+        jnp.asarray(prob["start"]),
+        jnp.asarray(prob["goal"]),
+        jnp.float32(cfg.connection_radius),
+        key,
+        num_samples=K,
+        edge_check_points=cfg.edge_check_points,
+        num_relax_iters=min(K, 128),
+    )
+    dist = np.asarray(dist)
+    if not np.isfinite(dist[1]):
+        return None
+    pred = np.asarray(pred)
+    pts = np.asarray(pts)
+    path = [1]
+    while path[-1] != 0:
+        nxt = int(pred[path[-1]])
+        if nxt < 0 or nxt in path:
+            return None
+        path.append(nxt)
+    return pts[path[::-1]]
+
+
+def _solve_rrt(planner: GlobalPlanner, prob, rewire=False):
+    cfg = planner._config
+    key = jax.random.PRNGKey(cfg.seed)
+    nodes, parents, best, cost = _rrt_solve(
+        planner._blocked,
+        prob["origin"],
+        prob["lo"],
+        prob["hi"],
+        prob["resolution"],
+        jnp.asarray(prob["start"]),
+        jnp.asarray(prob["goal"]),
+        jnp.float32(cfg.step_size),
+        jnp.float32(cfg.step_size),
+        key,
+        max_iterations=cfg.max_iterations,
+        edge_check_points=cfg.edge_check_points,
+        rewire=rewire,
+    )
+    if not np.isfinite(float(cost)):
+        return None
+    nodes = np.asarray(nodes)
+    parents = np.asarray(parents)
+    path = [int(best)]
+    while path[-1] != 0:
+        nxt = int(parents[path[-1]])
+        if nxt < 0 or nxt in path:
+            return None
+        path.append(nxt)
+    pts = nodes[path[::-1]]
+    return np.vstack([pts, prob["goal"][None, :]])
+
+
+planner_registry: Dict[str, Callable] = {
+    "PRM": _solve_prm,
+    "PRMstar": _solve_prm,
+    "LazyPRM": _solve_prm,
+    "RRT": partial(_solve_rrt, rewire=False),
+    "RRTConnect": partial(_solve_rrt, rewire=False),
+    "RRTstar": partial(_solve_rrt, rewire=True),
+    "InformedRRTstar": partial(_solve_rrt, rewire=True),
+}
+
+# reference-compatible alias
+OMPLGeometric = GlobalPlanner

@@ -16,10 +16,20 @@ from kompass_core_tpu.datatypes.path import InterpolationType, ReferencePath
 from kompass_core_tpu.ops.solver import (
     _goal_cost,
     _jerk_cost,
+    _min_obstacle_dist_sq,
     _obstacles_cost,
     _path_cost,
     _smoothness_cost,
 )
+
+
+def _obstacle_cost_full(px, py, obs, active_points, max_dist):
+    """Helper matching the in-solver pipeline: shared distance sweep then
+    cost."""
+    T = px.shape[1]
+    pt_mask = jnp.arange(T) < active_points
+    d2 = _min_obstacle_dist_sq(jnp.asarray(px), jnp.asarray(py), obs, pt_mask)
+    return _obstacles_cost(d2, max_dist)
 
 SEG_PAD = 64
 OBS_PAD = 32
@@ -180,9 +190,8 @@ def _obstacles(points):
 def test_obstacles_cost_extremes(obstacle, expected):
     # max_sensor_range 30 / 3 -> maxObstaclesDist = 10
     px, py = _traj_at([(0.0, 0.0)] * 5)
-    cost = _obstacles_cost(
-        jnp.asarray(px), jnp.asarray(py), _obstacles([obstacle]),
-        jnp.int32(5), jnp.float32(10.0),
+    cost = _obstacle_cost_full(
+        px, py, _obstacles([obstacle]), jnp.int32(5), jnp.float32(10.0)
     )
     assert float(cost[0]) == pytest.approx(expected, abs=1e-4)
 
@@ -190,9 +199,8 @@ def test_obstacles_cost_extremes(obstacle, expected):
 def test_masked_points_do_not_contribute():
     """Points beyond active_points must be excluded from every kernel."""
     px, py = _traj_at([(0.0, 0.0)] * 3 + [(100.0, 100.0)] * 2)
-    cost = _obstacles_cost(
-        jnp.asarray(px), jnp.asarray(py), _obstacles([(100.0, 100.0)]),
-        jnp.int32(3), jnp.float32(10.0),
+    cost = _obstacle_cost_full(
+        px, py, _obstacles([(100.0, 100.0)]), jnp.int32(3), jnp.float32(10.0)
     )
     # active points are all at origin, 141 m from the obstacle -> cost 0
     assert float(cost[0]) == pytest.approx(0.0, abs=1e-4)
