@@ -1,0 +1,113 @@
+"""Recorded path / trajectory / motion sample containers.
+
+Equivalents of the reference's ``datatypes/path.py`` (PathPoint, PathSample,
+TrajectorySample, MotionSample) and ``datatypes/obstacles.py``
+(ObstaclesData): SoA numpy containers used by the offline simulation,
+evaluation and calibration tools.
+"""
+
+from typing import Union
+
+import numpy as np
+
+
+class PathPoint:
+    """Single global path point."""
+
+    def __init__(self, idx=0, x=0.0, y=0.0, heading=0.0, speed=0.0):
+        self.idx = int(idx)
+        self.x = float(x)
+        self.y = float(y)
+        self.heading = float(heading)
+        self.speed = float(speed)
+
+    def __sub__(self, other: "PathPoint") -> "PathPoint":
+        return PathPoint(
+            x=self.x - other.x,
+            y=self.y - other.y,
+            heading=self.heading - other.heading,
+        )
+
+    def __add__(self, other: "PathPoint") -> "PathPoint":
+        return PathPoint(
+            x=self.x + other.x,
+            y=self.y + other.y,
+            heading=self.heading + other.heading,
+        )
+
+    def __truediv__(self, value: Union[int, float]) -> "PathPoint":
+        return PathPoint(x=self.x / value, y=self.y / value, heading=self.heading)
+
+
+class PathSample:
+    """Fixed-length SoA path."""
+
+    def __init__(self, length: int, frame_id: str = "map"):
+        self.x_points = np.zeros(length, dtype=float)
+        self.y_points = np.zeros(length, dtype=float)
+        self.heading_points = np.zeros(length, dtype=float)
+        self.frame_id = frame_id
+
+    def set_path(self, x_points, y_points, heading_points):
+        self.x_points = np.asarray(x_points, dtype=float)
+        self.y_points = np.asarray(y_points, dtype=float)
+        self.heading_points = np.asarray(heading_points, dtype=float)
+
+    def set_point(self, idx: int, x: float, y: float, heading: float = 0.0):
+        self.x_points[idx] = x
+        self.y_points[idx] = y
+        self.heading_points[idx] = heading
+
+    def __len__(self):
+        return len(self.x_points)
+
+
+class TrajectorySample(PathSample):
+    """Path + applied control + timestamps."""
+
+    def __init__(self, length: int, frame_id: str = "map"):
+        super().__init__(length, frame_id)
+        self.time_points = np.zeros(length, dtype=float)
+        self.vx_points = np.zeros(length, dtype=float)
+        self.vy_points = np.zeros(length, dtype=float)
+        self.omega_points = np.zeros(length, dtype=float)
+
+    def set_sample_point(
+        self, idx, time, x, y, heading, vx=0.0, vy=0.0, omega=0.0
+    ):
+        self.set_point(idx, x, y, heading)
+        self.time_points[idx] = time
+        self.vx_points[idx] = vx
+        self.vy_points[idx] = vy
+        self.omega_points[idx] = omega
+
+
+class MotionSample(TrajectorySample):
+    """Recorded robot motion (state sequence + control sequence), the input
+    to motion-model calibration."""
+
+    def __init__(self, length: int, frame_id: str = "map"):
+        super().__init__(length, frame_id)
+        self.speed_points = np.zeros(length, dtype=float)
+
+
+class ObstaclesData:
+    """Flat SoA container of 2D obstacle positions (role of the reference's
+    ``datatypes/obstacles.py:30``)."""
+
+    def __init__(self):
+        self.x_global = np.zeros(0, dtype=float)
+        self.y_global = np.zeros(0, dtype=float)
+        self.occupied_zone_radius = np.zeros(0, dtype=float)
+        self.vx = np.zeros(0, dtype=float)
+        self.vy = np.zeros(0, dtype=float)
+
+    def add_obstacle(self, x, y, radius=0.0, vx=0.0, vy=0.0):
+        self.x_global = np.append(self.x_global, x)
+        self.y_global = np.append(self.y_global, y)
+        self.occupied_zone_radius = np.append(self.occupied_zone_radius, radius)
+        self.vx = np.append(self.vx, vx)
+        self.vy = np.append(self.vy, vy)
+
+    def __len__(self):
+        return len(self.x_global)

@@ -1,0 +1,154 @@
+"""Offline controller evaluation harness.
+
+Role of the reference's ``performance.py:17-299``: run controllers against
+canonical paths (via `RobotSim`), accumulate tracking metrics (lateral /
+orientation errors, time-to-goal, success), and aggregate/export results.
+"""
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .datatypes.path_sample import PathPoint, PathSample
+from .motion_cost import ReferenceCost
+from .simulation import RobotSim
+
+
+class MotionResult:
+    """Single-test result (reference ``performance.py:17-119``)."""
+
+    def __init__(self) -> None:
+        self.reached_end = False
+        self.time_steps = 0
+        self.time_to_goal = 0.0
+        self.lateral_error_mean = 0.0
+        self.orientation_error_mean = 0.0
+        self.end_point_error = 0.0
+        self.executed_path: Optional[PathSample] = None
+        self.reference_path: Optional[PathSample] = None
+
+    def compute_errors(self):
+        if self.executed_path is None or self.reference_path is None:
+            return
+        cost = ReferenceCost(1.0)
+        cost(self.executed_path, self.reference_path)
+        self.lateral_error_mean = cost.lateral_error
+        self.orientation_error_mean = cost.heading_error
+        self.end_point_error = cost.end_error
+
+    def to_dict(self) -> Dict:
+        return {
+            "reached_end": self.reached_end,
+            "time_steps": self.time_steps,
+            "time_to_goal": self.time_to_goal,
+            "lateral_error_mean": self.lateral_error_mean,
+            "orientation_error_mean": self.orientation_error_mean,
+            "end_point_error": self.end_point_error,
+        }
+
+
+class TestAvgResults:
+    """Aggregate over a batch of tests (reference ``performance.py:135-223``)."""
+
+    def __init__(self) -> None:
+        self.results: List[MotionResult] = []
+
+    def add_test(self, result: MotionResult):
+        self.results.append(result)
+
+    @property
+    def success_rate(self) -> float:
+        if not self.results:
+            return 0.0
+        return float(np.mean([r.reached_end for r in self.results]))
+
+    @property
+    def avg_lateral_error(self) -> float:
+        if not self.results:
+            return 0.0
+        return float(np.mean([r.lateral_error_mean for r in self.results]))
+
+    @property
+    def avg_time_to_goal(self) -> float:
+        ok = [r.time_to_goal for r in self.results if r.reached_end]
+        return float(np.mean(ok)) if ok else float("inf")
+
+    def to_dict(self) -> Dict:
+        return {
+            "num_tests": len(self.results),
+            "success_rate": self.success_rate,
+            "avg_lateral_error": self.avg_lateral_error,
+            "avg_time_to_goal": self.avg_time_to_goal,
+            "tests": [r.to_dict() for r in self.results],
+        }
+
+
+class MotionEvaluation(RobotSim):
+    """Closed-loop evaluation of a controller on a reference path
+    (reference ``performance.py:224-299``)."""
+
+    def __init__(self, robot=None, params_file: Optional[str] = None):
+        super().__init__(robot=robot, params_file=params_file)
+        self.avg_results = TestAvgResults()
+
+    def run_test(
+        self,
+        controller,
+        reference_path: PathSample,
+        control_time_step: float = 0.1,
+        max_steps: int = 1000,
+        laser_scan=None,
+    ) -> MotionResult:
+        """Drive the controller in closed loop until the path end."""
+        result = MotionResult()
+        result.reference_path = reference_path
+        path_pts = np.stack(
+            [reference_path.x_points, reference_path.y_points], axis=1
+        )
+        controller.set_path(path_pts)
+        self.reset_state(
+            x=reference_path.x_points[0],
+            y=reference_path.y_points[0],
+            yaw=reference_path.heading_points[0],
+        )
+        xs, ys, hs = [], [], []
+        steps = 0
+        while steps < max_steps and not controller.reached_end():
+            kwargs = {"current_state": self.robot.state}
+            if laser_scan is not None:
+                kwargs["laser_scan"] = laser_scan
+            if not controller.loop_step(**kwargs):
+                break
+            for vx, vy, omega in zip(
+                controller.linear_x_control,
+                controller.linear_y_control,
+                controller.angular_control,
+            ):
+                self.robot.set_control(
+                    velocity_x=vx, velocity_y=vy, omega=omega
+                )
+                self.robot.get_state(dt=control_time_step)
+                xs.append(self.robot.state.x)
+                ys.append(self.robot.state.y)
+                hs.append(self.robot.state.yaw)
+                steps += 1
+                if controller.reached_end():
+                    break
+        executed = PathSample(len(xs))
+        executed.set_path(np.array(xs), np.array(ys), np.array(hs))
+        result.executed_path = executed
+        result.time_steps = steps
+        result.time_to_goal = steps * control_time_step
+        result.reached_end = controller.reached_end()
+        result.compute_errors()
+        self.avg_results.add_test(result)
+        return result
+
+    def export(self, file_dir: str, name: str = "motion_evaluation"):
+        os.makedirs(file_dir, exist_ok=True)
+        path = os.path.join(file_dir, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(self.avg_results.to_dict(), f, indent=2)
+        return path
