@@ -20,9 +20,11 @@ Reference parity: semantics follow kompass-core's CPU implementation
 __version__ = "0.1.0"
 
 from . import utils  # noqa: F401
+from .utils.logger import (  # noqa: F401
+    get_available_accelerators,
+    set_log_file,
+    set_log_level,
+)
 
-def set_logging_level(level: str) -> None:
-    """Set package log level (mirrors kompass_core.set_logging_level)."""
-    import logging
-
-    logging.getLogger("kompass_core_tpu").setLevel(level.upper())
+# reference-compatible alias (kompass_core.set_logging_level)
+set_logging_level = set_log_level

@@ -1,0 +1,333 @@
+"""Benchmark runner with reference-schema JSON output.
+
+Role of the reference's benchmark suite (``benchmarks/benchmark_common.h``
+``measure_performance`` + ``benchmark_runner.cpp`` workloads +
+``plot_benchmarks.py``): timed workloads emitting machine-readable JSON per
+benchmark and platform. Workloads mirror the reference's named benchmarks
+(SURVEY §6) at the same sizes:
+
+  * CostEvaluator_5k_Trajs  — 5001 trajectories x 1000 points, 4 costs
+  * Mapper_Dense_400x400    — 3600-ray scan -> 400x400 grid @ 0.05 m
+  * Mapper_PointCloud_100k  — 100k-point cloud -> scan -> grid
+  * CriticalZone_100k_Cloud — safety factor over a 100k cloud
+  * CriticalZone_Dense_Scan — 3600 rays in the slowdown band
+  * DWA_2025x30             — full solve, BASELINE workload
+  * DWA_Fleet_256           — 256-scenario fleet tick throughput
+"""
+
+import json
+import statistics
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+def measure_performance(
+    name: str,
+    workload: Callable[[], None],
+    warmup: int = 2,
+    runs: int = 10,
+) -> Dict:
+    """Time a workload (role of ``benchmark_common.h`` measure_performance).
+
+    The workload must block until device completion.
+    """
+    for _ in range(warmup):
+        workload()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        workload()
+        samples.append((time.perf_counter() - t0) * 1e3)
+    samples.sort()
+    return {
+        "name": name,
+        "runs": runs,
+        "mean_ms": statistics.fmean(samples),
+        "min_ms": samples[0],
+        "p50_ms": samples[len(samples) // 2],
+        "p99_ms": samples[min(len(samples) - 1, int(len(samples) * 0.99))],
+    }
+
+
+class BenchmarkRunner:
+    """Builds and runs the reference-equivalent workload suite on the
+    current JAX backend."""
+
+    def __init__(self, platform: Optional[str] = None):
+        import jax
+
+        self.device = jax.devices()[0]
+        self.platform = platform or f"{self.device.platform}_{self.device.device_kind}".replace(" ", "_")
+        self.results: List[Dict] = []
+
+    # --- workload builders ---
+
+    def _dwa_workload(self, n_vx, n_omega, max_points, scan, seg, label):
+        import jax
+
+        from ..models import (
+            AngularCtrlLimits,
+            LinearCtrlLimits,
+            RobotCtrlLimits,
+        )
+        from ..ops.solver import (
+            SolverSpec,
+            get_packed_dwa_solver,
+            pack_solver_input,
+            packed_input_size,
+        )
+        from ..ops.window import sample_velocity_window
+
+        spec = SolverSpec(
+            is_omni=False,
+            n_vx=n_vx,
+            n_vy=1,
+            n_omega=n_omega,
+            max_points=max_points,
+            num_ctrl_points=2,
+            scan_size=scan,
+            seg_size=seg,
+            drop_samples=True,
+        )
+        limits = RobotCtrlLimits(
+            vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+            omega_limits=AngularCtrlLimits(max_vel=2.0, max_acc=3.0, max_decel=3.0),
+        ).to_array()
+        limits[3:6] = 0.0
+        rng = np.random.default_rng(0)
+        n_seg = seg - 8
+        s = np.linspace(0, 10.0, n_seg).astype(np.float32)
+        seg_x = np.full(seg, 1e8, np.float32)
+        seg_y = np.full(seg, 1e8, np.float32)
+        seg_arc = np.zeros(seg, np.float32)
+        seg_x[:n_seg] = s
+        seg_arc[:n_seg] = s
+        seg_y[:n_seg] = 0.0
+        ranges = rng.uniform(2.0, 9.0, scan)
+        ang = np.linspace(-np.pi, np.pi, scan, endpoint=False)
+        obs = np.stack(
+            [ranges * np.cos(ang), ranges * np.sin(ang)], axis=1
+        ).astype(np.float32)
+        window = sample_velocity_window(
+            (0.5, 0.0, 0.0), limits, 0.1, spec.n_vx, spec.n_vy, spec.n_omega,
+            False,
+        )
+        params = np.array(
+            [0.1, 0.3, 0.05, 2.0, 1.0, 1.0, 0.1, 0.05, 5.0, 0.0, 3.0, 10 / 3],
+            np.float32,
+        )
+        buf = np.zeros(packed_input_size(spec), np.float32)
+        pack_solver_input(
+            spec, buf, params, (0.0, 0.0, 0.0), window, obs, scan,
+            seg_x, seg_y, seg_arc, n_seg, float(s[-1]), 10.0, max_points,
+        )
+        solver = get_packed_dwa_solver(spec)
+        buf_dev = jax.device_put(buf)
+
+        def work():
+            np.asarray(solver(buf_dev))
+
+        return work
+
+    def bench_cost_evaluator_5k(self):
+        """5001 trajectories x 1000 points (reference
+        ``benchmark_runner.cpp:150-185``): 71x71 grid ~= 5041 samples."""
+        work = self._dwa_workload(71, 71, 1000, 512, 1024, "5k")
+        self.results.append(measure_performance("CostEvaluator_5k_Trajs", work, runs=5))
+
+    def bench_dwa_baseline(self):
+        work = self._dwa_workload(45, 45, 30, 512, 384, "baseline")
+        self.results.append(measure_performance("DWA_2025x30", work))
+
+    def bench_fleet(self, batch=256):
+        import jax
+
+        from bench import build_scenario, build_spec  # repo-root bench module
+        from ..parallel.fleet import make_fleet_solver
+
+        spec = build_spec()
+        rng = np.random.default_rng(0)
+        solver = make_fleet_solver(spec)
+        inputs = jax.device_put(
+            np.stack([build_scenario(spec, rng, i) for i in range(batch)])
+        )
+
+        def work():
+            jax.block_until_ready(solver(inputs))
+
+        r = measure_performance(f"DWA_Fleet_{batch}", work)
+        r["solves_per_s"] = batch / (r["mean_ms"] / 1e3)
+        self.results.append(r)
+
+    def bench_mapper_dense(self):
+        """3600 rays -> 400x400 grid @ 0.05 m
+        (reference ``benchmark_runner.cpp:187-218``)."""
+        import jax
+
+        from ..ops.mapping import MapperSpec, get_scan_to_grid
+
+        spec = MapperSpec(
+            grid_height=400, grid_width=400, num_bins=3600, resolution=0.05
+        )
+        rng = np.random.default_rng(0)
+        ranges = rng.uniform(0.5, 9.9, 3600).astype(np.float32)
+        fn = get_scan_to_grid(spec)
+        r_dev = jax.device_put(ranges)
+
+        def work():
+            np.asarray(fn(r_dev))
+
+        self.results.append(measure_performance("Mapper_Dense_400x400", work))
+
+    def bench_mapper_pointcloud(self):
+        """100k-point cloud -> laserscan -> grid
+        (reference ``benchmark_runner.cpp:227-265``)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.mapping import (
+            MapperSpec,
+            get_pointcloud_to_scan,
+            get_scan_to_grid,
+        )
+
+        spec = MapperSpec(
+            grid_height=400, grid_width=400, num_bins=3600, resolution=0.05
+        )
+        rng = np.random.default_rng(0)
+        n = 100_000
+        r = rng.uniform(0.5, 9.9, n)
+        a = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack(
+            [r * np.cos(a), r * np.sin(a), rng.uniform(-0.5, 0.5, n)], axis=1
+        ).astype(np.float32)
+        to_scan = get_pointcloud_to_scan(spec.num_bins)
+        to_grid = get_scan_to_grid(spec)
+        fused = __import__("jax").jit(
+            lambda p: to_grid(
+                to_scan(p, jnp.float32(10.0), jnp.float32(-1.0), jnp.float32(1.0))
+            )
+        )
+        pts_dev = jax.device_put(pts)
+
+        def work():
+            np.asarray(fused(pts_dev))
+
+        self.results.append(measure_performance("Mapper_PointCloud_100k", work))
+
+    def bench_critical_zone_cloud(self):
+        """100k cloud safety factor (reference
+        ``benchmark_runner.cpp:267-311``): cylinder r=0.51, 160 deg cone,
+        0.3/0.6 m zones."""
+        import jax
+
+        from ..ops.critical_zone import (
+            build_critical_zone,
+            get_critical_zone_checker_cloud,
+        )
+
+        angles = np.arange(0.0, 2 * np.pi, 2 * np.pi / 3600)
+        spec = build_critical_zone(
+            "CYLINDER", [0.51, 1.0], (0, 0, 0), (0, 0, 0, 1),
+            160.0, 0.3, 0.6, angles,
+        )
+        rng = np.random.default_rng(0)
+        n = 100_000
+        r = rng.uniform(0.9, 9.9, n)
+        a = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack(
+            [r * np.cos(a), r * np.sin(a), rng.uniform(-0.4, 0.4, n)], axis=1
+        ).astype(np.float32)
+        fn = get_critical_zone_checker_cloud(spec)
+        pts_dev = jax.device_put(pts)
+
+        def work():
+            float(fn(pts_dev, True, np.float32(20.0), np.float32(-1.0), np.float32(1.0)))
+
+        self.results.append(measure_performance("CriticalZone_100k_Cloud", work))
+
+    def bench_critical_zone_dense(self):
+        """3600 rays forced into the slowdown band 0.81-1.11 m (reference
+        ``benchmark_runner.cpp:313-376`` worst case)."""
+        import jax
+
+        from ..ops.critical_zone import (
+            build_critical_zone,
+            get_critical_zone_checker,
+        )
+
+        angles = np.arange(0.0, 2 * np.pi, 2 * np.pi / 3600)
+        spec = build_critical_zone(
+            "CYLINDER", [0.51, 1.0], (0, 0, 0), (0, 0, 0, 1),
+            160.0, 0.3, 0.6, angles,
+        )
+        rng = np.random.default_rng(0)
+        ranges = rng.uniform(0.81, 1.11, 3600).astype(np.float32)
+        fn = get_critical_zone_checker(spec)
+        r_dev = jax.device_put(ranges)
+
+        def work():
+            float(fn(r_dev, True))
+
+        self.results.append(measure_performance("CriticalZone_Dense_Scan", work))
+
+    # --- suite ---
+
+    def run_all(self):
+        self.bench_dwa_baseline()
+        self.bench_fleet()
+        self.bench_cost_evaluator_5k()
+        self.bench_mapper_dense()
+        self.bench_mapper_pointcloud()
+        self.bench_critical_zone_cloud()
+        self.bench_critical_zone_dense()
+        return self.results
+
+    def export(self, file_path: str):
+        payload = {"platform": self.platform, "benchmarks": self.results}
+        with open(file_path, "w") as f:
+            json.dump(payload, f, indent=2)
+        return payload
+
+
+def plot_benchmarks(result_files: List[str], save_path: str = "benchmarks.png"):
+    """Grouped log-scale latency chart across platforms (role of
+    ``plot_benchmarks.py``)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    data = [json.load(open(f)) for f in result_files]
+    names = [b["name"] for b in data[0]["benchmarks"]]
+    width = 0.8 / len(data)
+    fig, ax = plt.subplots(figsize=(10, 5))
+    for i, d in enumerate(data):
+        vals = [b["mean_ms"] for b in d["benchmarks"]]
+        ax.bar(
+            np.arange(len(names)) + i * width, vals, width,
+            label=d["platform"],
+        )
+    ax.set_yscale("log")
+    ax.set_ylabel("mean latency [ms]")
+    ax.set_xticks(np.arange(len(names)) + 0.4)
+    ax.set_xticklabels(names, rotation=30, ha="right")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(save_path)
+    return save_path
+
+
+if __name__ == "__main__":
+    import sys
+
+    runner = BenchmarkRunner()
+    runner.run_all()
+    out = runner.export(
+        sys.argv[1] if len(sys.argv) > 1 else "benchmark_results.json"
+    )
+    print(json.dumps(out, indent=2))

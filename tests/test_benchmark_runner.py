@@ -1,0 +1,37 @@
+"""Smoke tests for the benchmark runner (small workloads on CPU)."""
+
+import json
+
+import numpy as np
+
+from kompass_core_tpu.benchmark import BenchmarkRunner, measure_performance
+from kompass_core_tpu.utils.logger import get_available_accelerators
+
+
+def test_measure_performance_schema():
+    r = measure_performance("noop", lambda: None, warmup=1, runs=5)
+    assert r["name"] == "noop"
+    assert r["runs"] == 5
+    for key in ("mean_ms", "min_ms", "p50_ms", "p99_ms"):
+        assert key in r and r[key] >= 0.0
+
+
+def test_runner_small_workloads(tmp_path):
+    runner = BenchmarkRunner()
+    runner.bench_critical_zone_dense()
+    runner.bench_mapper_dense()
+    payload = runner.export(str(tmp_path / "bench.json"))
+    assert payload["platform"]
+    assert {b["name"] for b in payload["benchmarks"]} == {
+        "CriticalZone_Dense_Scan",
+        "Mapper_Dense_400x400",
+    }
+    # file round trips
+    loaded = json.load(open(tmp_path / "bench.json"))
+    assert loaded["benchmarks"][0]["mean_ms"] > 0
+
+
+def test_accelerator_enumeration():
+    accs = get_available_accelerators()
+    assert len(accs) >= 1
+    assert all(isinstance(a, str) for a in accs)
