@@ -310,11 +310,23 @@ class DWA(Follower):
         (never the nearest point; the reference skips them for collision).
         """
         if laser_scan is not None:
+            from ..native import scan_to_obstacle_block
+
             r = np.asarray(laser_scan.ranges, dtype=np.float64)
             a = np.asarray(laser_scan.angles, dtype=np.float64)
-            r = np.where(np.isfinite(r), r, 1e8)
-            px = r * np.cos(a)
-            py = r * np.sin(a)
+            block, n = scan_to_obstacle_block(
+                r,
+                a,
+                (self._sensor_pos[0], self._sensor_pos[1], self._sensor_yaw),
+                (
+                    self.current_state.x,
+                    self.current_state.y,
+                    self.current_state.yaw,
+                ),
+                1e8,
+                len(r),
+            )
+            return block.reshape(2, -1).T
         elif point_cloud is not None:
             pts = (
                 point_cloud.points

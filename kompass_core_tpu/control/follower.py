@@ -22,6 +22,7 @@ from attrs import define, field
 
 from ..datatypes.path import InterpolationType, ReferencePath
 from ..models import RobotState
+from ..native import closest_point_on_segment, find_closest_segment
 from ..utils.angles import normalize_to_minus_pi_pi
 from ..utils.config import BaseAttrs, base_validators
 
@@ -205,7 +206,16 @@ class Follower:
 
     def _find_closest_segment_index(self, left: int, right: int) -> int:
         """Binary-search-like descent over segment start points
-        (follower.cpp:155-183)."""
+        (follower.cpp:155-183). Delegates to the native host library when
+        built (numpy fallback has identical semantics)."""
+        if left == 0 and right == self._max_segment_index:
+            return find_closest_segment(
+                self._path.xs,
+                self._path.ys,
+                self._path.segment_starts,
+                self.current_state.x,
+                self.current_state.y,
+            )
         while left != right:
             mid = (left + right) // 2
             ls = self._path.segment_start_point(left)
@@ -222,27 +232,30 @@ class Follower:
 
     def _find_closest_point_on_segment(self, segment_index: int) -> PathPosition:
         """Linear scan over a segment's points; ties keep the later point
-        (`<=` comparison in follower.cpp:225)."""
-        sl = self._path.segment_slice(segment_index)
-        xs = self._path.xs[sl]
-        ys = self._path.ys[sl]
+        (`<=` comparison in follower.cpp:225). Native-accelerated."""
         start_index = self._path.segment_start_index(segment_index)
-        n = len(xs)
+        end_index = self._path.segment_end_index(segment_index)
+        n = end_index - start_index + 1
         start = self._path.segment_start_point(segment_index)
         end = self._path.segment_end_point(segment_index)
         segment_heading = math.atan2(end[1] - start[1], end[0] - start[0])
 
-        d2 = (self.current_state.x - xs) ** 2 + (self.current_state.y - ys) ** 2
-        # last index achieving the minimum (reference tie behavior)
-        min_val = d2.min()
-        closest_idx = int(np.where(d2 == min_val)[0][-1])
+        global_idx, min_val = closest_point_on_segment(
+            self._path.xs,
+            self._path.ys,
+            start_index,
+            end_index,
+            self.current_state.x,
+            self.current_state.y,
+        )
+        closest_idx = global_idx - start_index
 
         pos = PathPosition()
-        pos.index = closest_idx + start_index
+        pos.index = global_idx
         pos.segment_index = segment_index
         pos.segment_length = (closest_idx / (n - 1)) if n > 1 else 1.0
-        pos.x = float(xs[closest_idx])
-        pos.y = float(ys[closest_idx])
+        pos.x = float(self._path.xs[global_idx])
+        pos.y = float(self._path.ys[global_idx])
         pos.yaw = segment_heading
         pos.normal_distance = math.sqrt(float(min_val))
         # signed crosstrack via cross product (follower.cpp:247-261)

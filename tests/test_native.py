@@ -1,0 +1,109 @@
+"""Native host library tests: build, parity with the numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from kompass_core_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native host library could not be built")
+    return lib
+
+
+def test_native_builds(lib):
+    assert native.native_available()
+
+
+def test_closest_segment_parity(lib):
+    rng = np.random.default_rng(0)
+    xs = np.cumsum(rng.uniform(0.01, 0.02, 500)).astype(np.float32)
+    ys = np.sin(xs).astype(np.float32)
+    seg_starts = np.arange(0, 500, 50, dtype=np.int64)
+    for px, py in [(0.5, 0.3), (3.0, 0.0), (8.0, 1.0)]:
+        got = native.find_closest_segment(xs, ys, seg_starts, px, py)
+        # replicate the descent in pure python
+        left, right = 0, len(seg_starts) - 1
+
+        def d(seg):
+            i = seg_starts[seg]
+            return (px - xs[i]) ** 2 + (py - ys[i]) ** 2
+
+        while left != right:
+            mid = (left + right) // 2
+            ld, rd = d(left), d(right)
+            if mid == right or mid == left:
+                expect = left if ld <= rd else right
+                break
+            if ld <= rd:
+                right = mid
+            else:
+                left = mid
+        else:
+            expect = left
+        assert got == expect
+
+
+def test_closest_point_tie_keeps_later(lib):
+    xs = np.array([0.0, 1.0, 2.0, 1.0, 0.0], np.float32)
+    ys = np.zeros(5, np.float32)
+    idx, d2 = native.closest_point_on_segment(xs, ys, 0, 4, 1.0, 0.5)
+    assert idx == 3  # ties at indices 1 and 3 -> later one wins
+    assert d2 == pytest.approx(0.25)
+
+
+def test_cubic_spline_matches_python(lib):
+    s = np.linspace(0, 10, 20)
+    y = np.sin(s)
+    sq = np.linspace(0, 10, 333)
+    native_out = native.cubic_spline_eval(s, y, sq)
+    from kompass_core_tpu.datatypes.path import (
+        _eval_natural_cubic,
+        _natural_cubic_coeffs,
+    )
+
+    py_out = _eval_natural_cubic(s, y, _natural_cubic_coeffs(s, y), sq)
+    np.testing.assert_allclose(native_out, py_out, atol=1e-9)
+
+
+def test_scan_block_matches_numpy(lib):
+    rng = np.random.default_rng(1)
+    ranges = rng.uniform(0.5, 10.0, 100)
+    ranges[3] = np.inf
+    angles = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    sensor = (0.1, -0.05, 0.2)
+    robot = (1.0, 2.0, 0.7)
+    blk, n = native.scan_to_obstacle_block(ranges, angles, sensor, robot, 1e8, 128)
+    assert n == 100
+    # numpy fallback
+    import kompass_core_tpu.native as N
+
+    lib_save = N._lib
+    N._lib = None
+    try:
+        import os
+
+        os.environ["KOMPASS_TPU_NO_NATIVE"] = "1"
+        blk2, n2 = native.scan_to_obstacle_block(
+            ranges, angles, sensor, robot, 1e8, 128
+        )
+    finally:
+        N._lib = lib_save
+        os.environ.pop("KOMPASS_TPU_NO_NATIVE", None)
+    np.testing.assert_allclose(blk, blk2, rtol=1e-5, atol=1e-4)
+
+
+def test_segment_block(lib):
+    xs = np.linspace(0, 1, 50).astype(np.float32)
+    ys = np.zeros(50, np.float32)
+    arc = xs.copy()
+    seg_x, seg_y, seg_arc, total = native.segment_block(
+        xs, ys, arc, 10, 19, 1e8, 16
+    )
+    assert total == pytest.approx(9 / 49, rel=1e-4)
+    np.testing.assert_allclose(seg_x[:10], xs[10:20])
+    assert np.all(seg_x[10:] == 1e8)
+    assert np.all(seg_arc[10:] == 0.0)
