@@ -3,3 +3,8 @@ from .fleet import (  # noqa: F401
     make_fleet_solver,
     make_sample_parallel_solver,
 )
+from .multihost import (  # noqa: F401
+    FleetRuntime,
+    build_fleet_mesh,
+    initialize_multihost,
+)

@@ -1,0 +1,201 @@
+"""Multi-host pod-slice runtime helpers + the fleet control runtime.
+
+The reference is single-robot/single-process; this is the new distributed
+component SURVEY §2.8 calls for: many robot scenarios served by a TPU pod
+slice. Topology:
+
+  * every robot's solve is chip-local (no cross-chip traffic in the hot
+    loop); the robot axis is sharded over the mesh,
+  * hosts own the per-robot follower state (target determination, horizon
+    adaptation) and pack one solver-input row per robot per tick,
+  * DCN carries only scenario dispatch/collection (host<->host); ICI is
+    used only when a single solve's sample axis is sharded
+    (``make_sample_parallel_solver``) or for fleet-level metric reductions.
+
+``initialize_multihost`` wraps ``jax.distributed.initialize`` for real
+pod-slice runs; tests exercise the same code on a virtual CPU mesh.
+"""
+
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..control.dwa import DWA
+from ..models import Robot, RobotCtrlLimits, RobotState
+from ..ops.solver import pack_solver_input, unpack_solver_output
+from ..ops.window import sample_velocity_window
+from .fleet import make_fleet_solver
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (no-op for single host).
+
+    On a pod slice, call once per host before creating meshes; afterwards
+    ``jax.devices()`` spans every chip in the slice while
+    ``jax.local_devices()`` are this host's chips.
+    """
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def build_fleet_mesh(axis_name: str = "robots", devices=None):
+    import jax
+    from jax.sharding import Mesh
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), axis_names=(axis_name,))
+
+
+class FleetRuntime:
+    """Closed-loop control of N robots with one batched device solve/tick.
+
+    Each robot gets its own DWA controller instance for host-side state
+    (path, follower stickiness, adaptive horizon); the device work of all
+    robots is fused into a single sharded fleet dispatch. All controllers
+    must share one solver spec (same sample counts / horizons / buckets).
+    """
+
+    def __init__(
+        self,
+        robots: Sequence[Robot],
+        ctrl_limits: RobotCtrlLimits,
+        config,
+        mesh=None,
+    ):
+        self.controllers: List[DWA] = [
+            DWA(robot=r, ctrl_limits=ctrl_limits, config=config)
+            for r in robots
+        ]
+        self.num_robots = len(robots)
+        self.mesh = mesh
+        self._solver = None
+        self._spec = None
+        self._inputs = None
+        self.last_tick_seconds = 0.0
+
+    def set_paths(self, paths: Sequence[np.ndarray]):
+        for ctrl, path in zip(self.controllers, paths):
+            ctrl.set_path(path)
+
+    def _ensure_solver(self, scan_bucket: int):
+        if self._solver is None:
+            spec, _, _ = self.controllers[0]._solver_for(scan_bucket)
+            self._spec = spec
+            self._solver = make_fleet_solver(spec, mesh=self.mesh)
+            from ..ops.solver import packed_input_size
+
+            self._inputs = np.zeros(
+                (self.num_robots, packed_input_size(spec)), np.float32
+            )
+
+    def tick(
+        self,
+        states: Sequence[RobotState],
+        scans: Sequence,
+    ) -> List[dict]:
+        """One fleet control tick.
+
+        Returns per-robot dicts: {found, vx, vy, omega, cost}. Robots whose
+        host stage short-circuits (goal reached, rotate-in-place) are
+        handled without a device slot (their row is reused but ignored).
+        """
+        t0 = time.perf_counter()
+        results: List[Optional[dict]] = [None] * self.num_robots
+        from ..control.dwa import _round_up
+
+        bucket = max(
+            256,
+            _round_up(max(len(s.ranges) for s in scans), 256),
+        )
+        self._ensure_solver(bucket)
+        spec = self._spec
+
+        needs_solve = []
+        for i, (ctrl, state, scan) in enumerate(
+            zip(self.controllers, states, scans)
+        ):
+            ctrl.set_current_state(state.x, state.y, state.yaw, state.speed)
+            if ctrl.reached_end():
+                results[i] = dict(found=False, reason="goal_reached")
+                continue
+            target = ctrl.determine_target()
+            if (
+                ctrl.rotate_in_place
+                and abs(target.heading_error)
+                > ctrl._config.goal_orientation_tolerance * 10.0
+            ):
+                r = ctrl._rotate_in_place_result(target.heading_error)
+                results[i] = dict(
+                    found=True,
+                    vx=float(r.trajectory.vx[0]),
+                    vy=0.0,
+                    omega=float(r.trajectory.omega[0]),
+                    cost=0.0,
+                )
+                continue
+            ctrl._adapt_prediction_horizon()
+
+            obs = ctrl._obstacle_points_world(scan, None)
+            obs_padded = np.full((spec.scan_size, 2), 1e8, np.float32)
+            obs_padded[: len(obs)] = obs[: spec.scan_size]
+            start, end = ctrl._tracked_segment_window()
+            from ..native import segment_block
+
+            seg_x, seg_y, seg_arc, seg_total = segment_block(
+                ctrl._path.xs, ctrl._path.ys, ctrl._path.arc_lengths,
+                start, end, 1e8, spec.seg_size,
+            )
+            window = sample_velocity_window(
+                (state.vx, state.vy, state.omega),
+                ctrl._limits_array,
+                ctrl._dt,
+                spec.n_vx,
+                spec.n_vy,
+                spec.n_omega,
+                spec.is_omni,
+            )
+            pack_solver_input(
+                spec,
+                self._inputs[i],
+                ctrl._params_vec(),
+                (state.x, state.y, state.yaw),
+                window,
+                obs_padded,
+                min(len(obs), spec.scan_size),
+                seg_x,
+                seg_y,
+                seg_arc,
+                end - start + 1,
+                seg_total,
+                ctrl._path.total_path_length(),
+                ctrl._active_points,
+            )
+            needs_solve.append(i)
+
+        if needs_solve:
+            out = np.asarray(self._solver(self._inputs))
+            for i in needs_solve:
+                found, cost, _b, _n, vx, vy, om, _px, _py = (
+                    unpack_solver_output(spec, out[i])
+                )
+                results[i] = dict(
+                    found=found,
+                    vx=float(vx[0]) if found else 0.0,
+                    vy=float(vy[0]) if found else 0.0,
+                    omega=float(om[0]) if found else 0.0,
+                    cost=cost,
+                )
+        self.last_tick_seconds = time.perf_counter() - t0
+        return results
