@@ -533,6 +533,77 @@ class DWA(Follower):
     def has_result(self) -> bool:
         return self._result.is_found
 
+    def debug_velocity_search(
+        self, current_vel, laser_scan=None, point_cloud=None, drop_samples=None
+    ):
+        """Return every rollout + its cost/admissibility for visualization
+        (role of ``DWA::debugVelocitySearch``/``getDebuggingSamples``,
+        ``dwa.h:141-163``).
+
+        Returns (paths_x [S, T], paths_y [S, T], costs [S], admissible [S]).
+        """
+        from ..ops.solver import get_debug_dwa_solver
+
+        if self._path is None:
+            raise ValueError("Global path not set")
+        self.determine_target()
+        self._adapt_prediction_horizon()
+        obs = self._obstacle_points_world(laser_scan, point_cloud)
+        obs_count = len(obs)
+        bucket = max(256, _round_up(obs_count, 256))
+        obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
+        obs_padded[:obs_count] = obs[:bucket]
+        spec, _solver, buf = self._solver_for(bucket)
+        start, end = self._tracked_segment_window()
+        from ..native import segment_block
+
+        seg_x, seg_y, seg_arc, seg_total = segment_block(
+            self._path.xs, self._path.ys, self._path.arc_lengths,
+            start, end, 1e8, spec.seg_size,
+        )
+        window = sample_velocity_window(
+            current_vel, self._limits_array, self._dt,
+            spec.n_vx, spec.n_vy, spec.n_omega, spec.is_omni,
+        )
+        pack_solver_input(
+            spec, buf, self._params_vec(),
+            (self.current_state.x, self.current_state.y, self.current_state.yaw),
+            window, obs_padded, obs_count, seg_x, seg_y, seg_arc,
+            end - start + 1, seg_total, self._path.total_path_length(),
+            self._active_points,
+        )
+        px, py, costs, adm = get_debug_dwa_solver(spec)(buf)
+        self._debugging_samples = (
+            np.asarray(px), np.asarray(py), np.asarray(costs), np.asarray(adm)
+        )
+        return self._debugging_samples
+
+    def get_debugging_samples(self):
+        """Latest debug sample set (raises if debug_velocity_search was not
+        called — reference ``dwa.cpp:235-243`` semantics)."""
+        if not hasattr(self, "_debugging_samples"):
+            raise ValueError("No debugging samples are available")
+        return self._debugging_samples
+
+    def check_states_feasibility(self, states, laser_scan=None, point_cloud=None) -> bool:
+        """True if any given state collides with the sensor data (role of
+        ``TrajectorySampler::checkStatesFeasibility``)."""
+        from ..ops.solver import check_states_feasibility
+
+        obs = self._obstacle_points_world(laser_scan, point_cloud)
+        if len(obs) == 0:
+            return False
+        xy = np.asarray(
+            [[s.x, s.y] if hasattr(s, "x") else s[:2] for s in states],
+            np.float32,
+        )
+        return bool(
+            check_states_feasibility(
+                xy, obs, self.robot.radius,
+                self._config.octree_resolution / 2.0,
+            )
+        )
+
     def logging_info(self) -> str:
         if self._result.is_found:
             return f"DWA found trajectory with cost: {self._result.cost}"

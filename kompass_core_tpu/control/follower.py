@@ -304,6 +304,23 @@ class Follower:
         self._target = target
         return target
 
+    @staticmethod
+    def is_forward_segment(
+        seg1_start, seg1_orientation, seg2_start, seg2_orientation
+    ) -> bool:
+        """Whether segment 2 continues forward from segment 1
+        (follower.cpp:306-317)."""
+        angle_between = math.atan2(
+            seg2_start[1] - seg1_start[1], seg2_start[0] - seg1_start[0]
+        )
+        from ..utils.angles import normalize_to_0_2pi
+
+        return abs(
+            normalize_to_0_2pi(seg2_orientation - angle_between)
+        ) <= math.pi - abs(
+            normalize_to_0_2pi(angle_between - seg1_orientation)
+        )
+
     # --- speed regulation (follower.cpp:319-353) ---
 
     def exponential_speed_factor(self, current_angular_vel: float) -> float:

@@ -303,6 +303,19 @@ def _apply_truncation(px, py, vels, truncate_ok, i_col, last_free, T):
 # ---------------------------------------------------------------------------
 
 
+def _trajectory_end_points(px, py, active_points):
+    """[S] endpoint coordinates at index active_points - 1.
+
+    Uses dynamic_slice (uniform index across samples) — take_along_axis
+    would lower to a per-row gather, which is an order of magnitude slower
+    on TPU under vmap.
+    """
+    idx = jnp.clip(active_points - 1, 0, px.shape[1] - 1)
+    end_x = jax.lax.dynamic_slice_in_dim(px, idx, 1, axis=1)[:, 0]
+    end_y = jax.lax.dynamic_slice_in_dim(py, idx, 1, axis=1)[:, 0]
+    return end_x, end_y
+
+
 def _path_cost(px, py, seg_x, seg_y, seg_last_xy, seg_total_len, active_points):
     """Average min-distance of every rollout point to the tracked segment,
     plus normalized endpoint distance, halved (``cost_evaluator.cpp:111-141``).
@@ -320,8 +333,7 @@ def _path_cost(px, py, seg_x, seg_y, seg_last_xy, seg_total_len, active_points):
     avg = jnp.sum(jnp.where(pt_mask[None, :], d, 0.0), axis=1) / active_points.astype(
         jnp.float32
     )
-    end_x = jnp.take_along_axis(px, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
-    end_y = jnp.take_along_axis(py, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
+    end_x, end_y = _trajectory_end_points(px, py, active_points)
     end_dist = (
         jnp.sqrt((end_x - seg_last_xy[0]) ** 2 + (end_y - seg_last_xy[1]) ** 2)
         / seg_total_len
@@ -334,8 +346,7 @@ def _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len, active_points):
     (``cost_evaluator.cpp:150-177``). First minimum wins on ties, like the
     reference's strict `<` scan."""
     S, T = px.shape
-    end_x = jnp.take_along_axis(px, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
-    end_y = jnp.take_along_axis(py, jnp.full((S, 1), active_points - 1), axis=1)[:, 0]
+    end_x, end_y = _trajectory_end_points(px, py, active_points)
     d2 = (end_x[:, None] - seg_x[None, :]) ** 2 + (
         end_y[:, None] - seg_y[None, :]
     ) ** 2  # [S, SEG]; padded slots huge
@@ -431,14 +442,21 @@ def dwa_solve(
     admissible, truncate_ok, i_col, last_free = _admissibility(
         spec, params, d2_obs, active_points, valid
     )
-    px, py, vel_traj = _apply_truncation(
-        px, py, vels, truncate_ok, i_col, last_free, spec.max_points
-    )
-    # truncation freezes path points at path[last_free]; their obstacle
-    # distance equals d2_obs[:, last_free] — adjust without re-sweeping
-    d2_lf = jnp.take_along_axis(d2_obs, last_free[:, None], axis=1)
-    frozen = truncate_ok[:, None] & (t_idx[None, :] > i_col[:, None])
-    d2_obs = jnp.where(frozen, d2_lf, d2_obs)
+    if spec.drop_samples:
+        # drop mode never truncates: skip the per-row gathers entirely
+        # (they lower to slow TPU gathers under vmap)
+        vel_traj = jnp.broadcast_to(
+            vels[:, None, :], (spec.num_samples, spec.max_points - 1, 3)
+        )
+    else:
+        px, py, vel_traj = _apply_truncation(
+            px, py, vels, truncate_ok, i_col, last_free, spec.max_points
+        )
+        # truncation freezes path points at path[last_free]; their obstacle
+        # distance equals d2_obs[:, last_free] — adjust without re-sweeping
+        d2_lf = jnp.take_along_axis(d2_obs, last_free[:, None], axis=1)
+        frozen = truncate_ok[:, None] & (t_idx[None, :] > i_col[:, None])
+        d2_obs = jnp.where(frozen, d2_lf, d2_obs)
 
     acc_limits = (params.acc_limit_vx, params.acc_limit_vy, params.acc_limit_omega)
     f32 = jnp.float32
@@ -467,13 +485,18 @@ def dwa_solve(
         0.0,
     )
 
-    smooth = _smoothness_cost(vel_traj, active_points, acc_limits)
-    total += jnp.where(
-        params.weight_smoothness > 0, params.weight_smoothness * smooth, 0.0
-    )
-
-    jerk = _jerk_cost(vel_traj, active_points, acc_limits)
-    total += jnp.where(params.weight_jerk > 0, params.weight_jerk * jerk, 0.0)
+    if not spec.drop_samples:
+        # only truncated samples have velocity discontinuities; constant
+        # velocity rows have exactly zero smoothness/jerk, so in drop mode
+        # (reference constant-velocity samples) both costs vanish
+        smooth = _smoothness_cost(vel_traj, active_points, acc_limits)
+        total += jnp.where(
+            params.weight_smoothness > 0, params.weight_smoothness * smooth, 0.0
+        )
+        jerk = _jerk_cost(vel_traj, active_points, acc_limits)
+        total += jnp.where(
+            params.weight_jerk > 0, params.weight_jerk * jerk, 0.0
+        )
 
     for weight, fn in custom_costs:
         total += jnp.float32(weight) * fn(vel_traj, px, py, active_points)
@@ -685,3 +708,66 @@ def get_packed_dwa_solver(spec: SolverSpec):
     """Process-wide shared packed solver (no custom costs): controllers with
     identical specs reuse one compiled executable."""
     return make_packed_dwa_solver(spec)
+
+
+def dwa_sample_debug(spec: SolverSpec, buf):
+    """Debug variant: return every rollout and its admissibility/cost
+    (role of ``DWA::debugVelocitySearch`` + ``getDebuggingSamples``,
+    ``dwa.h:141-163``). Returns (px [S,T], py [S,T], costs [S],
+    admissible [S])."""
+    from .window import VelocityWindow
+
+    state = buf[0:3]
+    obs_count = buf[3].astype(jnp.int32)
+    seg_count = buf[4].astype(jnp.int32)
+    seg_total_len = buf[5]
+    ref_total_len = buf[6]
+    active_points = buf[7].astype(jnp.int32)
+    p = buf[8:20]
+    params = SolverParams(*[p[i] for i in range(12)])
+    o = _HDR
+    nx, ny, nw = spec.n_vx, spec.n_vy, spec.n_omega
+    window = VelocityWindow(
+        buf[o : o + nx],
+        buf[o + nx : o + 2 * nx] > 0.5,
+        buf[o + 2 * nx : o + 2 * nx + ny],
+        buf[o + 2 * nx + ny : o + 2 * nx + 2 * ny] > 0.5,
+        buf[o + 2 * nx + 2 * ny : o + 2 * nx + 2 * ny + nw],
+        buf[o + 2 * nx + 2 * ny + nw : o + 2 * nx + 2 * ny + 2 * nw] > 0.5,
+    )
+    o += 2 * (nx + ny + nw)
+    r = spec.scan_size
+    obs_xy = jnp.stack([buf[o : o + r], buf[o + r : o + 2 * r]], axis=1)
+    o += 2 * r
+    g = spec.seg_size
+    seg_x = buf[o : o + g]
+    seg_y = buf[o + g : o + 2 * g]
+    seg_arc = buf[o + 2 * g : o + 3 * g]
+
+    res = dwa_solve(
+        spec, params, state, window, obs_xy, obs_count, seg_x, seg_y,
+        seg_arc, seg_count, seg_total_len, ref_total_len, active_points,
+    )
+    vels, valid = _build_velocity_grid(spec, window)
+    px, py = _rollout(spec, params, state, vels)
+    return px, py, res.costs, jnp.isfinite(res.costs)
+
+
+@_functools.lru_cache(maxsize=16)
+def get_debug_dwa_solver(spec: SolverSpec):
+    return jax.jit(partial(dwa_sample_debug, spec))
+
+
+def check_states_feasibility(states_xy, obs_xy, radius, margin):
+    """True if any of the given positions collides with the obstacle points
+    — point-robot analog of ``TrajectorySampler::checkStatesFeasibility``
+    (``trajectory_sampler.cpp:378-407``)."""
+    states_xy = jnp.asarray(states_xy, jnp.float32)
+    obs_xy = jnp.asarray(obs_xy, jnp.float32)
+    d2 = jnp.min(
+        (states_xy[:, 0:1] - obs_xy[None, :, 0]) ** 2
+        + (states_xy[:, 1:2] - obs_xy[None, :, 1]) ** 2,
+        axis=-1,
+    )
+    r = radius + margin
+    return jnp.any(d2 < r * r)

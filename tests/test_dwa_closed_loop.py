@@ -166,3 +166,34 @@ def test_dwa_no_admissible_when_enclosed(robot, ctrl_limits):
     scan = LaserScanData(ranges=np.full_like(angles, 0.12), angles=angles)
     result = dwa.compute_velocity_commands((0.5, 0.0, 0.0), laser_scan=scan)
     assert not result.is_found
+
+
+def test_debug_velocity_search(robot, ctrl_limits):
+    """Debug sampling returns every rollout (reference debugVelocitySearch)."""
+    config = DWAConfig(
+        max_linear_samples=4, max_angular_samples=4,
+        prediction_horizon=10, control_horizon=2, control_time_step=0.1,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    dwa.set_current_state(0.0, 0.0, 0.0)
+    px, py, costs, adm = dwa.debug_velocity_search((0.3, 0.0, 0.0),
+                                                   laser_scan=LaserScanData())
+    S = px.shape[0]
+    assert px.shape == py.shape and costs.shape == (S,) and adm.shape == (S,)
+    assert adm.sum() > 0
+    # stored for later retrieval
+    assert dwa.get_debugging_samples()[0].shape == px.shape
+
+
+def test_check_states_feasibility(robot, ctrl_limits):
+    config = DWAConfig(prediction_horizon=10, control_horizon=2)
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    dwa.set_current_state(0.0, 0.0, 0.0)
+    angles = np.array([0.0])
+    scan = LaserScanData(ranges=np.array([1.0]), angles=angles)
+    from kompass_core_tpu.models import RobotState
+    free = [RobotState(x=0.0, y=0.0), RobotState(x=0.0, y=0.5)]
+    hit = [RobotState(x=0.95, y=0.0)]
+    assert not dwa.check_states_feasibility(free, laser_scan=scan)
+    assert dwa.check_states_feasibility(hit, laser_scan=scan)
