@@ -273,6 +273,78 @@ class Robot:
         return self.state
 
 
+class MotionControl:
+    """Kinematic control conversion base (role of the reference's
+    ``MotionControl`` family, ``models.py:883-1194``): maps a body-frame
+    velocity command (vx, vy, omega) to actuator-space quantities."""
+
+    def __init__(
+        self,
+        velocity_x: float = 0.0,
+        velocity_y: float = 0.0,
+        omega: float = 0.0,
+        wheel_base: float = 0.3,
+    ):
+        self.vx = float(velocity_x)
+        self.vy = float(velocity_y)
+        self.omega = float(omega)
+        self.wheel_base = float(wheel_base)
+
+    def update_ctr(self, *, omega: float, velocity_x: float, velocity_y: float = 0.0):
+        self.vx = float(velocity_x)
+        self.vy = float(velocity_y)
+        self.omega = float(omega)
+
+
+class DifferentialDriveControl(MotionControl):
+    """Body command -> left/right wheel linear speeds."""
+
+    @property
+    def left_wheel_speed(self) -> float:
+        return self.vx - self.omega * self.wheel_base / 2.0
+
+    @property
+    def right_wheel_speed(self) -> float:
+        return self.vx + self.omega * self.wheel_base / 2.0
+
+    def from_wheel_speeds(self, left: float, right: float):
+        self.vx = (left + right) / 2.0
+        self.omega = (right - left) / self.wheel_base
+        return self
+
+
+class AckermannControl(MotionControl):
+    """Body command -> bicycle-model steering angle."""
+
+    @property
+    def steering_angle(self) -> float:
+        if abs(self.vx) < 1e-9:
+            return 0.0
+        return math.atan(self.omega * self.wheel_base / self.vx)
+
+    def from_steering(self, velocity_x: float, steering_angle: float):
+        self.vx = float(velocity_x)
+        self.omega = (
+            math.tan(steering_angle) * velocity_x / self.wheel_base
+        )
+        return self
+
+
+class OmniControl(MotionControl):
+    """Holonomic base: body command -> wheel speeds of a 4-wheel mecanum
+    base (+-45 deg rollers, square footprint of half-diagonal wheel_base)."""
+
+    @property
+    def wheel_speeds(self):
+        l = self.wheel_base / 2.0
+        return (
+            self.vx - self.vy - l * self.omega,
+            self.vx + self.vy + l * self.omega,
+            self.vx + self.vy - l * self.omega,
+            self.vx - self.vy + l * self.omega,
+        )
+
+
 def restrict_velocity_to_limits(
     current_velocity: float,
     target_velocity: float,

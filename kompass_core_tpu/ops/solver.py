@@ -57,6 +57,9 @@ class SolverSpec:
     scan_size: int  # padded obstacle-point capacity
     seg_size: int  # padded tracked-segment capacity
     drop_samples: bool = True
+    # "xla": fused elementwise+reduce sweeps (portable, CPU-testable);
+    # "pallas": MXU cross-term kernel for the distance sweeps (TPU only)
+    backend: str = "xla"
 
     @property
     def num_samples(self) -> int:
@@ -210,11 +213,22 @@ def _rollout(spec: SolverSpec, params: SolverParams, state, vels):
     s = jnp.sin(yaw_t)
     dx = (vx * c - vy * s) * dt
     dy = (vx * s + vy * c) * dt
+    # prefix sums as a triangular matmul: rides the MXU instead of the
+    # VPU's sequential scan (T is tiny, the matmul is ~free)
+    tril = jnp.tril(jnp.ones((T - 1, T - 1), jnp.float32)).T
     px = jnp.concatenate(
-        [jnp.full((vels.shape[0], 1), x0), x0 + jnp.cumsum(dx, axis=1)], axis=1
+        [
+            jnp.full((vels.shape[0], 1), x0),
+            x0 + jnp.dot(dx, tril, preferred_element_type=jnp.float32),
+        ],
+        axis=1,
     )
     py = jnp.concatenate(
-        [jnp.full((vels.shape[0], 1), y0), y0 + jnp.cumsum(dy, axis=1)], axis=1
+        [
+            jnp.full((vels.shape[0], 1), y0),
+            y0 + jnp.dot(dy, tril, preferred_element_type=jnp.float32),
+        ],
+        axis=1,
     )
     return px, py  # each [S, T]
 
@@ -316,20 +330,24 @@ def _trajectory_end_points(px, py, active_points):
     return end_x, end_y
 
 
-def _path_cost(px, py, seg_x, seg_y, seg_last_xy, seg_total_len, active_points):
+def _path_cost(px, py, seg_x, seg_y, seg_last_xy, seg_total_len, active_points,
+               d2_seg=None):
     """Average min-distance of every rollout point to the tracked segment,
     plus normalized endpoint distance, halved (``cost_evaluator.cpp:111-141``).
-    """
+
+    ``d2_seg``: optional precomputed per-point min squared segment distance
+    [S, T] (inf at masked points) from the Pallas backend."""
     S, T = px.shape
     t_idx = jnp.arange(T)
     pt_mask = t_idx < active_points
-    # [S, T, SEG] fused min reduce; padded segment slots at +1e8
-    d2 = jnp.min(
-        (px[:, :, None] - seg_x[None, None, :]) ** 2
-        + (py[:, :, None] - seg_y[None, None, :]) ** 2,
-        axis=-1,
-    )
-    d = jnp.sqrt(d2)
+    if d2_seg is None:
+        # [S, T, SEG] fused min reduce; padded segment slots at +1e8
+        d2_seg = jnp.min(
+            (px[:, :, None] - seg_x[None, None, :]) ** 2
+            + (py[:, :, None] - seg_y[None, None, :]) ** 2,
+            axis=-1,
+        )
+    d = jnp.sqrt(d2_seg)
     avg = jnp.sum(jnp.where(pt_mask[None, :], d, 0.0), axis=1) / active_points.astype(
         jnp.float32
     )
@@ -437,7 +455,15 @@ def dwa_solve(
     # single obstacle sweep shared by collision + obstacle cost
     t_idx = jnp.arange(spec.max_points)
     pt_mask = t_idx < active_points
-    d2_obs = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
+    d2_seg = None
+    if spec.backend == "pallas":
+        from .pallas_kernels import min_obstacle_dist_sq_mxu
+
+        d2_obs = min_obstacle_dist_sq_mxu(px, py, obs_xy, pt_mask)
+        seg_xy = jnp.stack([seg_x, seg_y], axis=1)
+        d2_seg = min_obstacle_dist_sq_mxu(px, py, seg_xy, pt_mask)
+    else:
+        d2_obs = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
 
     admissible, truncate_ok, i_col, last_free = _admissibility(
         spec, params, d2_obs, active_points, valid
@@ -472,7 +498,8 @@ def dwa_solve(
     )
 
     pathc = _path_cost(
-        px, py, seg_x, seg_y, (seg_last_x, seg_last_y), seg_total_len, active_points
+        px, py, seg_x, seg_y, (seg_last_x, seg_last_y), seg_total_len,
+        active_points, d2_seg=d2_seg,
     )
     total += jnp.where(
         has_path & (params.weight_path > 0), params.weight_path * pathc, 0.0

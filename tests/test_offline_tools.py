@@ -152,3 +152,28 @@ def test_interpolation_tools():
     assert len(dense) > len(p)
     coarse = resample_path(dense, 10)
     assert len(coarse) == 10
+
+
+def test_kinematic_control_conversions():
+    from kompass_core_tpu.models import (
+        AckermannControl,
+        DifferentialDriveControl,
+        OmniControl,
+    )
+
+    dd = DifferentialDriveControl(velocity_x=1.0, omega=0.5, wheel_base=0.4)
+    assert dd.left_wheel_speed == pytest.approx(0.9)
+    assert dd.right_wheel_speed == pytest.approx(1.1)
+    dd2 = DifferentialDriveControl(wheel_base=0.4).from_wheel_speeds(0.9, 1.1)
+    assert dd2.vx == pytest.approx(1.0)
+    assert dd2.omega == pytest.approx(0.5)
+
+    ack = AckermannControl(velocity_x=1.0, omega=0.5, wheel_base=0.4)
+    steer = ack.steering_angle
+    back = AckermannControl(wheel_base=0.4).from_steering(1.0, steer)
+    assert back.omega == pytest.approx(0.5)
+
+    omni = OmniControl(velocity_x=1.0, velocity_y=0.5, omega=0.0, wheel_base=0.4)
+    ws = omni.wheel_speeds
+    assert ws[0] == pytest.approx(0.5)
+    assert ws[1] == pytest.approx(1.5)
