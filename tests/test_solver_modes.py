@@ -1,0 +1,185 @@
+"""Solver mode tests: omni kinematics, truncate mode, adaptive horizon.
+
+Pin the remaining sampler semantics from the reference:
+``trajectory_sampler.cpp:157-168`` truncation, ``:222-275`` omni grid,
+``dwa.cpp:157-206`` curvature-adaptive horizon.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kompass_core_tpu.control import DWA, DWAConfig, TrajectoryCostsWeights
+from kompass_core_tpu.datatypes import LaserScanData
+from kompass_core_tpu.models import (
+    AngularCtrlLimits,
+    LinearCtrlLimits,
+    Robot,
+    RobotCtrlLimits,
+    RobotGeometry,
+    RobotType,
+)
+from kompass_core_tpu.ops.solver import (
+    SolverParams,
+    SolverSpec,
+    dwa_solve,
+)
+from kompass_core_tpu.ops.window import sample_velocity_window
+
+
+def _limits():
+    return RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        vy_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=2.0, max_acc=3.0, max_decel=3.0
+        ),
+    )
+
+
+def test_omni_dwa_uses_lateral_motion():
+    """An omni robot with a laterally-offset path must produce vy samples
+    and reach the goal."""
+    robot = Robot(
+        robot_type=RobotType.OMNI,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.2, 0.5]),
+    )
+    config = DWAConfig(
+        max_linear_samples=8,
+        max_angular_samples=5,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=2.0,
+            goal_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+            obstacles_distance_weight=0.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=_limits(), config=config)
+    # path straight ahead in +x
+    dwa.set_path(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    dwa.set_current_state(0.0, 0.0, 0.0)
+    res = dwa.compute_velocity_commands((0.3, 0.2, 0.0), laser_scan=LaserScanData())
+    assert res.is_found
+    # omni grid: the solver must have evaluated nonzero-vy samples; the
+    # robot is on the path so the winner may have vy ~ 0, but the spec must
+    # carry a vy axis
+    spec, _, _ = dwa._solver_for(256)
+    assert spec.is_omni and spec.n_vy >= 3
+
+
+def _truncate_scenario(drop: bool):
+    """One straight-ahead sample family with an obstacle at 1.0 m."""
+    spec = SolverSpec(
+        is_omni=False,
+        n_vx=3,
+        n_vy=1,
+        n_omega=3,
+        max_points=20,
+        num_ctrl_points=2,
+        scan_size=32,
+        seg_size=64,
+        drop_samples=drop,
+    )
+    limits = _limits().to_array()
+    limits[3:6] = 0.0
+    window = sample_velocity_window(
+        (0.9, 0.0, 0.0), limits, 0.1, 3, 1, 3, False
+    )
+    obs = np.full((32, 2), 1e8, np.float32)
+    obs[0] = [1.0, 0.0]  # obstacle straight ahead at 1 m
+    n_seg = 40
+    seg_x = np.full(64, 1e8, np.float32)
+    seg_y = np.full(64, 1e8, np.float32)
+    seg_arc = np.zeros(64, np.float32)
+    seg_x[:n_seg] = np.linspace(0, 3.9, n_seg)
+    seg_y[:n_seg] = 0.0
+    seg_arc[:n_seg] = np.linspace(0, 3.9, n_seg)
+    params = SolverParams.create(
+        time_step=0.1,
+        robot_radius=0.2,
+        collision_margin=0.05,
+        weights={
+            "reference_path_distance_weight": 1.0,
+            "goal_distance_weight": 1.0,
+            "obstacles_distance_weight": 0.0,
+            "smoothness_weight": 0.0,
+            "jerk_weight": 0.0,
+        },
+        acc_limits=(5.0, 0.0, 3.0),
+        max_obstacles_dist=10 / 3,
+    )
+    return dwa_solve(
+        spec,
+        params,
+        jnp.array([0.0, 0.0, 0.0], jnp.float32),
+        window,
+        jnp.asarray(obs),
+        jnp.int32(1),
+        jnp.asarray(seg_x),
+        jnp.asarray(seg_y),
+        jnp.asarray(seg_arc),
+        jnp.int32(n_seg),
+        jnp.float32(3.9),
+        jnp.float32(3.9),
+        jnp.int32(20),
+    ), spec
+
+
+def test_truncate_mode_keeps_free_prefix():
+    """drop=False: a sample hitting the obstacle keeps its collision-free
+    prefix with zero-velocity padding (trajectory_sampler.cpp:157-168)."""
+    res_drop, _ = _truncate_scenario(drop=True)
+    res_trunc, _ = _truncate_scenario(drop=False)
+    # with drop: straight fast samples are inadmissible -> fewer admissible
+    assert int(res_trunc.num_admissible) >= int(res_drop.num_admissible)
+    vels = np.asarray(res_trunc.velocities)
+    path = np.asarray(res_trunc.path)
+    # the winning truncated sample must never pass the obstacle surface
+    assert np.max(path[:, 0]) < 1.0 - 0.2
+    # if the winner was truncated, its tail velocities are exactly zero
+    if np.any(vels[:, 0] == 0.0):
+        first_zero = int(np.argmax(vels[:, 0] == 0.0))
+        assert np.all(vels[first_zero:, 0] == 0.0)
+        # frozen path tail: all equal
+        assert np.allclose(path[first_zero + 1 :, 0], path[first_zero + 1, 0])
+
+
+def test_adaptive_horizon_shrinks_on_curvature():
+    robot = Robot(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.2, 0.5]),
+    )
+    config = DWAConfig(
+        prediction_horizon=30,
+        control_horizon=2,
+        control_time_step=0.1,
+        curvature_horizon_tolerance=0.5,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=_limits(), config=config)
+    # tight arc: radius 0.3 -> curvature ~3.3 > tolerance
+    theta = np.linspace(0, np.pi, 60)
+    path = np.stack([0.3 * np.sin(theta), 0.3 * (1 - np.cos(theta))], axis=1)
+    dwa.set_path(path)
+    dwa.set_current_state(0.0, 0.0, 0.0)
+    dwa.determine_target()
+    dwa._adapt_prediction_horizon()
+    assert dwa._active_points < dwa._max_points
+    # sagitta bound T <= sqrt(8 * tol / kappa) / v_max: discrete curvature
+    # of the resampled arc can spike above the analytic 1/R, so the actual
+    # horizon is <= the analytic cap (and >= the 2-step floor)
+    analytic_cap = np.sqrt(8 * 0.5 / (1 / 0.3)) / 1.0
+    assert 2 <= dwa._active_points <= int(analytic_cap / 0.1)
+
+    # straight path restores the full horizon
+    dwa.set_path(np.array([[0.0, 0.0], [5.0, 0.0]]))
+    dwa.set_current_state(0.0, 0.0, 0.0)
+    dwa.determine_target()
+    dwa._adapt_prediction_horizon()
+    assert dwa._active_points == dwa._max_points
