@@ -45,7 +45,9 @@ def _min_dist_kernel(pt_ref, obs_ref, onorm_ref, out_ref):
     partial_d2 = onorm - 2.0 * cross  # [O, BLK]
     m = jnp.min(partial_d2, axis=0)  # [BLK]
     pnorm = pts[0, :] * pts[0, :] + pts[1, :] * pts[1, :]
-    out_ref[0, :] = m + pnorm
+    # |p|^2 + |o|^2 - 2 p.o can round slightly negative when p ~ o; a
+    # negative d^2 would NaN the sqrt downstream
+    out_ref[0, :] = jnp.maximum(m + pnorm, 0.0)
 
 
 def min_point_dist_sq_pallas(points_xy2n, obs_o2, obs_norm):
@@ -82,7 +84,10 @@ def min_obstacle_dist_sq_mxu(px, py, obs_xy, pt_mask, interpret=False):
     onorm = (obs_xy[:, 0] ** 2 + obs_xy[:, 1] ** 2)[:, None]
     if interpret:
         cross = obs_xy @ pts
-        d2 = jnp.min(onorm - 2.0 * cross, axis=0) + jnp.sum(pts * pts, axis=0)
+        d2 = jnp.maximum(
+            jnp.min(onorm - 2.0 * cross, axis=0) + jnp.sum(pts * pts, axis=0),
+            0.0,
+        )
     else:
         d2 = min_point_dist_sq_pallas(pts, obs_xy, onorm)
     d2 = d2[:n].reshape(S, T)

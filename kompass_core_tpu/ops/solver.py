@@ -489,8 +489,9 @@ def dwa_solve(
     total = jnp.zeros(spec.num_samples, f32)
 
     has_path = ref_total_len > 0.0
-    seg_last_x = seg_x[jnp.maximum(seg_count - 1, 0)]
-    seg_last_y = seg_y[jnp.maximum(seg_count - 1, 0)]
+    last_i = jnp.maximum(seg_count - 1, 0)
+    seg_last_x = jax.lax.dynamic_slice_in_dim(seg_x, last_i, 1)[0]
+    seg_last_y = jax.lax.dynamic_slice_in_dim(seg_y, last_i, 1)[0]
 
     goal = _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len, active_points)
     total += jnp.where(
@@ -532,12 +533,17 @@ def dwa_solve(
     best = jnp.argmin(costs).astype(jnp.int32)
     found = jnp.any(admissible)
 
+    # row extraction via dynamic_slice (int-indexing would lower to a
+    # batched gather under vmap — an order of magnitude slower on TPU)
+    take_row = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+        a, best, axis=0, keepdims=False
+    )
     return SolveResult(
         found=found,
-        cost=costs[best],
+        cost=take_row(costs),
         best_index=best,
-        velocities=vel_traj[best],
-        path=jnp.stack([px[best], py[best]], axis=-1),
+        velocities=take_row(vel_traj),
+        path=jnp.stack([take_row(px), take_row(py)], axis=-1),
         costs=costs,
         num_admissible=jnp.sum(admissible).astype(jnp.int32),
     )
