@@ -71,8 +71,8 @@ def build_scenario(spec, rng, robot_index=0):
     x0 = 0.1 * robot_index
     yaw0 = 0.05 * robot_index
 
-    # tracked segment: gentle arc ahead of the robot, 3 m @ 1 cm spacing
-    n_seg = 301
+    # tracked segment: gentle arc ahead of the robot, up to 3 m @ 1 cm
+    n_seg = min(301, spec.seg_size)
     s = 0.01 * np.arange(n_seg, dtype=np.float32)
     curv = 0.2
     seg_x = np.full(spec.seg_size, 1e8, np.float32)

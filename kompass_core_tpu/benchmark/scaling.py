@@ -1,0 +1,96 @@
+"""Scaling-efficiency measurement: fleet throughput vs device count.
+
+BASELINE.json asks for solves/s efficiency at 1 chip / 1 host / N>=2 hosts
+with >=80% efficiency to 2 hosts. This harness measures fleet throughput on
+meshes of growing size built from the available devices (real chips on a
+pod slice; virtual CPU devices validate the sharded program structure) and
+reports efficiency = throughput(n) / (n * throughput(1)).
+
+On a pod slice run one process per host after
+``parallel.initialize_multihost``; the mesh then spans all hosts and the
+robot axis shards over DCN-connected chips with no cross-chip traffic in
+the hot loop, so efficiency is expected near 1.
+"""
+
+import json
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def measure_fleet_scaling(
+    device_counts: Optional[List[int]] = None,
+    robots_per_device: int = 32,
+    reps: int = 10,
+    spec=None,
+):
+    """Returns [{devices, robots, solves_per_s, efficiency}]."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ..ops.solver import SolverSpec
+    from ..parallel.fleet import make_fleet_solver
+
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [
+            n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)
+        ]
+    if spec is None:
+        spec = SolverSpec(
+            is_omni=False,
+            n_vx=45,
+            n_vy=1,
+            n_omega=45,
+            max_points=30,
+            num_ctrl_points=6,
+            scan_size=512,
+            seg_size=384,
+            drop_samples=True,
+        )
+
+    import sys
+
+    sys.path.insert(0, ".")
+    try:
+        from bench import build_scenario
+    except ImportError:  # fall back to the graft entry scenario builder
+        from __graft_entry__ import _scenario_buffer
+
+        def build_scenario(s, rng, i):
+            return _scenario_buffer(s, i)
+
+    rng = np.random.default_rng(0)
+    results = []
+    base = None
+    for n in device_counts:
+        mesh = Mesh(np.array(devices[:n]), axis_names=("robots",))
+        solver = make_fleet_solver(spec, mesh=mesh)
+        batch = robots_per_device * n
+        inputs = jax.device_put(
+            np.stack([build_scenario(spec, rng, i) for i in range(batch)])
+        )
+        out = solver(inputs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = solver(inputs)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        sps = batch / dt
+        if base is None:
+            base = sps
+        results.append(
+            {
+                "devices": n,
+                "robots": batch,
+                "solves_per_s": round(sps, 1),
+                "efficiency": round(sps / (base * n), 3),
+            }
+        )
+    return results
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure_fleet_scaling(), indent=2))
