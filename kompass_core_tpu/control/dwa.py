@@ -350,9 +350,16 @@ class DWA(Follower):
 
     def _rotate_in_place_result(self, heading_error: float) -> SamplingControlResult:
         """Pure-rotation shortcut for large heading error
-        (``dwa.h:195-205`` + ``trajectory_sampler.cpp:409-445`` with vx=0)."""
+        (``dwa.h:195-205`` + ``trajectory_sampler.cpp:409-445`` with vx=0).
+
+        Deliberate divergence: the reference uses ``-heading_error * w_max /
+        pi`` (``dwa.h:202``), which rotates AWAY from the target heading and
+        limit-cycles at +-pi (unexercised upstream — their DWA test robot is
+        Ackermann, which never rotates in place). The sign here is
+        corrected: positive heading error (target left of robot) rotates
+        counter-clockwise."""
         omega = (
-            -heading_error
+            heading_error
             * self.ctrl_limits.omega_limits.max_vel
             / math.pi
         )

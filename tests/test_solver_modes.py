@@ -183,3 +183,31 @@ def test_adaptive_horizon_shrinks_on_curvature():
     dwa.determine_target()
     dwa._adapt_prediction_horizon()
     assert dwa._active_points == dwa._max_points
+
+
+def test_rotate_in_place_turns_toward_path():
+    """Diff-drive robot facing away from the path must rotate TOWARD it
+    (sign corrected vs the reference's dwa.h:202 — see PARITY.md #7)."""
+    robot = Robot(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.2, 0.5]),
+    )
+    config = DWAConfig(
+        prediction_horizon=10, control_horizon=2, control_time_step=0.1
+    )
+    dwa = DWA(robot=robot, ctrl_limits=_limits(), config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [3.0, 0.0]]))  # path heading 0
+    # facing +y (heading error -pi/2, beyond the 10x tolerance)
+    dwa.set_current_state(0.0, 0.0, np.pi / 2)
+    res = dwa.compute_velocity_commands((0.0, 0.0, 0.0), laser_scan=LaserScanData())
+    assert res.is_found
+    omega = res.trajectory.omega[0]
+    assert omega < 0.0, "must rotate clockwise toward heading 0"
+    # converges in closed loop
+    yaw = np.pi / 2
+    for _ in range(40):
+        dwa.set_current_state(0.0, 0.0, yaw)
+        res = dwa.compute_velocity_commands((0.0, 0.0, 0.0), laser_scan=LaserScanData())
+        yaw += float(res.trajectory.omega[0]) * 0.1
+    assert abs(yaw) < 0.3
