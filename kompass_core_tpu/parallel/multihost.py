@@ -96,9 +96,15 @@ class FleetRuntime:
             self._solver = make_fleet_solver(spec, mesh=self.mesh)
             from ..ops.solver import packed_input_size
 
+            # pad the robot axis to a multiple of the mesh size (sharding
+            # requires even division; pad rows are solved and ignored)
+            n_dev = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
+            padded = ((self.num_robots + n_dev - 1) // n_dev) * n_dev
             self._inputs = np.zeros(
-                (self.num_robots, packed_input_size(spec)), np.float32
+                (padded, packed_input_size(spec)), np.float32
             )
+            # pad rows need valid-ish content; leave zeros (no admissible
+            # samples -> found=False, ignored)
 
     def tick(
         self,
