@@ -40,8 +40,10 @@ import jax.numpy as jnp
 
 from .window import MIN_VEL
 
-_BIG = jnp.float32(1e8)
-_INF = jnp.float32(jnp.inf)
+# plain Python floats: creating jnp arrays at import time would initialize
+# the XLA backend and break jax.distributed.initialize in multi-host runs
+_BIG = 1e8
+_INF = float("inf")
 
 
 @dataclasses.dataclass(frozen=True, eq=True)
