@@ -333,8 +333,11 @@ class DWA(Follower):
                 if hasattr(point_cloud, "points")
                 else np.asarray(point_cloud)
             )
-            px = pts[:, 0].astype(np.float64)
-            py = pts[:, 1].astype(np.float64)
+            if pts.ndim == 2 and pts.shape[1] >= 2:
+                px = pts[:, 0].astype(np.float64)
+                py = pts[:, 1].astype(np.float64)
+            else:
+                return np.zeros((0, 2), dtype=np.float32)
         else:
             return np.zeros((0, 2), dtype=np.float32)
 
@@ -378,9 +381,14 @@ class DWA(Follower):
     # ------------------------------------------------------------------
 
     def compute_velocity_commands(
-        self, current_vel, laser_scan=None, point_cloud=None
+        self, current_vel, laser_scan=None, point_cloud=None,
+        map_points_world=None,
     ) -> SamplingControlResult:
-        """Full DWA tick (``DWA::findBestPath``, ``dwa.h:183-230``)."""
+        """Full DWA tick (``DWA::findBestPath``, ``dwa.h:183-230``).
+
+        ``map_points_world``: [N, >=2] obstacle points already in the world
+        frame (the reference's local-map input path — its cloud overload
+        with global_frame=true, ``collision_check.h:119-125``)."""
         if self._path is None:
             raise ValueError(
                 "Global path not set; cannot run the DWA local planner"
@@ -398,7 +406,10 @@ class DWA(Follower):
 
         self._adapt_prediction_horizon()
 
-        obs = self._obstacle_points_world(laser_scan, point_cloud)
+        if map_points_world is not None:
+            obs = np.asarray(map_points_world, np.float32)[:, :2]
+        else:
+            obs = self._obstacle_points_world(laser_scan, point_cloud)
         obs_count = len(obs)
         bucket = max(256, _round_up(obs_count, 256))
         obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
@@ -530,7 +541,10 @@ class DWA(Follower):
         current_vel = (current_state.vx, current_state.vy, current_state.omega)
         try:
             self._result = self.compute_velocity_commands(
-                current_vel, laser_scan=laser_scan, point_cloud=point_cloud
+                current_vel,
+                laser_scan=laser_scan,
+                point_cloud=point_cloud,
+                map_points_world=local_map,
             )
         except Exception as e:  # noqa: BLE001 — parity with reference wrapper
             logger.error(f"Could not find velocity command: {e}")

@@ -197,3 +197,45 @@ def test_check_states_feasibility(robot, ctrl_limits):
     hit = [RobotState(x=0.95, y=0.0)]
     assert not dwa.check_states_feasibility(free, laser_scan=scan)
     assert dwa.check_states_feasibility(hit, laser_scan=scan)
+
+
+def test_dwa_pointcloud_and_local_map_inputs(robot, ctrl_limits):
+    """All three sensor input paths (reference loop_step dispatch,
+    control/dwa.py:298-315) produce consistent avoidance behavior."""
+    config = DWAConfig(
+        max_linear_samples=6, max_angular_samples=6,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=2.0, goal_distance_weight=1.0,
+            obstacles_distance_weight=1.0, smoothness_weight=0.0,
+            jerk_weight=0.0,
+        ),
+        prediction_horizon=10, control_horizon=2, control_time_step=0.1,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [0.0, 3.0]]))
+    dwa.set_current_state(0.0, 0.0, np.pi / 2)
+
+    # wall ahead at y=0.45, expressed three ways
+    xs = np.linspace(-0.3, 0.3, 21)
+    wall_world = np.stack([xs, np.full_like(xs, 0.45)], axis=1)
+    # sensor frame (robot at origin facing +y): wall is ahead at x_s=0.45
+    wall_sensor = np.stack(
+        [np.full_like(xs, 0.45), -xs, np.zeros_like(xs)], axis=1
+    ).astype(np.float32)
+
+    from kompass_core_tpu.datatypes import PointCloudData
+
+    r_cloud = dwa.compute_velocity_commands(
+        (0.0, 0.0, 0.0), point_cloud=PointCloudData(points=wall_sensor)
+    )
+    r_map = dwa.compute_velocity_commands(
+        (0.0, 0.0, 0.0), map_points_world=wall_world
+    )
+    for res in (r_cloud, r_map):
+        assert res.is_found
+        assert np.max(res.trajectory.path_y) < 0.45 - robot.radius
+
+    # loop_step local_map path
+    from kompass_core_tpu.models import RobotState
+    state = RobotState(x=0.0, y=0.0, yaw=np.pi / 2)
+    assert dwa.loop_step(current_state=state, local_map=wall_world)
