@@ -1,0 +1,354 @@
+"""Fully on-device fleet control: follower + solver for N robots per tick.
+
+The host FleetRuntime (`parallel/multihost.py`) keeps the reference's
+follower machinery per robot in Python — exact parity, but ~0.4 ms of host
+work per robot per tick, which caps a 100-robot fleet near 25 Hz. This
+module moves the ENTIRE per-tick pipeline onto the device:
+
+    goal / losing-goal detection  (follower.cpp:109-142)
+    sticky target determination   (follower.cpp:266-304, binary descent
+                                   per follower.cpp:155-183, last-min tie)
+    curvature-adaptive horizon    (dwa.cpp:157-206)
+    scan -> world obstacle points
+    tracked-segment windowing     (dwa.cpp:208-233)
+    dynamic window + rollout + costs + argmin   (ops/solver.dwa_solve)
+    rotate-in-place shortcut      (corrected sign, see PARITY.md #7)
+
+as ONE jitted, vmapped program with a small per-robot carry (closest index,
+segment index, goal distance, reached flag). Host work per tick collapses
+to stacking state/scan arrays.
+
+Path data (padded [N, P] SoA + segment tables) is uploaded once per
+`set_paths`; only states and scans move per tick.
+"""
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .solver import SolverSpec, _device_window, dwa_solve
+from .window import MIN_VEL
+
+_PAD = 1e8
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class FleetSpec:
+    solver: SolverSpec
+    path_capacity: int  # P: padded interpolated path points per robot
+    max_segments: int  # NS: padded segment count per robot
+
+
+class FleetPaths(NamedTuple):
+    """Device-resident per-robot path data (uploaded once per set_paths)."""
+
+    x: jnp.ndarray  # [N, P] f32, padded with +1e8
+    y: jnp.ndarray  # [N, P]
+    arc: jnp.ndarray  # [N, P] prefix arc length
+    curvature: jnp.ndarray  # [N, P]
+    n_points: jnp.ndarray  # [N] i32
+    seg_starts: jnp.ndarray  # [N, NS] i32 (padded with n_points)
+    n_segs: jnp.ndarray  # [N] i32
+    total_len: jnp.ndarray  # [N] f32
+
+
+class FleetCarry(NamedTuple):
+    """Follower state carried across ticks (reference Follower members)."""
+
+    closest_idx: jnp.ndarray  # [N] i32
+    seg_idx: jnp.ndarray  # [N] i32
+    pos_in_seg: jnp.ndarray  # [N] f32 (reference segment_length, [0, 1])
+    goal_dist: jnp.ndarray  # [N] f32
+    reached: jnp.ndarray  # [N] bool
+
+
+class FleetConfig(NamedTuple):
+    """Per-robot dynamic configuration arrays."""
+
+    params12: jnp.ndarray  # [N, 12] SolverParams block (packed layout)
+    limits9: jnp.ndarray  # [N, 9] control limits
+    sensor_pose: jnp.ndarray  # [N, 3] sensor (x, y, yaw) in body
+    rotate_in_place: jnp.ndarray  # [N] bool
+    goal_dist_tol: jnp.ndarray  # [N]
+    goal_ori_tol: jnp.ndarray  # [N]
+    losing_goal_dist: jnp.ndarray  # [N]
+    interp_dist: jnp.ndarray  # [N]
+    base_horizon_s: jnp.ndarray  # [N] seconds
+    curvature_tol: jnp.ndarray  # [N]
+    vx_max: jnp.ndarray  # [N]
+    max_segment_size: jnp.ndarray  # [N] i32 (lookahead floor, points)
+
+
+# ---------------------------------------------------------------------------
+# per-robot device follower (all functions operate on ONE robot; vmapped)
+# ---------------------------------------------------------------------------
+
+
+def _seg_end_index(paths_row, seg_idx):
+    """End index of a segment (reference path.cpp:383-398)."""
+    ns = paths_row.n_segs
+    nxt = jax.lax.dynamic_index_in_dim(
+        paths_row.seg_starts, jnp.minimum(seg_idx + 1, ns - 1), keepdims=False
+    )
+    return jnp.where(seg_idx + 1 < ns, nxt - 1, paths_row.n_points - 1)
+
+
+def _binary_descent(paths_row, px, py):
+    """Closest-segment binary descent (follower.cpp:155-183) as a bounded
+    loop."""
+
+    def d2_of(seg):
+        i = jax.lax.dynamic_index_in_dim(
+            paths_row.seg_starts, seg, keepdims=False
+        )
+        sx = jax.lax.dynamic_index_in_dim(paths_row.x, i, keepdims=False)
+        sy = jax.lax.dynamic_index_in_dim(paths_row.y, i, keepdims=False)
+        return (px - sx) ** 2 + (py - sy) ** 2
+
+    def body(state):
+        left, right, result, done = state
+        mid = (left + right) // 2
+        dl = d2_of(left)
+        dr = d2_of(right)
+        at_edge = (mid == right) | (mid == left)
+        chosen = jnp.where(dl <= dr, left, right)
+        result = jnp.where(~done & at_edge, chosen, result)
+        result = jnp.where(~done & (left == right), left, result)
+        done = done | at_edge | (left == right)
+        new_right = jnp.where(dl <= dr, mid, right)
+        new_left = jnp.where(dl <= dr, left, mid)
+        left = jnp.where(done, left, new_left)
+        right = jnp.where(done, right, new_right)
+        return left, right, result, done
+
+    def cond(state):
+        return ~state[3]
+
+    left0 = jnp.int32(0)
+    right0 = jnp.maximum(paths_row.n_segs - 1, 0)
+    _, _, result, _ = jax.lax.while_loop(
+        cond, body, (left0, right0, jnp.int32(0), right0 == left0)
+    )
+    return result
+
+
+def _closest_on_segment(paths_row, seg_idx, px, py):
+    """Last-min closest point inside a segment (follower.cpp:199-264)."""
+    start_i = jax.lax.dynamic_index_in_dim(
+        paths_row.seg_starts, seg_idx, keepdims=False
+    )
+    end_i = _seg_end_index(paths_row, seg_idx)
+    j = jnp.arange(paths_row.x.shape[0])
+    in_seg = (j >= start_i) & (j <= end_i)
+    d2 = jnp.where(
+        in_seg, (px - paths_row.x) ** 2 + (py - paths_row.y) ** 2, jnp.inf
+    )
+    m = jnp.min(d2)
+    # last index achieving the minimum (reference `<=` tie rule)
+    cidx = jnp.max(jnp.where(d2 <= m, j, -1)).astype(jnp.int32)
+    seg_size = end_i - start_i + 1
+    pos = jnp.where(
+        seg_size > 1,
+        (cidx - start_i).astype(jnp.float32) / jnp.maximum(seg_size - 1, 1),
+        1.0,
+    )
+    return cidx, pos, m, start_i, end_i
+
+
+def _device_determine_target(paths_row, carry_i, px, py):
+    """Sticky target determination (follower.cpp:266-304)."""
+    closest_idx, seg_idx, pos_in_seg = carry_i
+    seg_end = _seg_end_index(paths_row, seg_idx)
+    research = (
+        (pos_in_seg <= 0.0) | (closest_idx >= seg_end) | (pos_in_seg >= 0.9)
+    )
+    new_seg = jnp.where(
+        research, _binary_descent(paths_row, px, py), seg_idx
+    ).astype(jnp.int32)
+    cidx, pos, min_d2, start_i, end_i = _closest_on_segment(
+        paths_row, new_seg, px, py
+    )
+    # segment heading from segment start/end points
+    sx = jax.lax.dynamic_index_in_dim(paths_row.x, start_i, keepdims=False)
+    sy = jax.lax.dynamic_index_in_dim(paths_row.y, start_i, keepdims=False)
+    ex = jax.lax.dynamic_index_in_dim(paths_row.x, end_i, keepdims=False)
+    ey = jax.lax.dynamic_index_in_dim(paths_row.y, end_i, keepdims=False)
+    heading = jnp.arctan2(ey - sy, ex - sx)
+    return cidx, new_seg, pos, heading, jnp.sqrt(min_d2)
+
+
+def _fleet_robot_step(
+    spec: SolverSpec,
+    paths_row: FleetPaths,
+    cfg_row,
+    carry_row,
+    state4,  # x, y, yaw, speed
+    vel3,
+    ranges,  # [R]
+    angles,  # [R]
+    seg_capacity: int,
+):
+    """One robot's full control tick on device."""
+    (params12, limits9, sensor_pose, rot_in_place, goal_tol, ori_tol,
+     losing_tol, interp_dist, base_h, curv_tol, vx_max, max_seg_size) = cfg_row
+    closest_idx, seg_idx, pos_in_seg, goal_dist, reached = carry_row
+    x, y, yaw = state4[0], state4[1], state4[2]
+    P = paths_row.x.shape[0]
+
+    # --- goal / losing-goal (follower.cpp:109-142) ---
+    goal_i = paths_row.n_points - 1
+    gx = jax.lax.dynamic_index_in_dim(paths_row.x, goal_i, keepdims=False)
+    gy = jax.lax.dynamic_index_in_dim(paths_row.y, goal_i, keepdims=False)
+    d_goal = jnp.sqrt((x - gx) ** 2 + (y - gy) ** 2)
+    at_end = (seg_idx + 1) >= (paths_row.n_segs - 1)
+    improving = d_goal < goal_dist
+    new_goal_dist = jnp.where(at_end & improving, d_goal, goal_dist)
+    losing = at_end & ~improving & (jnp.abs(d_goal - goal_dist) > losing_tol)
+    now_reached = reached | (d_goal <= goal_tol) | losing
+
+    # --- target determination ---
+    cidx, new_seg, pos, seg_heading, _nd = _device_determine_target(
+        paths_row, (closest_idx, seg_idx, pos_in_seg), x, y
+    )
+    heading_error = jnp.mod(seg_heading - yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    # --- adaptive horizon (dwa.cpp:157-206) ---
+    dt = params12[0]
+    peek = jnp.ceil(base_h * vx_max / interp_dist).astype(jnp.int32)
+    j = jnp.arange(P)
+    start = jnp.minimum(cidx, paths_row.n_points - 1)
+    in_peek = (j >= start) & (j <= jnp.minimum(start + peek, paths_row.n_points - 1))
+    kappa_max = jnp.max(jnp.where(in_peek, jnp.abs(paths_row.curvature), 0.0))
+    cap = jnp.sqrt(8.0 * curv_tol / jnp.maximum(kappa_max, 1e-9)) / jnp.maximum(
+        vx_max, 1e-3
+    )
+    adaptive = jnp.where(kappa_max > curv_tol, jnp.minimum(base_h, cap), base_h)
+    horizon = jnp.clip(adaptive, 2.0 * dt, base_h)
+    active_points = jnp.clip(
+        (horizon / dt).astype(jnp.int32), 2, spec.max_points
+    )
+    max_forward = adaptive * vx_max
+
+    # --- obstacles: scan -> world (collision_check.h:98-117 chain) ---
+    r = jnp.where(jnp.isfinite(ranges), ranges, _PAD)
+    pxs = r * jnp.cos(angles)
+    pys = r * jnp.sin(angles)
+    cs, ss = jnp.cos(sensor_pose[2]), jnp.sin(sensor_pose[2])
+    bx = cs * pxs - ss * pys + sensor_pose[0]
+    by = ss * pxs + cs * pys + sensor_pose[1]
+    cy, sy2 = jnp.cos(yaw), jnp.sin(yaw)
+    obs = jnp.stack(
+        [cy * bx - sy2 * by + x, sy2 * bx + cy * by + y], axis=1
+    )
+    R = obs.shape[0]
+    obs = jnp.concatenate(
+        [obs, jnp.full((spec.scan_size - R, 2), _PAD)], axis=0
+    ) if R < spec.scan_size else obs[: spec.scan_size]
+
+    # --- tracked segment window (dwa.cpp:208-233) ---
+    # NOTE: path arrays are allocated seg_capacity wider than the path
+    # capacity (host pads), so the dynamic slice at `start` is always
+    # in-bounds and window data begins at slot 0 (the dwa_solve contract).
+    lookahead = jnp.maximum(
+        max_seg_size,
+        jnp.ceil(max_forward / interp_dist).astype(jnp.int32) + 1,
+    )
+    end = jnp.minimum(start + lookahead, paths_row.n_points - 1)
+    seg_count = jnp.minimum(end - start + 1, seg_capacity)
+    seg_x_raw = jax.lax.dynamic_slice_in_dim(paths_row.x, start, seg_capacity)
+    seg_y_raw = jax.lax.dynamic_slice_in_dim(paths_row.y, start, seg_capacity)
+    seg_arc = jax.lax.dynamic_slice_in_dim(paths_row.arc, start, seg_capacity)
+    k = jnp.arange(seg_capacity)
+    in_window = k < seg_count
+    seg_x = jnp.where(in_window, seg_x_raw, _PAD)
+    seg_y = jnp.where(in_window, seg_y_raw, _PAD)
+    chords = jnp.sqrt(
+        jnp.diff(seg_x_raw) ** 2 + jnp.diff(seg_y_raw) ** 2
+    )
+    seg_total_len = jnp.sum(jnp.where(in_window[1:], chords, 0.0))
+
+    # --- solve ---
+    from .solver import SolverParams
+
+    params = SolverParams(*[params12[i] for i in range(12)])
+    window = _device_window(spec, vel3, limits9, params.time_step)
+    res = dwa_solve(
+        spec,
+        params,
+        state4[0:3],
+        window,
+        obs,
+        jnp.int32(jnp.minimum(R, spec.scan_size)),
+        seg_x,
+        seg_y,
+        seg_arc,
+        seg_count,
+        seg_total_len,
+        paths_row.total_len,
+        active_points,
+    )
+
+    # --- rotate-in-place / reached overrides ---
+    rotate = rot_in_place & (jnp.abs(heading_error) > ori_tol * 10.0)
+    w_max = limits9[6]
+    rot_omega = heading_error * w_max / jnp.pi
+    cmd_vx = jnp.where(rotate, 0.0, res.velocities[0, 0])
+    cmd_vy = jnp.where(rotate, 0.0, res.velocities[0, 1])
+    cmd_w = jnp.where(rotate, rot_omega, res.velocities[0, 2])
+    found = rotate | res.found
+    cmd_vx = jnp.where(now_reached, 0.0, cmd_vx)
+    cmd_vy = jnp.where(now_reached, 0.0, cmd_vy)
+    cmd_w = jnp.where(now_reached, 0.0, cmd_w)
+
+    new_carry = (
+        cidx,
+        new_seg,
+        pos,
+        new_goal_dist,
+        now_reached,
+    )
+    out = dict(
+        found=found & ~now_reached,
+        reached=now_reached,
+        vx=cmd_vx,
+        vy=cmd_vy,
+        omega=cmd_w,
+        cost=res.cost,
+        heading_error=heading_error,
+        active_points=active_points,
+    )
+    return new_carry, out
+
+
+def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots"):
+    """Jit-compiled fleet tick:
+    (paths, cfg, carry, states [N,4], vels [N,3], ranges [N,R], angles [N,R])
+    -> (carry', outputs dict of [N] arrays)."""
+    spec = fleet_spec.solver
+
+    def tick(paths, cfg, carry, states, vels, ranges, angles):
+        def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a):
+            paths_row = FleetPaths(*paths_row_tuple)
+            return _fleet_robot_step(
+                spec, paths_row, cfg_row, carry_row, s, v, r, a,
+                fleet_spec.solver.seg_size,
+            )
+        return jax.vmap(one)(
+            tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
+            angles,
+        )
+
+    if mesh is None:
+        return jax.jit(tick)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        tick,
+        in_shardings=(sh, sh, sh, sh, sh, sh, sh),
+        out_shardings=(sh, sh),
+    )

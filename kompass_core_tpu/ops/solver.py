@@ -62,6 +62,11 @@ class SolverSpec:
     # "xla": fused elementwise+reduce sweeps (portable, CPU-testable);
     # "pallas": MXU cross-term kernel for the distance sweeps (TPU only)
     backend: str = "xla"
+    # True: the packed window block carries (current_vel[3], limits[9]) and
+    # the dynamic window is computed ON DEVICE (fleet mode — removes the
+    # per-robot host grid walk). False: host-built float64-exact window
+    # arrays (single-robot parity mode).
+    device_window: bool = False
 
     @property
     def num_samples(self) -> int:
@@ -126,6 +131,40 @@ class SolveResult(NamedTuple):
 # ---------------------------------------------------------------------------
 # grid construction
 # ---------------------------------------------------------------------------
+
+
+def _device_window(spec: SolverSpec, current_vel, limits, time_step):
+    """On-device dynamic window (fleet mode): jnp replication of the host
+    grid walk in ``ops/window.py`` (reference
+    ``UpdateReachableVelocityRange``, ``trajectory_sampler.cpp:328-372``).
+
+    Values are ``min + k*res`` instead of the sequential accumulation —
+    identical within float rounding; the inclusion mask carries a small
+    tolerance for the boundary point.
+    """
+    vx0, vy0, w0 = current_vel[0], current_vel[1], current_vel[2]
+    (vx_max_l, vx_acc, vx_dec, vy_max_l, vy_acc, vy_dec,
+     w_max_l, w_acc, w_dec) = [limits[i] for i in range(9)]
+    dt = time_step
+
+    def axis(v0, vmax, acc, dec, n):
+        hi = jnp.minimum(vmax, v0 + acc * dt)
+        lo = jnp.maximum(-vmax, v0 - dec * dt)
+        res = jnp.maximum((hi - lo) / jnp.maximum(n - 1, 1), 0.001)
+        vals = lo + jnp.arange(n, dtype=jnp.float32) * res
+        mask = vals <= hi + 1e-5 * jnp.abs(hi) + 1e-7
+        return vals.astype(jnp.float32), mask
+
+    vx_vals, vx_mask = axis(vx0, vx_max_l, vx_acc, vx_dec, spec.n_vx)
+    if spec.is_omni:
+        vy_vals, vy_mask = axis(vy0, vy_max_l, vy_acc, vy_dec, spec.n_vy)
+    else:
+        vy_vals = jnp.zeros(spec.n_vy, jnp.float32)
+        vy_mask = jnp.zeros(spec.n_vy, bool).at[0].set(True)
+    w_vals, w_mask = axis(w0, w_max_l, w_acc, w_dec, spec.n_omega)
+    from .window import VelocityWindow
+
+    return VelocityWindow(vx_vals, vx_mask, vy_vals, vy_mask, w_vals, w_mask)
 
 
 def _build_velocity_grid(spec: SolverSpec, window) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -371,8 +410,12 @@ def _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len, active_points):
         end_y[:, None] - seg_y[None, :]
     ) ** 2  # [S, SEG]; padded slots huge
     j_star = jnp.argmin(d2, axis=1)
-    min_d2 = jnp.take_along_axis(d2, j_star[:, None], axis=1)[:, 0]
-    arc_at = seg_arc[j_star]
+    min_d2 = jnp.min(d2, axis=1)
+    # arc length at the closest index via a one-hot masked sum: a per-row
+    # gather (seg_arc[j_star]) lowers to a slow TPU gather under vmap,
+    # while this is one more cheap [S, SEG] elementwise+reduce pass
+    onehot = jnp.arange(seg_arc.shape[0])[None, :] == j_star[:, None]
+    arc_at = jnp.sum(jnp.where(onehot, seg_arc[None, :], 0.0), axis=1)
     return (ref_total_len - arc_at) / ref_total_len + jnp.sqrt(min_d2) / ref_total_len
 
 
@@ -601,8 +644,13 @@ def pack_solver_input(
     seg_total_len: float,
     ref_total_len: float,
     active_points: int,
+    current_vel=None,
+    limits_vec=None,
 ):
-    """Serialize one tick's dynamic inputs into the packed buffer (host)."""
+    """Serialize one tick's dynamic inputs into the packed buffer (host).
+
+    Pass ``window=None`` with ``current_vel``/``limits_vec`` when the spec
+    uses device-window mode."""
     buf[0:3] = state
     buf[3] = obs_count
     buf[4] = seg_count
@@ -611,17 +659,24 @@ def pack_solver_input(
     buf[7] = active_points
     buf[8:20] = params_vec
     o = _HDR
-    for arr in (
-        window.vx_vals,
-        window.vx_mask,
-        window.vy_vals,
-        window.vy_mask,
-        window.omega_vals,
-        window.omega_mask,
-    ):
-        n = arr.shape[0]
-        buf[o : o + n] = arr
-        o += n
+    if window is None:
+        # device-window mode (spec.device_window): the window block carries
+        # (current_vel[3], limits[9]); the grid is built on device
+        buf[o : o + 3] = current_vel
+        buf[o + 3 : o + 12] = limits_vec
+        o += 2 * (spec.n_vx + spec.n_vy + spec.n_omega)
+    else:
+        for arr in (
+            window.vx_vals,
+            window.vx_mask,
+            window.vy_vals,
+            window.vy_mask,
+            window.omega_vals,
+            window.omega_mask,
+        ):
+            n = arr.shape[0]
+            buf[o : o + n] = arr
+            o += n
     r = spec.scan_size
     buf[o : o + r] = obs_xy[:, 0]
     buf[o + r : o + 2 * r] = obs_xy[:, 1]
@@ -664,16 +719,24 @@ def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
     )
     o = _HDR
     nx, ny, nw = spec.n_vx, spec.n_vy, spec.n_omega
-    vx_vals = buf[o : o + nx]
-    vx_mask = buf[o + nx : o + 2 * nx] > 0.5
-    o += 2 * nx
-    vy_vals = buf[o : o + ny]
-    vy_mask = buf[o + ny : o + 2 * ny] > 0.5
-    o += 2 * ny
-    w_vals = buf[o : o + nw]
-    w_mask = buf[o + nw : o + 2 * nw] > 0.5
-    o += 2 * nw
-    window = VelocityWindow(vx_vals, vx_mask, vy_vals, vy_mask, w_vals, w_mask)
+    if spec.device_window:
+        window = _device_window(
+            spec, buf[o : o + 3], buf[o + 3 : o + 12], params.time_step
+        )
+        o += 2 * (nx + ny + nw)
+    else:
+        vx_vals = buf[o : o + nx]
+        vx_mask = buf[o + nx : o + 2 * nx] > 0.5
+        o += 2 * nx
+        vy_vals = buf[o : o + ny]
+        vy_mask = buf[o + ny : o + 2 * ny] > 0.5
+        o += 2 * ny
+        w_vals = buf[o : o + nw]
+        w_mask = buf[o + nw : o + 2 * nw] > 0.5
+        o += 2 * nw
+        window = VelocityWindow(
+            vx_vals, vx_mask, vy_vals, vy_mask, w_vals, w_mask
+        )
     r = spec.scan_size
     obs_xy = jnp.stack([buf[o : o + r], buf[o + r : o + 2 * r]], axis=1)
     o += 2 * r

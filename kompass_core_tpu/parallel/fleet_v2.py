@@ -1,0 +1,236 @@
+"""Device-resident fleet runtime (v2): whole-pipeline-on-device control.
+
+Wraps ``ops/fleet_solver.py``: paths are interpolated/segmented on host
+once (`set_paths`), padded, and uploaded; every tick afterwards is one
+jitted dispatch taking only states, velocities and scans. Host cost per
+tick is O(robots) numpy stacking — microseconds per robot — enabling
+100 Hz fleets of hundreds of robots per host.
+
+Use `parallel.multihost.FleetRuntime` instead when exact host-follower
+parity is required per robot (it runs the reference's Python/native
+follower machinery).
+"""
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..control.dwa import DWAConfig, _round_up
+from ..datatypes.path import ReferencePath
+from ..models import Robot, RobotCtrlLimits, RobotType
+from ..ops.fleet_solver import (
+    FleetCarry,
+    FleetConfig,
+    FleetPaths,
+    FleetSpec,
+    make_fleet_tick,
+)
+from ..ops.solver import SolverSpec
+from ..ops.window import compute_linear_sample_split, num_angular_slots
+from ..utils.runtime import enable_persistent_compilation_cache
+
+_PAD = 1e8
+
+
+class DeviceFleet:
+    """N robots, one on-device control pipeline."""
+
+    def __init__(
+        self,
+        robots: Sequence[Robot],
+        ctrl_limits: RobotCtrlLimits,
+        config: DWAConfig,
+        scan_rays: int,
+        path_capacity: int = 2048,
+        max_segments: int = 64,
+        mesh=None,
+    ):
+        enable_persistent_compilation_cache()
+        self.num_robots = len(robots)
+        self.config = config
+        self.mesh = mesh
+        n_dev = (
+            int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        )
+        self._n = ((self.num_robots + n_dev - 1) // n_dev) * n_dev  # padded
+
+        is_omni = robots[0].robot_type == RobotType.OMNI
+        n_vx, n_vy = compute_linear_sample_split(
+            is_omni, config.max_linear_samples
+        )
+        n_omega = num_angular_slots(config.max_angular_samples)
+        dt = config.control_time_step
+        base_h = config.prediction_horizon * dt
+        interp = config.max_point_interpolation_distance
+        lookahead_pts = max(
+            int(config.path_segment_length / interp) + 1,
+            int(math.ceil(base_h * ctrl_limits.vx_limits.max_vel / interp)) + 1,
+        )
+        seg_size = _round_up(lookahead_pts + 1, 64)
+        solver_spec = SolverSpec(
+            is_omni=is_omni,
+            n_vx=n_vx,
+            n_vy=n_vy,
+            n_omega=n_omega,
+            max_points=int(config.prediction_horizon),
+            num_ctrl_points=int(config.control_horizon),
+            scan_size=max(256, _round_up(scan_rays, 256)),
+            seg_size=seg_size,
+            drop_samples=bool(config.drop_samples),
+            device_window=True,
+        )
+        self.spec = FleetSpec(
+            solver=solver_spec,
+            path_capacity=path_capacity,
+            max_segments=max_segments,
+        )
+        self._tick_fn = make_fleet_tick(self.spec, mesh=mesh)
+        self._scan_rays = scan_rays
+
+        # per-robot config arrays
+        N = self._n
+        limits = ctrl_limits.to_array()
+        if not is_omni:
+            limits = limits.copy()
+            limits[3:6] = 0.0
+        w = config.costs_weights
+        params12 = np.array(
+            [
+                dt,
+                0.0,  # robot radius, per robot below
+                config.octree_resolution / 2.0,
+                w.reference_path_distance_weight,
+                w.goal_distance_weight,
+                w.obstacles_distance_weight,
+                w.smoothness_weight,
+                w.jerk_weight,
+                limits[1],
+                limits[4],
+                limits[7],
+                10.0 / 3.0,
+            ],
+            np.float32,
+        )
+        params = np.tile(params12, (N, 1))
+        for i, r in enumerate(robots):
+            params[i, 1] = r.radius
+        rotate = np.array(
+            [r.robot_type != RobotType.ACKERMANN for r in robots]
+            + [False] * (N - self.num_robots)
+        )
+        self._cfg = FleetConfig(
+            params12=jnp.asarray(params),
+            limits9=jnp.asarray(np.tile(limits.astype(np.float32), (N, 1))),
+            sensor_pose=jnp.zeros((N, 3), jnp.float32),
+            rotate_in_place=jnp.asarray(rotate),
+            goal_dist_tol=jnp.full(N, config.goal_dist_tolerance, jnp.float32),
+            goal_ori_tol=jnp.full(
+                N, config.goal_orientation_tolerance, jnp.float32
+            ),
+            losing_goal_dist=jnp.full(
+                N, config.loosing_goal_distance, jnp.float32
+            ),
+            interp_dist=jnp.full(N, interp, jnp.float32),
+            base_horizon_s=jnp.full(N, base_h, jnp.float32),
+            curvature_tol=jnp.full(
+                N, config.curvature_horizon_tolerance, jnp.float32
+            ),
+            vx_max=jnp.full(N, ctrl_limits.vx_limits.max_vel, jnp.float32),
+            max_segment_size=jnp.full(
+                N, int(config.path_segment_length / interp) + 1, jnp.int32
+            ),
+        )
+        self._paths: Optional[FleetPaths] = None
+        self._carry: Optional[FleetCarry] = None
+        self.last_tick_seconds = 0.0
+
+    # ------------------------------------------------------------------
+
+    def set_paths(self, paths: Sequence[np.ndarray]):
+        """Interpolate + segment each path on host, pad, upload once."""
+        N = self._n
+        P = self.spec.path_capacity
+        cap = P + self.spec.solver.seg_size  # extra tail for window slices
+        NS = self.spec.max_segments
+        x = np.full((N, cap), _PAD, np.float32)
+        y = np.full((N, cap), _PAD, np.float32)
+        arc = np.zeros((N, cap), np.float32)
+        curv = np.zeros((N, cap), np.float32)
+        n_points = np.ones(N, np.int32)
+        seg_starts = np.zeros((N, NS), np.int32)
+        n_segs = np.ones(N, np.int32)
+        total = np.zeros(N, np.float32)
+        interp = self.config.max_point_interpolation_distance
+        max_seg_pts = int(self.config.path_segment_length / interp) + 1
+        for i, pts in enumerate(paths):
+            ref = ReferencePath(np.asarray(pts))
+            ref.interpolate(interp)
+            ref.segment(self.config.path_segment_length, max_seg_pts)
+            n = min(ref.size(), P)
+            x[i, :n] = ref.xs[:n]
+            y[i, :n] = ref.ys[:n]
+            arc[i, :n] = ref.arc_lengths[:n]
+            curv[i, :n] = ref.curvature[:n]
+            n_points[i] = n
+            ns = min(ref.num_segments, NS)
+            seg_starts[i, :ns] = ref.segment_starts[:ns]
+            seg_starts[i, ns:] = n  # padded starts point past the end
+            n_segs[i] = ns
+            total[i] = ref.total_path_length()
+        self._paths = FleetPaths(
+            x=jnp.asarray(x),
+            y=jnp.asarray(y),
+            arc=jnp.asarray(arc),
+            curvature=jnp.asarray(curv),
+            n_points=jnp.asarray(n_points),
+            seg_starts=jnp.asarray(seg_starts),
+            n_segs=jnp.asarray(n_segs),
+            total_len=jnp.asarray(total),
+        )
+        self._carry = FleetCarry(
+            closest_idx=jnp.zeros(N, jnp.int32),
+            seg_idx=jnp.zeros(N, jnp.int32),
+            pos_in_seg=jnp.full(N, -1.0, jnp.float32),
+            goal_dist=jnp.full(N, np.inf, jnp.float32),
+            reached=jnp.asarray(
+                [False] * self.num_robots + [True] * (N - self.num_robots)
+            ),
+        )
+
+    def tick(self, states, vels, ranges, angles):
+        """One fleet tick.
+
+        states [num_robots, >=3], vels [num_robots, 3],
+        ranges [num_robots, R], angles [R] or [num_robots, R].
+        Returns dict of numpy arrays per robot (found, reached, vx, vy,
+        omega, cost)."""
+        import time
+
+        t0 = time.perf_counter()
+        N = self._n
+        st = np.zeros((N, 4), np.float32)
+        st[: self.num_robots, : min(4, np.shape(states)[1])] = np.asarray(
+            states, np.float32
+        )[:, :4]
+        vl = np.zeros((N, 3), np.float32)
+        vl[: self.num_robots] = np.asarray(vels, np.float32)
+        rg = np.full((N, self._scan_rays), _PAD, np.float32)
+        rg[: self.num_robots] = np.asarray(ranges, np.float32)
+        ang = np.asarray(angles, np.float32)
+        if ang.ndim == 1:
+            ang = np.tile(ang, (N, 1))
+        else:
+            a2 = np.zeros((N, self._scan_rays), np.float32)
+            a2[: self.num_robots] = ang
+            ang = a2
+        self._carry, out = self._tick_fn(
+            self._paths, self._cfg, self._carry, st, vl, rg, ang
+        )
+        out = {k: np.asarray(v)[: self.num_robots] for k, v in out.items()}
+        self.last_tick_seconds = time.perf_counter() - t0
+        return out

@@ -91,7 +91,12 @@ class FleetRuntime:
 
     def _ensure_solver(self, scan_bucket: int):
         if self._solver is None:
+            import dataclasses
+
             spec, _, _ = self.controllers[0]._solver_for(scan_bucket)
+            # fleet mode computes the dynamic window on device — the host
+            # never walks the per-robot velocity grid
+            spec = dataclasses.replace(spec, device_window=True)
             self._spec = spec
             self._solver = make_fleet_solver(spec, mesh=self.mesh)
             from ..ops.solver import packed_input_size
@@ -163,21 +168,12 @@ class FleetRuntime:
                 ctrl._path.xs, ctrl._path.ys, ctrl._path.arc_lengths,
                 start, end, 1e8, spec.seg_size,
             )
-            window = sample_velocity_window(
-                (state.vx, state.vy, state.omega),
-                ctrl._limits_array,
-                ctrl._dt,
-                spec.n_vx,
-                spec.n_vy,
-                spec.n_omega,
-                spec.is_omni,
-            )
             pack_solver_input(
                 spec,
                 self._inputs[i],
                 ctrl._params_vec(),
                 (state.x, state.y, state.yaw),
-                window,
+                None,  # device-window mode
                 obs_padded,
                 min(len(obs), spec.scan_size),
                 seg_x,
@@ -187,6 +183,8 @@ class FleetRuntime:
                 seg_total,
                 ctrl._path.total_path_length(),
                 ctrl._active_points,
+                current_vel=(state.vx, state.vy, state.omega),
+                limits_vec=ctrl._limits_array,
             )
             needs_solve.append(i)
 

@@ -211,3 +211,41 @@ def test_rotate_in_place_turns_toward_path():
         res = dwa.compute_velocity_commands((0.0, 0.0, 0.0), laser_scan=LaserScanData())
         yaw += float(res.trajectory.omega[0]) * 0.1
     assert abs(yaw) < 0.3
+
+
+def test_device_window_matches_host_window():
+    """Fleet device-window mode must agree with the host float64 walk."""
+    import dataclasses
+    from kompass_core_tpu.ops.solver import (
+        get_packed_dwa_solver, make_packed_dwa_solver, pack_solver_input,
+        packed_input_size, unpack_solver_output,
+    )
+    spec_h = SolverSpec(is_omni=False, n_vx=5, n_vy=1, n_omega=5,
+                        max_points=10, num_ctrl_points=2, scan_size=32,
+                        seg_size=64)
+    spec_d = dataclasses.replace(spec_h, device_window=True)
+    limits = _limits().to_array()
+    limits[3:6] = 0.0
+    vel = (0.42, 0.0, -0.13)
+    window = sample_velocity_window(vel, limits, 0.1, 5, 1, 5, False)
+    n_seg = 40
+    seg_x = np.full(64, 1e8, np.float32); seg_x[:n_seg] = np.linspace(0, 3.9, n_seg)
+    seg_y = np.full(64, 1e8, np.float32); seg_y[:n_seg] = 0.0
+    seg_arc = np.zeros(64, np.float32); seg_arc[:n_seg] = np.linspace(0, 3.9, n_seg)
+    obs = np.full((32, 2), 1e8, np.float32); obs[0] = [1.5, 0.3]
+    params = np.array([0.1, 0.2, 0.05, 2.0, 1.0, 1.0, 0.0, 0.0, 5.0, 0.0, 3.0, 10/3], np.float32)
+    common = dict(params_vec=params, state=(0.0, 0.0, 0.1), obs_xy=obs,
+                  obs_count=1, seg_x=seg_x, seg_y=seg_y, seg_arc=seg_arc,
+                  seg_count=n_seg, seg_total_len=3.9, ref_total_len=3.9,
+                  active_points=10)
+    buf_h = np.zeros(packed_input_size(spec_h), np.float32)
+    pack_solver_input(spec_h, buf_h, window=window, **common)
+    buf_d = np.zeros(packed_input_size(spec_d), np.float32)
+    pack_solver_input(spec_d, buf_d, window=None, current_vel=vel,
+                      limits_vec=limits, **common)
+    out_h = unpack_solver_output(spec_h, np.asarray(get_packed_dwa_solver(spec_h)(buf_h)))
+    out_d = unpack_solver_output(spec_d, np.asarray(make_packed_dwa_solver(spec_d)(buf_d)))
+    assert out_h[0] == out_d[0]  # found
+    assert out_h[2] == out_d[2]  # same winning sample
+    np.testing.assert_allclose(out_h[4], out_d[4], rtol=1e-5)  # vx sequence
+    assert out_h[1] == pytest.approx(out_d[1], rel=1e-4)
