@@ -311,36 +311,58 @@ def _fleet_robot_step(
         new_goal_dist,
         now_reached,
     )
-    out = dict(
-        found=found & ~now_reached,
-        reached=now_reached,
-        vx=cmd_vx,
-        vy=cmd_vy,
-        omega=cmd_w,
-        cost=res.cost,
-        heading_error=heading_error,
-        active_points=active_points,
+    # ONE packed output vector per robot: a dict of arrays would cost one
+    # device->host fetch per field (see OUT_FIELDS for the layout)
+    out = jnp.stack(
+        [
+            (found & ~now_reached).astype(jnp.float32),
+            now_reached.astype(jnp.float32),
+            cmd_vx,
+            cmd_vy,
+            cmd_w,
+            res.cost,
+            heading_error,
+            active_points.astype(jnp.float32),
+        ]
     )
     return new_carry, out
 
 
+OUT_FIELDS = (
+    "found",
+    "reached",
+    "vx",
+    "vy",
+    "omega",
+    "cost",
+    "heading_error",
+    "active_points",
+)
+
+
 def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots"):
     """Jit-compiled fleet tick:
-    (paths, cfg, carry, states [N,4], vels [N,3], ranges [N,R], angles [N,R])
-    -> (carry', outputs dict of [N] arrays)."""
+    (paths, cfg, carry, angles [N,R] (device-resident),
+     inputs [N, 4+3+R] (state | vel | ranges — ONE transfer per tick))
+    -> (carry', outputs [N, len(OUT_FIELDS)])."""
     spec = fleet_spec.solver
 
-    def tick(paths, cfg, carry, states, vels, ranges, angles):
+    def tick(paths, cfg, carry, angles, inputs):
+        states = inputs[:, 0:4]
+        vels = inputs[:, 4:7]
+        ranges = inputs[:, 7:]
+
         def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a):
             paths_row = FleetPaths(*paths_row_tuple)
             return _fleet_robot_step(
                 spec, paths_row, cfg_row, carry_row, s, v, r, a,
                 fleet_spec.solver.seg_size,
             )
-        return jax.vmap(one)(
+        carry2, out = jax.vmap(one)(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles,
         )
+        return carry2, out
 
     if mesh is None:
         return jax.jit(tick)
@@ -349,6 +371,6 @@ def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots")
     sh = NamedSharding(mesh, P(axis_name))
     return jax.jit(
         tick,
-        in_shardings=(sh, sh, sh, sh, sh, sh, sh),
+        in_shardings=(sh, sh, sh, sh, sh),
         out_shardings=(sh, sh),
     )

@@ -147,7 +147,22 @@ class DeviceFleet:
         )
         self._paths: Optional[FleetPaths] = None
         self._carry: Optional[FleetCarry] = None
+        self._angles = None  # device-resident per-robot scan angles
+        self._inputs = np.zeros(
+            (self._n, 4 + 3 + scan_rays), np.float32
+        )
         self.last_tick_seconds = 0.0
+
+    def set_scan_angles(self, angles: np.ndarray):
+        """Upload the (usually static) scan angle grid once."""
+        ang = np.asarray(angles, np.float32)
+        if ang.ndim == 1:
+            ang = np.tile(ang, (self._n, 1))
+        else:
+            a2 = np.zeros((self._n, self._scan_rays), np.float32)
+            a2[: len(ang)] = ang
+            ang = a2
+        self._angles = jnp.asarray(ang)
 
     # ------------------------------------------------------------------
 
@@ -212,25 +227,22 @@ class DeviceFleet:
         import time
 
         t0 = time.perf_counter()
-        N = self._n
-        st = np.zeros((N, 4), np.float32)
-        st[: self.num_robots, : min(4, np.shape(states)[1])] = np.asarray(
-            states, np.float32
-        )[:, :4]
-        vl = np.zeros((N, 3), np.float32)
-        vl[: self.num_robots] = np.asarray(vels, np.float32)
-        rg = np.full((N, self._scan_rays), _PAD, np.float32)
-        rg[: self.num_robots] = np.asarray(ranges, np.float32)
-        ang = np.asarray(angles, np.float32)
-        if ang.ndim == 1:
-            ang = np.tile(ang, (N, 1))
-        else:
-            a2 = np.zeros((N, self._scan_rays), np.float32)
-            a2[: self.num_robots] = ang
-            ang = a2
-        self._carry, out = self._tick_fn(
-            self._paths, self._cfg, self._carry, st, vl, rg, ang
+        if self._angles is None:
+            self.set_scan_angles(angles)
+        n = self.num_robots
+        s = np.asarray(states, np.float32)
+        self._inputs[:n, : min(4, s.shape[1])] = s[:, :4]
+        self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
+        self._inputs[:n, 7:] = np.asarray(ranges, np.float32)
+        self._inputs[n:, 7:] = _PAD
+        self._carry, out_mat = self._tick_fn(
+            self._paths, self._cfg, self._carry, self._angles, self._inputs
         )
-        out = {k: np.asarray(v)[: self.num_robots] for k, v in out.items()}
+        from ..ops.fleet_solver import OUT_FIELDS
+
+        out_np = np.asarray(out_mat)[: self.num_robots]  # one fetch
+        out = {k: out_np[:, i] for i, k in enumerate(OUT_FIELDS)}
+        out["found"] = out["found"] > 0.5
+        out["reached"] = out["reached"] > 0.5
         self.last_tick_seconds = time.perf_counter() - t0
         return out
