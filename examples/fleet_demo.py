@@ -1,10 +1,10 @@
 """Fleet demo: N robots controlled by one sharded device dispatch per tick.
 
-Spawns a row of diff-drive robots, each with its own straight path, and
-drives them all with `FleetRuntime` — per-robot follower state on host, one
-batched (mesh-sharded) DWA solve per tick. Prints fleet throughput.
+Spawns a row of robots, each with its own straight path, and drives them
+all with the device-resident `DeviceFleet` (whole follower pipeline on
+device; pass --host to use the host-follower `FleetRuntime` instead).
 
-Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots]
+Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots] [--host]
 """
 
 import sys
@@ -25,7 +25,7 @@ from kompass_core_tpu.models import (
 from kompass_core_tpu.parallel import FleetRuntime, build_fleet_mesh
 
 
-def main(n_robots: int = 100):
+def main(n_robots: int = 100, host_mode: bool = False):
     robots = [
         Robot(
             robot_type=RobotType.ACKERMANN,
@@ -54,7 +54,17 @@ def main(n_robots: int = 100):
         control_horizon=2,
         control_time_step=0.1,
     )
-    fleet = FleetRuntime(robots, limits, config, mesh=build_fleet_mesh())
+    n_rays = 72
+    angles = np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
+    if host_mode:
+        fleet = FleetRuntime(robots, limits, config, mesh=build_fleet_mesh())
+    else:
+        from kompass_core_tpu.parallel import DeviceFleet
+
+        fleet = DeviceFleet(
+            robots, limits, config, scan_rays=n_rays, path_capacity=512,
+            max_segments=16, mesh=build_fleet_mesh(),
+        )
 
     paths = []
     for i, robot in enumerate(robots):
@@ -63,28 +73,46 @@ def main(n_robots: int = 100):
         paths.append(np.array([[x0, 0.0], [x0, 3.0]]))
     fleet.set_paths(paths)
 
-    scans = [LaserScanData()] * n_robots
     reached = np.zeros(n_robots, bool)
     tick_times = []
+    scans = [LaserScanData(ranges=np.full(n_rays, 10.0), angles=angles)] * n_robots
+    ranges = np.full((n_robots, n_rays), 10.0)
     for tick in range(80):
-        results = fleet.tick([r.state for r in robots], scans)
+        if host_mode:
+            results = fleet.tick([r.state for r in robots], scans)
+            found = [r["found"] for r in results]
+            vx = [r.get("vx", 0.0) for r in results]
+            vy = [r.get("vy", 0.0) for r in results]
+            om = [r.get("omega", 0.0) for r in results]
+            reached |= np.array(
+                [r.get("reason") == "goal_reached" for r in results]
+            )
+        else:
+            states = np.array(
+                [[r.state.x, r.state.y, r.state.yaw, r.state.speed]
+                 for r in robots]
+            )
+            vels = np.array(
+                [[r.state.vx, r.state.vy, r.state.omega] for r in robots]
+            )
+            out = fleet.tick(states, vels, ranges, angles)
+            found, vx, vy, om = out["found"], out["vx"], out["vy"], out["omega"]
+            reached |= out["reached"]
         tick_times.append(fleet.last_tick_seconds)
-        for i, (robot, res) in enumerate(zip(robots, results)):
-            if res.get("reason") == "goal_reached":
-                reached[i] = True
-            elif res["found"]:
+        for i, robot in enumerate(robots):
+            if not reached[i] and found[i]:
                 robot.set_control(
-                    velocity_x=res["vx"], velocity_y=res["vy"],
-                    omega=res["omega"],
+                    velocity_x=vx[i], velocity_y=vy[i], omega=om[i]
                 )
                 robot.get_state(dt=0.1)
         if reached.all():
             break
     steady = np.median(tick_times[2:]) if len(tick_times) > 3 else tick_times[-1]
+    mode = "host-follower" if host_mode else "device-resident"
     print(
-        f"fleet: {int(reached.sum())}/{n_robots} robots reached goals in "
-        f"{len(tick_times)} ticks; steady tick {steady * 1e3:.1f} ms "
-        f"({n_robots / steady:,.0f} solves/s incl. host packing)"
+        f"fleet[{mode}]: {int(reached.sum())}/{n_robots} robots reached "
+        f"goals in {len(tick_times)} ticks; steady tick {steady * 1e3:.1f} ms "
+        f"({n_robots / steady:,.0f} solves/s end-to-end)"
     )
     assert reached.sum() >= n_robots - 1
     print("FLEET DEMO PASSED")
@@ -92,4 +120,10 @@ def main(n_robots: int = 100):
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 100))
+    args = [a for a in sys.argv[1:] if a != "--host"]
+    sys.exit(
+        main(
+            int(args[0]) if args else 100,
+            host_mode="--host" in sys.argv,
+        )
+    )

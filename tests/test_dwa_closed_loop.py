@@ -239,3 +239,15 @@ def test_dwa_pointcloud_and_local_map_inputs(robot, ctrl_limits):
     from kompass_core_tpu.models import RobotState
     state = RobotState(x=0.0, y=0.0, yaw=np.pi / 2)
     assert dwa.loop_step(current_state=state, local_map=wall_world)
+
+
+def test_dwa_empty_scan(robot, ctrl_limits):
+    """Zero-ray scan: no obstacles, no collisions, solver still solves."""
+    config = DWAConfig(prediction_horizon=10, control_horizon=2)
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    dwa.set_current_state(0.0, 0.0, 0.0)
+    scan = LaserScanData(ranges=np.zeros(0), angles=np.zeros(0))
+    res = dwa.compute_velocity_commands((0.3, 0.0, 0.0), laser_scan=scan)
+    assert res.is_found
+    assert res.trajectory.vx[0] > 0.0
