@@ -23,6 +23,7 @@ from ..datatypes.laserscan import LaserScanData
 from ..datatypes.path import ReferencePath
 from ..models import Robot, RobotCtrlLimits, RobotState, RobotType
 from ..ops.solver import (
+    COLLISION_MARGIN_FACTOR,
     SolverSpec,
     get_packed_dwa_solver,
     make_packed_dwa_solver,
@@ -243,7 +244,7 @@ class DWA(Follower):
             [
                 self._dt,
                 self.robot.radius,
-                self._config.octree_resolution / 2.0,
+                self._config.octree_resolution * COLLISION_MARGIN_FACTOR,
                 w.reference_path_distance_weight,
                 w.goal_distance_weight,
                 w.obstacles_distance_weight,
@@ -621,7 +622,7 @@ class DWA(Follower):
         return bool(
             check_states_feasibility(
                 xy, obs, self.robot.radius,
-                self._config.octree_resolution / 2.0,
+                self._config.octree_resolution * COLLISION_MARGIN_FACTOR,
             )
         )
 

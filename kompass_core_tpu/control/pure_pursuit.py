@@ -18,6 +18,7 @@ import numpy as np
 from attrs import Factory, define, field
 
 from ..models import Robot, RobotCtrlLimits, RobotState, RobotType
+from ..ops.solver import COLLISION_MARGIN_FACTOR
 from ..models.robot import restrict_velocity_to_limits
 from ..utils.angles import normalize_to_minus_pi_pi
 from ..utils.config import base_validators
@@ -143,7 +144,7 @@ class PurePursuit(Follower):
     def _check_command_collisions(self, cmd: VelocityCommand, dt: float) -> bool:
         if self._obstacles_world is None or len(self._obstacles_world) == 0:
             return False
-        r = self.robot.radius + self._config.octree_resolution / 2.0
+        r = self.robot.radius + self._config.octree_resolution * COLLISION_MARGIN_FACTOR
         x, y, yaw = (
             self.current_state.x,
             self.current_state.y,

@@ -30,7 +30,7 @@ from ..ops.fleet_solver import (
     FleetSpec,
     make_fleet_tick,
 )
-from ..ops.solver import SolverSpec
+from ..ops.solver import COLLISION_MARGIN_FACTOR, SolverSpec
 from ..ops.window import compute_linear_sample_split, num_angular_slots
 from ..utils.runtime import enable_persistent_compilation_cache
 
@@ -103,7 +103,7 @@ class DeviceFleet:
             [
                 dt,
                 0.0,  # robot radius, per robot below
-                config.octree_resolution / 2.0,
+                config.octree_resolution * COLLISION_MARGIN_FACTOR,
                 w.reference_path_distance_weight,
                 w.goal_distance_weight,
                 w.obstacles_distance_weight,
