@@ -145,31 +145,43 @@ def main():
     log(f"single-solve round-trip: p50={p50:.2f} ms p99={p99:.2f} ms")
 
     # ---- fleet throughput (device-resident batch) ----
+    # Measured as the marginal time per batch over growing chains of
+    # DISTINCT device-resident inputs, with completion forced by a value
+    # fetch from the final output. This is robust against two
+    # remote-runtime behaviors observed on the dev tunnel: caching of
+    # identical (executable, input) dispatches, and block_until_ready
+    # resolving before execution completes.
     B = 256
     fleet_solver = make_fleet_solver(spec)
-    inputs = np.stack([build_scenario(spec, rng, i) for i in range(B)])
-    inputs_dev = jax.device_put(inputs)
+    base = np.stack([build_scenario(spec, rng, i) for i in range(B)])
+    variants = []
+    for k in range(40):
+        v = base.copy()
+        v[:, 0] += 1e-4 * k  # distinct robot states per dispatch
+        variants.append(jax.device_put(v))
     t0 = time.time()
-    fleet_out = fleet_solver(inputs_dev)
-    fleet_out.block_until_ready()
-    log(f"fleet first call (compile): {time.time() - t0:.1f} s")
-    # sanity on a few rows
+    fleet_out = fleet_solver(variants[0])
     rows = np.asarray(fleet_out[:4])
+    log(f"fleet first call (compile): {time.time() - t0:.1f} s")
     for i, row in enumerate(rows):
         f, c, _b, n_adm, *_ = unpack_solver_output(spec, row)
         log(f"  robot {i}: found={f} cost={c:.4f} admissible={n_adm}")
 
-    reps = 20
-    t0 = time.time()
-    for _ in range(reps):
-        fleet_out = fleet_solver(inputs_dev)
-    fleet_out.block_until_ready()
-    elapsed = time.time() - t0
-    solves_per_s = B * reps / elapsed
-    per_solve_us = elapsed / (B * reps) * 1e6
+    def chain(n):
+        t0 = time.time()
+        outs = [fleet_solver(variants[k]) for k in range(n)]
+        float(np.asarray(outs[-1][0, 1]))  # force completion of the chain
+        return time.time() - t0
+
+    chain(5)  # warm queue
+    t10, t40 = chain(10), chain(40)
+    per_batch = max((t40 - t10) / 30, 1e-9)
+    solves_per_s = B / per_batch
+    per_solve_us = per_batch / B * 1e6
     log(
         f"fleet throughput: {solves_per_s:,.0f} solves/s "
-        f"({per_solve_us:.1f} us/solve, batch={B})"
+        f"({per_solve_us:.1f} us/solve, batch={B}, slope of 10->40 chained "
+        f"distinct batches)"
     )
 
     print(

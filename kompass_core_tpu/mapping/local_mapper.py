@@ -165,6 +165,28 @@ class LocalMapper:
             np.float32,
         )
 
+    def get_previous_grid_in_current_pose(
+        self,
+        current_position_in_previous_pose,
+        current_orientation_in_previous_pose: float,
+        unknown_value: Optional[float] = None,
+    ) -> np.ndarray:
+        """Public re-projection entry (reference binding
+        ``get_previous_grid_in_current_pose``)."""
+        if self._spec is None:
+            raise RuntimeError("Mapper not initialized (no scan processed)")
+        warped = get_warp_previous_grid(self._spec)(
+            self._prev_prob,
+            np.asarray(current_position_in_previous_pose[:2], np.float32),
+            np.float32(current_orientation_in_previous_pose),
+            np.float32(
+                unknown_value
+                if unknown_value is not None
+                else self.scan_model.p_prior
+            ),
+        )
+        return np.asarray(warped)
+
     def _calculate_grid_shift(self, current_robot_pose: PoseData):
         """Warp the previous probability grid into the current pose
         (reference :224-247)."""

@@ -301,3 +301,44 @@ def test_poi_to_bbox_median():
     # median-based: outlier at (300, 300) must not drag the center
     assert abs(int(c[0]) - 101) <= 6
     assert abs(int(c[1]) - 102) <= 8
+
+
+def test_rgbd_follower_tracks_moving_target(robot, limits):
+    """Multi-frame closed-loop: the target drifts sideways across frames;
+    tracker + control keep following (integration of detector, tracker,
+    Kalman filter and the tracking law)."""
+    config = VisionRGBDFollowerConfig(
+        control_time_step=0.1,
+        target_distance_m=1.0,
+        min_depth=0.1,
+        max_depth=10.0,
+        use_local_coordinates=True,
+    )
+    follower = VisionRGBDFollower(
+        robot=robot,
+        ctrl_limits=limits,
+        config=config,
+        camera_focal_length=(FX, FY),
+        camera_principal_point=(CX, CY),
+    )
+    def box_at(cx_px, t):
+        return Bbox2D(
+            top_left_corner=np.array([int(cx_px) - 50, int(CY) - 40]),
+            size=np.array([100, 80]),
+            label="person",
+            timestamp=t,
+        )
+    b0 = box_at(CX, 0.0)
+    img = make_depth_image(3.0, b0)
+    assert follower.set_initial_tracking_2d_target(img, b0)
+    omegas = []
+    for k in range(1, 6):
+        # target drifts right in the image 30 px per frame
+        bk = box_at(CX + 30 * k, 0.1 * k)
+        imgk = make_depth_image(3.0, bk)
+        assert follower.loop_step(detections_2d=[bk], aligned_depth_image=imgk)
+        omegas.append(follower.angular_control[0])
+    # target moving right (negative body-left axis) -> rotate clockwise
+    assert omegas[-1] < 0.0
+    # and still commanding forward motion toward the 3 m-away target
+    assert follower.linear_x_control[0] > 0.0
