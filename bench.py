@@ -159,6 +159,8 @@ def main():
         v = base.copy()
         v[:, 0] += 1e-4 * k  # distinct robot states per dispatch
         variants.append(jax.device_put(v))
+    for v in variants:  # force resident so transfers don't land in the chain
+        float(np.asarray(v[0, 0]))
     t0 = time.time()
     fleet_out = fleet_solver(variants[0])
     rows = np.asarray(fleet_out[:4])

