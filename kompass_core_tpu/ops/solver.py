@@ -286,14 +286,31 @@ def _rollout(spec: SolverSpec, params: SolverParams, state, vels):
 # ---------------------------------------------------------------------------
 
 
+def _pad_sweep_pow2(x):
+    """Pad a 1-D sweep operand to the next power-of-two length (>=128)
+    with +1e8 sentinels.
+
+    XLA's TPU lane reduction over a non-power-of-two minor axis falls off
+    the vectorized path: a min-reduce over 384 slots measures ~3x SLOWER
+    than the same reduce over 512 (1.54 vs 0.54 ms at S=2025, T=30, B=8
+    on v5e). The sentinel never wins a min, so padding is free accuracy-
+    wise and large perf-wise whenever a bucket size isn't a power of two.
+    """
+    n = x.shape[-1]
+    target = max(128, 1 << (n - 1).bit_length())
+    if target == n:
+        return x
+    return jnp.pad(x, (0, target - n), constant_values=_BIG)
+
+
 def _min_obstacle_dist_sq(px, py, obs_xy, pt_mask):
     """[S, T] -> per-point min squared distance to any obstacle point.
 
     Padded obstacle slots sit at +1e8 so they never win the min. Masked
     trajectory points get +inf.
     """
-    ox = obs_xy[:, 0]
-    oy = obs_xy[:, 1]
+    ox = _pad_sweep_pow2(obs_xy[:, 0])
+    oy = _pad_sweep_pow2(obs_xy[:, 1])
     # [S, T, O] fused reduce — XLA fuses the subtract/square into the min
     # reduction, so the cube never materializes in HBM.
     d2 = jnp.min(
@@ -389,10 +406,13 @@ def _path_cost(px, py, seg_x, seg_y, seg_last_xy, seg_total_len, active_points,
     t_idx = jnp.arange(T)
     pt_mask = t_idx < active_points
     if d2_seg is None:
-        # [S, T, SEG] fused min reduce; padded segment slots at +1e8
+        # [S, T, SEG] fused min reduce; padded segment slots at +1e8,
+        # sweep axis pow2-padded (see _pad_sweep_pow2)
+        sx = _pad_sweep_pow2(seg_x)
+        sy = _pad_sweep_pow2(seg_y)
         d2_seg = jnp.min(
-            (px[:, :, None] - seg_x[None, None, :]) ** 2
-            + (py[:, :, None] - seg_y[None, None, :]) ** 2,
+            (px[:, :, None] - sx[None, None, :]) ** 2
+            + (py[:, :, None] - sy[None, None, :]) ** 2,
             axis=-1,
         )
     d = jnp.sqrt(d2_seg)
@@ -413,16 +433,19 @@ def _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len, active_points):
     reference's strict `<` scan."""
     S, T = px.shape
     end_x, end_y = _trajectory_end_points(px, py, active_points)
-    d2 = (end_x[:, None] - seg_x[None, :]) ** 2 + (
-        end_y[:, None] - seg_y[None, :]
-    ) ** 2  # [S, SEG]; padded slots huge
+    sx = _pad_sweep_pow2(seg_x)
+    sy = _pad_sweep_pow2(seg_y)
+    d2 = (end_x[:, None] - sx[None, :]) ** 2 + (
+        end_y[:, None] - sy[None, :]
+    ) ** 2  # [S, SEGp]; padded slots huge
     j_star = jnp.argmin(d2, axis=1)
     min_d2 = jnp.min(d2, axis=1)
     # arc length at the closest index via a one-hot masked sum: a per-row
     # gather (seg_arc[j_star]) lowers to a slow TPU gather under vmap,
     # while this is one more cheap [S, SEG] elementwise+reduce pass
-    onehot = jnp.arange(seg_arc.shape[0])[None, :] == j_star[:, None]
-    arc_at = jnp.sum(jnp.where(onehot, seg_arc[None, :], 0.0), axis=1)
+    arcp = jnp.pad(seg_arc, (0, sx.shape[0] - seg_arc.shape[0]))
+    onehot = jnp.arange(arcp.shape[0])[None, :] == j_star[:, None]
+    arc_at = jnp.sum(jnp.where(onehot, arcp[None, :], 0.0), axis=1)
     return (ref_total_len - arc_at) / ref_total_len + jnp.sqrt(min_d2) / ref_total_len
 
 
