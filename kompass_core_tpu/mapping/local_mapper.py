@@ -165,6 +165,26 @@ class LocalMapper:
             np.float32,
         )
 
+    @staticmethod
+    def fill_grid_around_point(
+        grid_data: np.ndarray,
+        grid_point,
+        grid_padding: int,
+        indicator: int,
+    ) -> None:
+        """Stamp a clipped square patch of ``indicator`` around a grid cell,
+        in place (reference ``fillGridAroundPoint``,
+        ``local_mapper.cpp:80-105``). A host-side numpy edit — patch
+        stamping is pointer-sized work, not a device kernel."""
+        h, w = grid_data.shape
+        i, j = int(grid_point[0]), int(grid_point[1])
+        i0, i1 = max(0, i - grid_padding), min(h - 1, i + grid_padding)
+        j0, j1 = max(0, j - grid_padding), min(w - 1, j + grid_padding)
+        if i0 <= i1 and j0 <= j1:
+            grid_data[i0 : i1 + 1, j0 : j1 + 1] = indicator
+        if 0 <= i < h and 0 <= j < w:
+            grid_data[i, j] = indicator
+
     def get_previous_grid_in_current_pose(
         self,
         current_position_in_previous_pose,

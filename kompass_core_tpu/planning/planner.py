@@ -202,9 +202,30 @@ def _prm_solve(
 # ---------------------------------------------------------------------------
 
 
+def _informed_sample(key, start, goal, c_best, bounds_lo, bounds_hi):
+    """Uniform sample from the prolate hyperspheroid with foci start/goal
+    and transverse diameter c_best (Informed RRT*, Gammell et al. 2014):
+    unit-disc sample -> scale by (c_best/2, sqrt(c_best^2 - c_min^2)/2) ->
+    rotate onto the start-goal axis -> translate to the midpoint."""
+    k1, k2 = jax.random.split(key)
+    r = jnp.sqrt(jax.random.uniform(k1))
+    ang = jax.random.uniform(k2) * 2.0 * jnp.pi
+    ball = jnp.array([r * jnp.cos(ang), r * jnp.sin(ang)])
+    c_min = jnp.linalg.norm(goal - start)
+    r1 = c_best / 2.0
+    r2 = jnp.sqrt(jnp.maximum(c_best * c_best - c_min * c_min, 1e-12)) / 2.0
+    theta = jnp.arctan2(goal[1] - start[1], goal[0] - start[0])
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    ex = r1 * ball[0]
+    ey = r2 * ball[1]
+    pt = jnp.array([ct * ex - st * ey, st * ex + ct * ey]) + (start + goal) / 2.0
+    return jnp.clip(pt, bounds_lo, bounds_hi)
+
+
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "edge_check_points", "rewire"),
+    static_argnames=("max_iterations", "edge_check_points", "rewire",
+                     "informed"),
 )
 def _rrt_solve(
     blocked,
@@ -220,25 +241,38 @@ def _rrt_solve(
     max_iterations: int,
     edge_check_points: int,
     rewire: bool = False,
+    informed: bool = False,
 ):
-    """RRT(*) under lax.scan: fixed-capacity tree arrays, masked growth."""
+    """RRT(*) under lax.scan: fixed-capacity tree arrays, masked growth.
+
+    ``informed``: once any node can reach the goal, draw samples from the
+    prolate hyperspheroid bounded by the best known solution cost instead
+    of the full workspace (Informed RRT*)."""
     N = max_iterations + 2
     nodes = jnp.zeros((N, 2), jnp.float32).at[0].set(start)
     parents = jnp.full((N,), -1, jnp.int32)
     costs = jnp.full((N,), jnp.inf).at[0].set(0.0)
     count = jnp.int32(1)
+    c_best = jnp.float32(jnp.inf)
 
     goal_bias = 0.1
 
     def body(carry, key_i):
-        nodes, parents, costs, count = carry
-        k1, k2 = jax.random.split(key_i)
+        nodes, parents, costs, count, c_best = carry
+        k1, k2, k3 = jax.random.split(key_i, 3)
+        uniform = jax.random.uniform(
+            k2, (2,), minval=bounds_lo, maxval=bounds_hi, dtype=jnp.float32
+        )
+        if informed:
+            uniform = jnp.where(
+                jnp.isfinite(c_best),
+                _informed_sample(k3, start, goal, c_best, bounds_lo, bounds_hi),
+                uniform,
+            )
         sample = jnp.where(
             jax.random.uniform(k1) < goal_bias,
             goal,
-            jax.random.uniform(
-                k2, (2,), minval=bounds_lo, maxval=bounds_hi, dtype=jnp.float32
-            ),
+            uniform,
         )
         alive = jnp.arange(N) < count
         d = jnp.where(
@@ -277,11 +311,20 @@ def _rrt_solve(
         parents = jnp.where(ok, parents.at[idx].set(parent), parents)
         costs = jnp.where(ok, costs.at[idx].set(new_cost), costs)
         count = count + ok.astype(jnp.int32)
-        return (nodes, parents, costs, count), None
+        if informed:
+            dg = jnp.linalg.norm(new_pt - goal)
+            goal_ok = ok & (dg <= goal_tolerance) & _segment_free(
+                blocked, origin_xy, resolution, new_pt, goal,
+                edge_check_points,
+            )
+            c_best = jnp.where(
+                goal_ok, jnp.minimum(c_best, new_cost + dg), c_best
+            )
+        return (nodes, parents, costs, count, c_best), None
 
     keys = jax.random.split(key, max_iterations)
-    (nodes, parents, costs, count), _ = jax.lax.scan(
-        body, (nodes, parents, costs, count), keys
+    (nodes, parents, costs, count, c_best), _ = jax.lax.scan(
+        body, (nodes, parents, costs, count, c_best), keys
     )
     # connect to goal: nearest tree node within tolerance with a free segment
     alive = jnp.arange(N) < count
@@ -295,6 +338,121 @@ def _rrt_solve(
     )
     best = jnp.argmin(reach)
     return nodes, parents, best.astype(jnp.int32), reach[best]
+
+
+# ---------------------------------------------------------------------------
+# RRT-Connect
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "edge_check_points", "connect_steps"),
+)
+def _rrt_connect_solve(
+    blocked,
+    origin_xy,
+    bounds_lo,
+    bounds_hi,
+    resolution,
+    start,
+    goal,
+    step_size,
+    key,
+    max_iterations: int,
+    edge_check_points: int,
+    connect_steps: int = 8,
+):
+    """Bidirectional RRT-Connect (Kuffner & LaValle 2000) under lax.scan.
+
+    Two fixed-capacity trees rooted at start and goal. Each iteration
+    EXTENDs the active tree one step toward a uniform sample, then the
+    other tree runs a bounded CONNECT (up to ``connect_steps`` greedy
+    steps) toward the new node; if it arrives, the bridge joining the
+    trees is recorded and all further growth is masked out.
+
+    Returns (nodes [2,N,2], parents [2,N], found, bridge [2] node indices
+    into tree 0 / tree 1 at the junction).
+    """
+    N = max_iterations * (connect_steps + 1) // 2 + 2
+    nodes = (
+        jnp.zeros((2, N, 2), jnp.float32).at[0, 0].set(start).at[1, 0].set(goal)
+    )
+    parents = jnp.full((2, N), -1, jnp.int32)
+    counts = jnp.array([1, 1], jnp.int32)
+    found = jnp.bool_(False)
+    bridge = jnp.array([-1, -1], jnp.int32)
+
+    def extend(tree, nodes, parents, counts, target, gate):
+        """One EXTEND of `tree` toward target. gate masks the whole op."""
+        tn = nodes[tree]
+        cnt = counts[tree]
+        alive = jnp.arange(N) < cnt
+        d = jnp.where(alive, jnp.linalg.norm(tn - target, axis=1), jnp.inf)
+        nearest = jnp.argmin(d)
+        direction = target - tn[nearest]
+        dn = jnp.maximum(jnp.linalg.norm(direction), 1e-9)
+        new_pt = tn[nearest] + direction / dn * jnp.minimum(dn, step_size)
+        ok = (
+            gate
+            & (cnt < N)
+            & _segment_free(
+                blocked, origin_xy, resolution, tn[nearest], new_pt,
+                edge_check_points,
+            )
+            & _point_free(blocked, origin_xy, resolution, new_pt)
+        )
+        idx = jnp.minimum(cnt, N - 1)
+        nodes = jnp.where(ok, nodes.at[tree, idx].set(new_pt), nodes)
+        parents = jnp.where(
+            ok, parents.at[tree, idx].set(nearest.astype(jnp.int32)), parents
+        )
+        counts = jnp.where(ok, counts.at[tree].add(1), counts)
+        reached = ok & (dn <= step_size + 1e-6)
+        return ok, reached, idx, new_pt, nodes, parents, counts
+
+    def body(carry, inp):
+        nodes, parents, counts, found, bridge = carry
+        key_i, a = inp  # a: tree extended this iteration (alternates)
+        b = 1 - a
+        sample = jax.random.uniform(
+            key_i, (2,), minval=bounds_lo, maxval=bounds_hi, dtype=jnp.float32
+        )
+        ok_a, _, idx_a, q_a, nodes, parents, counts = extend(
+            a, nodes, parents, counts, sample, ~found
+        )
+
+        def connect_step(j, st):
+            nodes, parents, counts, going, arrived, idx_b = st
+            ok_b, reached, idx, _, nodes, parents, counts = extend(
+                b, nodes, parents, counts, q_a, going
+            )
+            arrived = arrived | reached
+            idx_b = jnp.where(reached & (idx_b < 0), idx, idx_b)
+            going = going & ok_b & ~reached
+            return (nodes, parents, counts, going, arrived, idx_b)
+
+        nodes, parents, counts, _, arrived, idx_b = jax.lax.fori_loop(
+            0,
+            connect_steps,
+            connect_step,
+            (nodes, parents, counts, ok_a & ~found, jnp.bool_(False),
+             jnp.int32(-1)),
+        )
+        hit = arrived & ~found
+        new_bridge = jnp.where(
+            a == 0, jnp.stack([idx_a, idx_b]), jnp.stack([idx_b, idx_a])
+        ).astype(jnp.int32)
+        bridge = jnp.where(hit, new_bridge, bridge)
+        found = found | arrived
+        return (nodes, parents, counts, found, bridge), None
+
+    keys = jax.random.split(key, max_iterations)
+    alternate = jnp.arange(max_iterations, dtype=jnp.int32) % 2
+    (nodes, parents, counts, found, bridge), _ = jax.lax.scan(
+        body, (nodes, parents, counts, found, bridge), (keys, alternate)
+    )
+    return nodes, parents, found, bridge
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +630,7 @@ def _solve_prm(planner: GlobalPlanner, prob) -> Optional[np.ndarray]:
     return pts[path[::-1]]
 
 
-def _solve_rrt(planner: GlobalPlanner, prob, rewire=False):
+def _solve_rrt(planner: GlobalPlanner, prob, rewire=False, informed=False):
     cfg = planner._config
     key = jax.random.PRNGKey(cfg.seed)
     nodes, parents, best, cost = _rrt_solve(
@@ -489,6 +647,7 @@ def _solve_rrt(planner: GlobalPlanner, prob, rewire=False):
         max_iterations=cfg.max_iterations,
         edge_check_points=cfg.edge_check_points,
         rewire=rewire,
+        informed=informed,
     )
     if not np.isfinite(float(cost)):
         return None
@@ -504,14 +663,73 @@ def _solve_rrt(planner: GlobalPlanner, prob, rewire=False):
     return np.vstack([pts, prob["goal"][None, :]])
 
 
+def _solve_prm_star(planner: GlobalPlanner, prob) -> Optional[np.ndarray]:
+    """PRM*: the connection radius shrinks with sample count as
+    gamma * sqrt(log n / n) (Karaman & Frazzoli 2011, d=2), with gamma
+    derived from the measured free-space area of the inflated grid."""
+    cfg = planner._config
+    n = cfg.num_samples
+    blocked = np.asarray(planner._blocked)
+    res = float(prob["resolution"])
+    mu_free = max(float((~blocked).sum()) * res * res, 1e-6)
+    gamma = 2.0 * np.sqrt(1.5) * np.sqrt(mu_free / np.pi)
+    r_star = float(gamma * np.sqrt(np.log(max(n, 2)) / n))
+    saved = cfg.connection_radius
+    try:
+        cfg.connection_radius = max(r_star, 2.0 * res)
+        return _solve_prm(planner, prob)
+    finally:
+        cfg.connection_radius = saved
+
+
+def _solve_rrt_connect(planner: GlobalPlanner, prob) -> Optional[np.ndarray]:
+    cfg = planner._config
+    key = jax.random.PRNGKey(cfg.seed)
+    nodes, parents, found, bridge = _rrt_connect_solve(
+        planner._blocked,
+        prob["origin"],
+        prob["lo"],
+        prob["hi"],
+        prob["resolution"],
+        jnp.asarray(prob["start"]),
+        jnp.asarray(prob["goal"]),
+        jnp.float32(cfg.step_size),
+        key,
+        max_iterations=cfg.max_iterations,
+        edge_check_points=cfg.edge_check_points,
+    )
+    if not bool(found):
+        return None
+    nodes = np.asarray(nodes)
+    parents = np.asarray(parents)
+    bridge = np.asarray(bridge)
+
+    def chain(tree, idx):
+        out = [int(idx)]
+        while out[-1] != 0:
+            nxt = int(parents[tree, out[-1]])
+            if nxt < 0 or nxt in out:
+                return None
+            out.append(nxt)
+        return out
+
+    c0 = chain(0, bridge[0])  # start tree: junction -> start
+    c1 = chain(1, bridge[1])  # goal tree: junction -> goal
+    if c0 is None or c1 is None:
+        return None
+    pts = np.concatenate([nodes[0][c0[::-1]], nodes[1][c1]])
+    return pts
+
+
 planner_registry: Dict[str, Callable] = {
     "PRM": _solve_prm,
-    "PRMstar": _solve_prm,
-    "LazyPRM": _solve_prm,
+    "PRMstar": _solve_prm_star,
+    "LazyPRM": _solve_prm,  # TPU batch-checks all edges up front; laziness
+    # buys nothing when the whole edge matrix is one fused kernel
     "RRT": partial(_solve_rrt, rewire=False),
-    "RRTConnect": partial(_solve_rrt, rewire=False),
+    "RRTConnect": _solve_rrt_connect,
     "RRTstar": partial(_solve_rrt, rewire=True),
-    "InformedRRTstar": partial(_solve_rrt, rewire=True),
+    "InformedRRTstar": partial(_solve_rrt, rewire=True, informed=True),
 }
 
 # reference-compatible alias

@@ -230,3 +230,23 @@ def test_local_mapper_pointcloud_ring():
     # float truncation puts the 2.0 m hit at cell 19 or 20
     assert OCCUPIED in (occ[si + 19, sj], occ[si + 20, sj])
     assert occ[si + 10, sj] == EMPTY
+
+
+def test_fill_grid_around_point():
+    """Square patch stamp with boundary clipping
+    (reference fillGridAroundPoint, local_mapper.cpp:80-105)."""
+    from kompass_core_tpu.mapping import LocalMapper
+
+    grid = np.full((10, 10), -1, np.int32)
+    LocalMapper.fill_grid_around_point(grid, (5, 5), 1, 100)
+    assert (grid[4:7, 4:7] == 100).all()
+    assert (grid == 100).sum() == 9
+    # clipped at the corner
+    grid2 = np.full((10, 10), -1, np.int32)
+    LocalMapper.fill_grid_around_point(grid2, (0, 0), 2, 100)
+    assert (grid2[:3, :3] == 100).all()
+    assert (grid2 == 100).sum() == 9
+    # fully out of bounds: no write, no crash
+    grid3 = np.full((10, 10), -1, np.int32)
+    LocalMapper.fill_grid_around_point(grid3, (50, 50), 1, 100)
+    assert (grid3 == -1).all()

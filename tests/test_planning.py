@@ -46,7 +46,10 @@ def _path_is_collision_free(planner, path):
     return True
 
 
-@pytest.mark.parametrize("planner_id", ["PRM", "RRT", "RRTstar"])
+@pytest.mark.parametrize(
+    "planner_id",
+    ["PRM", "PRMstar", "RRT", "RRTstar", "RRTConnect", "InformedRRTstar"],
+)
 def test_planner_solves_around_wall(robot, planner_id):
     meta, wall = make_wall_map()
     cfg = GlobalPlannerConfig(
