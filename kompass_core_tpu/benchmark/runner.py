@@ -51,6 +51,50 @@ def measure_performance(
     }
 
 
+def measure_throughput_slope(
+    name: str,
+    dispatch: Callable,
+    variants: List,
+    fetch: Callable,
+    n_lo: int = 10,
+    n_hi: int = 30,
+) -> Dict:
+    """Sustained-throughput measurement robust to remote-attached devices.
+
+    Blocking per-call timing (``measure_performance``) silently breaks on
+    remote runtimes where ``block_until_ready`` resolves before execution
+    completes and identical dispatches may be served from a cache. This
+    variant times growing chains of DISTINCT pre-resident inputs and
+    reports the marginal (slope) time per dispatch, forcing completion
+    with a value ``fetch`` from the final output — the method bench.py
+    uses for every published number.
+
+    ``variants``: >= ``n_hi`` distinct device-resident inputs.
+    ``dispatch(v) -> out``; ``fetch(out)`` must pull a value to host.
+    """
+    assert len(variants) >= n_hi, "need n_hi distinct inputs"
+    fetch(dispatch(variants[0]))  # warm/compile
+
+    def chain(n):
+        t0 = time.perf_counter()
+        outs = [dispatch(variants[k]) for k in range(n)]
+        fetch(outs[-1])
+        return time.perf_counter() - t0
+
+    chain(min(5, n_lo))
+    t_lo, t_hi = chain(n_lo), chain(n_hi)
+    ms = max((t_hi - t_lo) / (n_hi - n_lo) * 1e3, 1e-9)
+    return {
+        "name": name,
+        "runs": n_hi - n_lo,
+        "mean_ms": ms,
+        "min_ms": ms,
+        "p50_ms": ms,
+        "p99_ms": ms,
+        "method": "slope",
+    }
+
+
 class BenchmarkRunner:
     """Builds and runs the reference-equivalent workload suite on the
     current JAX backend."""
@@ -141,7 +185,7 @@ class BenchmarkRunner:
         work = self._dwa_workload(45, 45, 30, 512, 384, "baseline")
         self.results.append(measure_performance("DWA_2025x30", work))
 
-    def bench_fleet(self, batch=256):
+    def bench_fleet(self, batch=64):
         import jax
 
         from bench import build_scenario, build_spec  # repo-root bench module
@@ -150,14 +194,21 @@ class BenchmarkRunner:
         spec = build_spec()
         rng = np.random.default_rng(0)
         solver = make_fleet_solver(spec)
-        inputs = jax.device_put(
-            np.stack([build_scenario(spec, rng, i) for i in range(batch)])
+        base = np.stack([build_scenario(spec, rng, i) for i in range(batch)])
+        variants = []
+        for k in range(30):
+            v = base.copy()
+            v[:, 0] += 1e-4 * k
+            variants.append(jax.device_put(v))
+        for v in variants:  # force resident before timing
+            float(np.asarray(v[0, 0]))
+
+        r = measure_throughput_slope(
+            f"DWA_Fleet_{batch}",
+            solver,
+            variants,
+            lambda o: float(np.asarray(o[0, 1])),
         )
-
-        def work():
-            jax.block_until_ready(solver(inputs))
-
-        r = measure_performance(f"DWA_Fleet_{batch}", work)
         r["solves_per_s"] = batch / (r["mean_ms"] / 1e3)
         self.results.append(r)
 

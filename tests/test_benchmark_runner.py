@@ -35,3 +35,25 @@ def test_accelerator_enumeration():
     accs = get_available_accelerators()
     assert len(accs) >= 1
     assert all(isinstance(a, str) for a in accs)
+
+
+def test_measure_throughput_slope_schema():
+    """Slope method: marginal per-dispatch time from chained distinct
+    dispatches, with completion forced by a value fetch."""
+    import time as _time
+
+    from kompass_core_tpu.benchmark.runner import measure_throughput_slope
+
+    calls = []
+
+    def dispatch(v):
+        calls.append(v)
+        _time.sleep(0.001)
+        return v
+
+    r = measure_throughput_slope(
+        "T", dispatch, list(range(30)), fetch=lambda o: float(o),
+        n_lo=10, n_hi=30,
+    )
+    assert r["method"] == "slope"
+    assert 0.5 < r["mean_ms"] < 5.0  # ~1 ms per dispatch

@@ -79,3 +79,43 @@ def test_dwa_config_clamps_control_horizon():
 def test_config_validators_reject_out_of_range():
     with pytest.raises(ValueError):
         StanleyConfig(heading_gain=-1.0)
+
+
+def test_pointcloud_bytes_nonzero_offsets_and_dtype():
+    """Strided field reads with non-trivial offsets and int16 fields
+    (reference test_pointcloud_data.py:140-268 semantics)."""
+    import struct
+
+    n = 5
+    point_step = 16
+    raw = bytearray(n * point_step)
+    for i in range(n):
+        base = i * point_step
+        # layout: [pad 2][x i16][y i16][z i16][pad...]
+        struct.pack_into("<hhh", raw, base + 2, 10 * i, -3 * i, i)
+    pc = PointCloudData.from_bytes(
+        bytes(raw), point_step=point_step,
+        x_offset=2, y_offset=4, z_offset=6, dtype_code=3,
+    )
+    np.testing.assert_array_equal(pc.points[:, 0], [0, 10, 20, 30, 40])
+    np.testing.assert_array_equal(pc.points[:, 1], [0, -3, -6, -9, -12])
+    np.testing.assert_array_equal(pc.points[:, 2], [0, 1, 2, 3, 4])
+
+
+def test_pointcloud_bytes_multirow_row_step_padding():
+    """height>1 organized cloud with per-row padding beyond row_step."""
+    h, w = 3, 4
+    point_step = 12
+    row_step = w * point_step
+    pad = 8
+    rows = []
+    for r in range(h):
+        pts = np.arange(w * 3, dtype=np.float32).reshape(w, 3) + 100 * r
+        rows.append(pts.tobytes() + b"\xff" * pad)
+    raw = b"".join(rows)
+    pc = PointCloudData.from_bytes(
+        raw, point_step=point_step, row_step=row_step, height=h
+    )
+    assert pc.points.shape == (h * w, 3)
+    np.testing.assert_allclose(pc.points[4], [100.0, 101.0, 102.0])
+    np.testing.assert_allclose(pc.points[-1], [209.0, 210.0, 211.0])
