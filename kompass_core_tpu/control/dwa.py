@@ -21,7 +21,13 @@ from attrs import Factory, define, field
 
 from ..datatypes.laserscan import LaserScanData
 from ..datatypes.path import ReferencePath
-from ..models import Robot, RobotCtrlLimits, RobotState, RobotType
+from ..models import (
+    Robot,
+    RobotCtrlLimits,
+    RobotGeometry,
+    RobotState,
+    RobotType,
+)
 from ..ops.solver import (
     COLLISION_MARGIN_FACTOR,
     SolverSpec,
@@ -172,6 +178,15 @@ class DWA(Follower):
         )
         seg_size = _round_up(lookahead_pts + 1, 64)
 
+        # BOX robots get the exact oriented-rectangle collision check;
+        # the circumscribed circle would block corridors the box passes
+        # lengthwise (reference FCL uses the true shape,
+        # collision_check.h:91-136)
+        collision_box = None
+        if robot.geometry_type == RobotGeometry.Type.BOX:
+            gp = np.asarray(robot.geometry_params, np.float64)
+            collision_box = (float(gp[0]) / 2.0, float(gp[1]) / 2.0)
+
         self._spec_proto = dict(
             is_omni=self._is_omni,
             n_vx=n_vx,
@@ -181,6 +196,7 @@ class DWA(Follower):
             num_ctrl_points=int(config.control_horizon),
             seg_size=seg_size,
             drop_samples=bool(config.drop_samples),
+            collision_box=collision_box,
         )
         self._solvers = {}  # scan_size bucket -> jitted solver
         self._custom_costs: List = []

@@ -74,6 +74,13 @@ class SolverSpec:
     # per-robot host grid walk). False: host-built float64-exact window
     # arrays (single-robot parity mode).
     device_window: bool = False
+    # Exact oriented-rectangle collision for BOX robots: (half_length_x,
+    # half_width_y) body half-extents. None = point-robot + calibrated
+    # circle (radius + margin), the default for CYLINDER/SPHERE. The
+    # reference FCL-checks the true body shape (collision_check.h:91-136);
+    # a circumscribed circle blocks corridors a box robot can pass
+    # lengthwise, so box robots get the exact check.
+    collision_box: Optional[Tuple[float, float]] = None
 
     @property
     def num_samples(self) -> int:
@@ -321,7 +328,35 @@ def _min_obstacle_dist_sq(px, py, obs_xy, pt_mask):
     return jnp.where(pt_mask[None, :], d2, _INF)
 
 
-def _admissibility(spec, params, d2_obs, active_points, valid):
+def _min_box_dist_sq(spec, params, state, vels, px, py, obs_xy, pt_mask):
+    """Exact oriented-rectangle surface distance: [S, T] min squared
+    distance from the robot BOX body (half extents spec.collision_box,
+    heading yaw0 + omega*t*dt at pose t) to any obstacle point.
+
+    Zero inside the footprint. Role of the reference's FCL box collision
+    object (``collision_check.cpp:118-163``) without the broadphase: the
+    rotate-into-body-frame + axis clamp is ~4 extra VPU ops per
+    (pose, obstacle) pair on top of the point sweep.
+    """
+    hl, hw = spec.collision_box
+    T = px.shape[1]
+    yaw = state[2] + vels[:, 2:3] * jnp.arange(T, dtype=jnp.float32)[None, :] * params.time_step
+    c = jnp.cos(yaw)[:, :, None]
+    s = jnp.sin(yaw)[:, :, None]
+    ox = _pad_sweep_pow2(obs_xy[:, 0])
+    oy = _pad_sweep_pow2(obs_xy[:, 1])
+    dxw = ox[None, None, :] - px[:, :, None]
+    dyw = oy[None, None, :] - py[:, :, None]
+    bx = c * dxw + s * dyw  # body-frame obstacle coords
+    by = -s * dxw + c * dyw
+    ex = jnp.maximum(jnp.abs(bx) - hl, 0.0)
+    ey = jnp.maximum(jnp.abs(by) - hw, 0.0)
+    d2 = jnp.min(ex * ex + ey * ey, axis=-1)
+    return jnp.where(pt_mask[None, :], d2, _INF)
+
+
+def _admissibility(spec, params, d2_obs, active_points, valid,
+                   surface_distance=False):
     """Drop / truncate semantics from ``trajectory_sampler.cpp:118-178``
     expressed as masks.
 
@@ -332,13 +367,20 @@ def _admissibility(spec, params, d2_obs, active_points, valid):
     ``d2_obs``: shared per-point min squared obstacle distance [S, T]
     (masked to t < active_points); also consumed by the obstacle cost — one
     obstacle sweep serves both, like the reference GPU backend's single
-    upload + two kernels.
+    upload + two kernels. With ``surface_distance`` (box collision mode)
+    the distance is already measured from the body surface, so only the
+    margin is compared.
     """
     S, T = d2_obs.shape
     t_idx = jnp.arange(T)
     # poses checked by the reference loop: t in [1, active_points - 1]
     check_mask = (t_idx >= 1) & (t_idx <= active_points - 1)
-    r = params.robot_radius + params.collision_margin
+    if surface_distance:
+        # distance is from the body surface; d2 == 0 means inside the
+        # footprint, which must collide even with a zero margin
+        r = jnp.maximum(params.collision_margin, 1e-6)
+    else:
+        r = params.robot_radius + params.collision_margin
     collide = (d2_obs < r * r) & check_mask[None, :]
 
     any_col = jnp.any(collide, axis=1)
@@ -540,9 +582,20 @@ def dwa_solve(
     else:
         d2_obs = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
 
-    admissible, truncate_ok, i_col, last_free = _admissibility(
-        spec, params, d2_obs, active_points, valid
-    )
+    if spec.collision_box is not None:
+        # exact oriented-box surface distance drives admissibility; the
+        # obstacle COST keeps the reference's point min-distance decay
+        d2_col = _min_box_dist_sq(
+            spec, params, state, vels, px, py, obs_xy, pt_mask
+        )
+        admissible, truncate_ok, i_col, last_free = _admissibility(
+            spec, params, d2_col, active_points, valid,
+            surface_distance=True,
+        )
+    else:
+        admissible, truncate_ok, i_col, last_free = _admissibility(
+            spec, params, d2_obs, active_points, valid
+        )
     if spec.drop_samples:
         # drop mode never truncates: skip the per-row gathers entirely
         # (they lower to slow TPU gathers under vmap)

@@ -249,3 +249,84 @@ def test_device_window_matches_host_window():
     assert out_h[2] == out_d[2]  # same winning sample
     np.testing.assert_allclose(out_h[4], out_d[4], rtol=1e-5)  # vx sequence
     assert out_h[1] == pytest.approx(out_d[1], rel=1e-4)
+
+
+def test_box_collision_passes_tight_corridor():
+    """A long narrow BOX robot driving straight through a corridor wider
+    than the box but narrower than its circumscribed circle: the exact
+    oriented-rectangle check (SolverSpec.collision_box) must admit the
+    straight sample; the circle check must drop it (reference FCL uses
+    the true body shape, collision_check.h:91-136)."""
+    import dataclasses
+
+    import numpy as np
+
+    from kompass_core_tpu.ops.solver import (
+        SolverSpec,
+        get_packed_dwa_solver,
+        pack_solver_input,
+        packed_input_size,
+        unpack_solver_output,
+    )
+    from kompass_core_tpu.ops.window import sample_velocity_window
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits,
+        LinearCtrlLimits,
+        RobotCtrlLimits,
+    )
+
+    # box: 0.8 long x 0.3 wide -> circumscribed radius 0.427
+    half = (0.4, 0.15)
+    radius = float(np.hypot(*half))
+    spec_box = SolverSpec(
+        is_omni=False, n_vx=3, n_vy=1, n_omega=3, max_points=10,
+        num_ctrl_points=2, scan_size=256, seg_size=64,
+        drop_samples=True, collision_box=half,
+    )
+    spec_circle = dataclasses.replace(spec_box, collision_box=None)
+
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=0.5, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(max_vel=0.1, max_acc=3.0, max_decel=3.0),
+    ).to_array()
+    limits[3:6] = 0.0
+
+    # corridor walls at y = +-0.25: clearance 0.25 > half-width 0.15+margin,
+    # but < circumscribed radius 0.427
+    xs = np.linspace(-0.5, 2.0, 60)
+    wall = np.concatenate([
+        np.stack([xs, np.full_like(xs, 0.25)], 1),
+        np.stack([xs, np.full_like(xs, -0.25)], 1),
+    ]).astype(np.float32)
+    obs = np.full((256, 2), 1e8, np.float32)
+    obs[: len(wall)] = wall
+
+    n_seg = 40
+    s = np.linspace(0, 2.0, n_seg).astype(np.float32)
+    seg_x = np.full(64, 1e8, np.float32); seg_x[:n_seg] = s
+    seg_y = np.full(64, 1e8, np.float32); seg_y[:n_seg] = 0.0
+    seg_arc = np.zeros(64, np.float32); seg_arc[:n_seg] = s
+
+    window = sample_velocity_window((0.4, 0.0, 0.0), limits, 0.1, 3, 1, 3, False)
+    params = np.array(
+        [0.1, radius, 0.05, 2.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 3.0, 10 / 3],
+        np.float32,
+    )
+
+    results = {}
+    for name, spec in (("box", spec_box), ("circle", spec_circle)):
+        buf = np.zeros(packed_input_size(spec), np.float32)
+        pack_solver_input(
+            spec, buf, params, (0.0, 0.0, 0.0), window, obs, len(wall),
+            seg_x, seg_y, seg_arc, n_seg, float(s[-1]), 2.0, spec.max_points,
+        )
+        out = np.asarray(get_packed_dwa_solver(spec)(buf))
+        found, cost, _b, n_adm, *_ = unpack_solver_output(spec, out)
+        results[name] = (found, n_adm)
+
+    assert results["box"][0], "box robot must find a path through"
+    assert results["box"][1] > 0
+    assert not results["circle"][0], (
+        "circumscribed circle must block the corridor "
+        f"(got {results['circle']})"
+    )
