@@ -91,23 +91,7 @@ class MotionSample(TrajectorySample):
         self.speed_points = np.zeros(length, dtype=float)
 
 
-class ObstaclesData:
-    """Flat SoA container of 2D obstacle positions (role of the reference's
-    ``datatypes/obstacles.py:30``)."""
-
-    def __init__(self):
-        self.x_global = np.zeros(0, dtype=float)
-        self.y_global = np.zeros(0, dtype=float)
-        self.occupied_zone_radius = np.zeros(0, dtype=float)
-        self.vx = np.zeros(0, dtype=float)
-        self.vy = np.zeros(0, dtype=float)
-
-    def add_obstacle(self, x, y, radius=0.0, vx=0.0, vy=0.0):
-        self.x_global = np.append(self.x_global, x)
-        self.y_global = np.append(self.y_global, y)
-        self.occupied_zone_radius = np.append(self.occupied_zone_radius, radius)
-        self.vx = np.append(self.vx, vx)
-        self.vy = np.append(self.vy, vy)
-
-    def __len__(self):
-        return len(self.x_global)
+# the canonical ObstaclesData lives in datatypes/obstacles.py (full
+# reference API); re-exported here for backwards compatibility with the
+# offline tools that grew up importing it from this module
+from .obstacles import ObstaclesData  # noqa: E402,F401

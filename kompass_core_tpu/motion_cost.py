@@ -56,9 +56,12 @@ class StaticCollisionCost(CollisionCost):
         if len(obstacles) == 0 or len(path) == 0:
             self.cost = 0.0
             return 0.0
-        dx = path.x_points[:, None] - obstacles.x_global[None, :]
-        dy = path.y_points[:, None] - obstacles.y_global[None, :]
-        d = np.sqrt(dx * dx + dy * dy) - obstacles.occupied_zone_radius[None, :]
+        obs_x = np.asarray(obstacles.x_global, float)
+        obs_y = np.asarray(obstacles.y_global, float)
+        zone = np.asarray(obstacles.occupied_zone, float)
+        dx = path.x_points[:, None] - obs_x[None, :]
+        dy = path.y_points[:, None] - obs_y[None, :]
+        d = np.sqrt(dx * dx + dy * dy) - zone[None, :]
         min_d = float(np.min(d))
         clearance = min_d - self.robot_radius
         if clearance <= 0:
@@ -97,8 +100,12 @@ class DynamicCollisionProbabilityCost(CollisionCost):
             if time_points is not None
             else np.zeros(len(path))
         )
-        ox = obstacles.x_global[None, :] + obstacles.vx[None, :] * t[:, None]
-        oy = obstacles.y_global[None, :] + obstacles.vy[None, :] * t[:, None]
+        obs_x = np.asarray(obstacles.x_global, float)
+        obs_y = np.asarray(obstacles.y_global, float)
+        obs_vx = np.asarray(obstacles.vx, float)
+        obs_vy = np.asarray(obstacles.vy, float)
+        ox = obs_x[None, :] + obs_vx[None, :] * t[:, None]
+        oy = obs_y[None, :] + obs_vy[None, :] * t[:, None]
         d = np.sqrt(
             (path.x_points[:, None] - ox) ** 2
             + (path.y_points[:, None] - oy) ** 2

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..control.dwa import DWAConfig, _round_up
 from ..datatypes.path import ReferencePath
-from ..models import Robot, RobotCtrlLimits, RobotType
+from ..models import Robot, RobotCtrlLimits, RobotGeometry, RobotType
 from ..ops.fleet_solver import (
     FleetCarry,
     FleetConfig,
@@ -72,6 +72,19 @@ class DeviceFleet:
             int(math.ceil(base_h * ctrl_limits.vx_limits.max_vel / interp)) + 1,
         )
         seg_size = _round_up(lookahead_pts + 1, 64)
+        # exact box collision when the whole fleet shares one BOX shape
+        # (the solver spec is fleet-wide; mixed geometries fall back to
+        # the calibrated circle)
+        collision_box = None
+        geoms = {
+            (r.geometry_type, tuple(np.asarray(r.geometry_params)))
+            for r in robots
+        }
+        if len(geoms) == 1:
+            gt, gp = next(iter(geoms))
+            if gt == RobotGeometry.Type.BOX:
+                collision_box = (float(gp[0]) / 2.0, float(gp[1]) / 2.0)
+
         solver_spec = SolverSpec(
             is_omni=is_omni,
             n_vx=n_vx,
@@ -83,6 +96,7 @@ class DeviceFleet:
             seg_size=seg_size,
             drop_samples=bool(config.drop_samples),
             device_window=True,
+            collision_box=collision_box,
         )
         self.spec = FleetSpec(
             solver=solver_spec,

@@ -119,3 +119,42 @@ def test_pointcloud_bytes_multirow_row_step_padding():
     assert pc.points.shape == (h * w, 3)
     np.testing.assert_allclose(pc.points[4], [100.0, 101.0, 102.0])
     np.testing.assert_allclose(pc.points[-1], [209.0, 210.0, 211.0])
+
+
+def test_utils_common_yaml_and_logging(tmp_path):
+    """set_params_from_yaml patches attributes from a YAML section;
+    setup_logging creates the logs/ file sink (reference utils/common.py)."""
+    import logging
+
+    from kompass_core_tpu.utils.common import (
+        set_params_from_yaml,
+        setup_logging,
+    )
+
+    cfg = tmp_path / "params.yaml"
+    cfg.write_text("robot:\n  speed: 2.5\n  name: alpha\n")
+
+    class Holder:
+        speed = 1.0
+        name = "default"
+        missing = "kept"
+
+    h = Holder()
+    set_params_from_yaml(h, str(cfg), ["speed", "name", "missing"], "robot",
+                         yaml_key_equal_attribute_name=True)
+    assert h.speed == 2.5 and h.name == "alpha" and h.missing == "kept"
+
+    h2 = Holder()
+    set_params_from_yaml(h2, str(cfg), [("speed", "name")], "robot")
+    assert h2.name == 2.5  # mapped key -> attribute
+
+    h3 = Holder()
+    set_params_from_yaml(h3, str(cfg), [], "nope")  # bad root: logged, no raise
+    assert h3.speed == 1.0
+
+    setup_logging(str(tmp_path), "run", logging.INFO)
+    logging.getLogger().info("hello file sink")
+    for hd in logging.getLogger().handlers[:]:
+        if isinstance(hd, logging.FileHandler):
+            hd.flush(); logging.getLogger().removeHandler(hd); hd.close()
+    assert (tmp_path / "logs" / "run.log").exists()

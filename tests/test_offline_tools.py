@@ -5,7 +5,12 @@ import pytest
 
 from kompass_core_tpu.calibration import Calibration, ModelFitting
 from kompass_core_tpu.control import Stanley, StanleyConfig
-from kompass_core_tpu.datatypes.path_sample import ObstaclesData, PathSample
+from kompass_core_tpu.datatypes.obstacles import (
+    OBSTACLE_TYPE,
+    ObstaclesData,
+    split_obstacles_by_type,
+)
+from kompass_core_tpu.datatypes.path_sample import PathSample
 from kompass_core_tpu.models import (
     AngularCtrlLimits,
     LinearCtrlLimits,
@@ -80,15 +85,15 @@ def test_static_collision_cost_bands():
     obs = ObstaclesData()
     cost = StaticCollisionCost(weight=2.0, margin=0.5, robot_radius=0.3)
     # far obstacle: zero
-    obs.add_obstacle(10.0, 10.0)
+    obs.add_obstacle(OBSTACLE_TYPE.SCAN, 10.0, 10.0)
     assert cost(path, obs) == 0.0
     # touching obstacle: full cost * weight
     obs2 = ObstaclesData()
-    obs2.add_obstacle(1.0, 0.2)
+    obs2.add_obstacle(OBSTACLE_TYPE.SCAN, 1.0, 0.2)
     assert cost(path, obs2) == pytest.approx(2.0)
     # in the margin band: between 0 and weight
     obs3 = ObstaclesData()
-    obs3.add_obstacle(1.0, 0.65)  # clearance 0.35 in (0, 0.5)
+    obs3.add_obstacle(OBSTACLE_TYPE.SCAN, 1.0, 0.65)  # clearance 0.35 in (0, 0.5)
     v = cost(path, obs3)
     assert 0.0 < v < 2.0
 
@@ -177,3 +182,24 @@ def test_kinematic_control_conversions():
     ws = omni.wheel_speeds
     assert ws[0] == pytest.approx(0.5)
     assert ws[1] == pytest.approx(1.5)
+
+
+def test_obstacles_data_full_api():
+    """Reference ObstaclesData surface: columns, merge, metadata, split
+    (datatypes/obstacles.py:30-244)."""
+    obs = ObstaclesData()
+    obs.add_obstacle(OBSTACLE_TYPE.SCAN, 1.0, 2.0, x_local=0.5, y_local=0.1,
+                     i_grid=3, j_grid=4, occupied_zone=0.2)
+    obs.add_obstacle(OBSTACLE_TYPE.SEMANTIC, 5.0, 6.0, class_id=17,
+                     object_id=42, vx=0.3, vy=-0.1)
+    assert obs.get_length() == 2
+    other = ObstaclesData()
+    other.add_obstacle(OBSTACLE_TYPE.SCAN, 7.0, 8.0)
+    obs.merge_obstacles(other)
+    assert len(obs) == 3
+    scan, semantic = split_obstacles_by_type(obs)
+    assert len(scan) == 2 and len(semantic) == 1
+    assert semantic.class_id == [17] and semantic.object_id == [42]
+    obs.remove_obstacle_by_object_id(42)
+    assert len(obs) == 2
+    obs.check_attributes_equal_length()
