@@ -385,3 +385,28 @@ def get_pointcloud_to_scan(num_bins: int):
             pts, num_bins, range_max, min_z, max_z
         )
     )
+
+
+@lru_cache(maxsize=32)
+def get_scan_to_grid_fleet(spec: MapperSpec):
+    """Batched occupancy mapping: ranges [N, num_bins] -> grids [N, H, W]
+    in ONE dispatch (vmapped `scan_to_grid`).
+
+    A fleet-scale capability the single-robot reference has no analog
+    for: N robots' egocentric maps ride one tensor program — the MXU
+    one-hot beam lookup amortizes across the robot axis.
+    """
+    return jax.jit(jax.vmap(partial(scan_to_grid, spec)))
+
+
+@lru_cache(maxsize=32)
+def get_scan_to_grid_bayesian_fleet(spec: MapperSpec):
+    """Batched Bayesian mapping: (ranges [N, B], prev_prob [N, H, W],
+    scalar model params) -> (occ [N, H, W], prob [N, H, W]) in one
+    dispatch."""
+    return jax.jit(
+        jax.vmap(
+            partial(scan_to_grid_bayesian, spec),
+            in_axes=(0, 0, None, None, None, None, None, None),
+        )
+    )

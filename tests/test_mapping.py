@@ -250,3 +250,39 @@ def test_fill_grid_around_point():
     grid3 = np.full((10, 10), -1, np.int32)
     LocalMapper.fill_grid_around_point(grid3, (50, 50), 1, 100)
     assert (grid3 == -1).all()
+
+
+def test_fleet_mapper_matches_per_robot():
+    """Batched (vmapped) mapper == per-robot mapper, both layers."""
+    from kompass_core_tpu.ops.mapping import (
+        MapperSpec,
+        get_scan_to_grid,
+        get_scan_to_grid_bayesian,
+        get_scan_to_grid_bayesian_fleet,
+        get_scan_to_grid_fleet,
+    )
+
+    spec = MapperSpec(
+        grid_height=40, grid_width=40, num_bins=360, resolution=0.1
+    )
+    rng = np.random.default_rng(5)
+    N = 6
+    ranges = rng.uniform(0.5, 3.5, (N, 360)).astype(np.float32)
+    batched = np.asarray(get_scan_to_grid_fleet(spec)(ranges))
+    single = get_scan_to_grid(spec)
+    for i in range(N):
+        np.testing.assert_array_equal(batched[i], np.asarray(single(ranges[i])))
+
+    prev = np.full((N, 40, 40), 0.5, np.float32)
+    occ_b, prob_b = get_scan_to_grid_bayesian_fleet(spec)(
+        ranges, prev, np.float32(0.5), np.float32(0.3), np.float32(0.9),
+        np.float32(1.0), np.float32(10.0), np.float32(0.075),
+    )
+    occ_b = np.asarray(occ_b); prob_b = np.asarray(prob_b)
+    bay = get_scan_to_grid_bayesian(spec)
+    for i in range(N):
+        o, p = bay(ranges[i], prev[i], np.float32(0.5), np.float32(0.3),
+                   np.float32(0.9), np.float32(1.0), np.float32(10.0),
+                   np.float32(0.075))
+        np.testing.assert_array_equal(occ_b[i], np.asarray(o))
+        np.testing.assert_allclose(prob_b[i], np.asarray(p), rtol=1e-6)
