@@ -1,3 +1,8 @@
+from .footprint import (  # noqa: F401
+    CircularFootprint,
+    RectangleFootprint,
+    footprint_types,
+)
 from .robot import (  # noqa: F401
     AckermannControl,
     AngularCtrlLimits,
@@ -12,3 +17,6 @@ from .robot import (  # noqa: F401
     RobotState,
     RobotType,
 )
+
+# reference-compatible name (models.py:1109 OmniDirectionalControl)
+OmniDirectionalControl = OmniControl

@@ -158,3 +158,35 @@ def test_utils_common_yaml_and_logging(tmp_path):
         if isinstance(hd, logging.FileHandler):
             hd.flush(); logging.getLogger().removeHandler(hd); hd.close()
     assert (tmp_path / "logs" / "run.log").exists()
+
+
+def test_footprints(tmp_path):
+    """Circular/rectangular footprints: radius, YAML load, plotting
+    (reference models.py:439-656)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from kompass_core_tpu.models import (
+        CircularFootprint,
+        OmniDirectionalControl,
+        RectangleFootprint,
+    )
+
+    c = CircularFootprint(rad=0.5)
+    assert c.get_radius() == 0.5
+    r = RectangleFootprint(width=0.4, length=1.0)
+    assert r.get_radius() == pytest.approx(np.hypot(0.5, 0.2))
+
+    cfg = tmp_path / "robot.yaml"
+    cfg.write_text("robot:\n  robot_radius: 0.9\n  robot_width: 0.6\n"
+                   "  robot_length: 1.4\n")
+    c.set_from_yaml(str(cfg)); r.set_from_yaml(str(cfg))
+    assert c.radius == 0.9 and (r.width, r.length) == (0.6, 1.4)
+
+    fig, ax = plt.subplots()
+    c.plt_robot(0.0, 0.0, 0.3, ax=ax)
+    r.plt_robot(1.0, 1.0, -0.5, ax=ax)
+    assert len(ax.patches) >= 4
+    plt.close(fig)
+    assert OmniDirectionalControl is not None
