@@ -86,6 +86,7 @@ class FleetRuntime:
         self._inputs = None
         self._pool = None
         self.host_workers = int(host_workers)
+        self.solver_failures = 0  # cumulative device-dispatch failures
         self.last_tick_seconds = 0.0
 
     def set_paths(self, paths: Sequence[np.ndarray]):
@@ -225,17 +226,48 @@ class FleetRuntime:
         needs_solve = [i for i, r in enumerate(results) if r is None]
 
         if needs_solve:
-            out = np.asarray(self._solver(self._inputs))
-            for i in needs_solve:
-                found, cost, _b, _n, vx, vy, om, _px, _py = (
-                    unpack_solver_output(spec, out[i])
-                )
-                results[i] = dict(
-                    found=found,
-                    vx=float(vx[0]) if found else 0.0,
-                    vy=float(vy[0]) if found else 0.0,
-                    omega=float(om[0]) if found else 0.0,
-                    cost=cost,
-                )
+            out = self._dispatch_with_retry()
+            if out is None:
+                # fleet-level failsafe: both attempts failed — emit safe
+                # stop commands rather than crashing the control loop
+                for i in needs_solve:
+                    results[i] = dict(
+                        found=False, vx=0.0, vy=0.0, omega=0.0,
+                        cost=float("inf"), reason="solver_error",
+                    )
+            else:
+                for i in needs_solve:
+                    found, cost, _b, _n, vx, vy, om, _px, _py = (
+                        unpack_solver_output(spec, out[i])
+                    )
+                    results[i] = dict(
+                        found=found,
+                        vx=float(vx[0]) if found else 0.0,
+                        vy=float(vy[0]) if found else 0.0,
+                        omega=float(om[0]) if found else 0.0,
+                        cost=cost,
+                    )
         self.last_tick_seconds = time.perf_counter() - t0
         return results
+
+    def _dispatch_with_retry(self) -> Optional[np.ndarray]:
+        """Device dispatch with one re-dispatch on failure.
+
+        The runtime failure story SURVEY §5 calls for (the single-process
+        reference has none): a transient device/runtime error (preempted
+        remote device, OOM from a concurrent tenant) is retried once;
+        a second failure degrades this tick to safe-stop commands and
+        increments ``solver_failures`` for the operator to alarm on.
+        """
+        for attempt in (0, 1):
+            try:
+                return np.asarray(self._solver(self._inputs))
+            except Exception:  # noqa: BLE001 - any device error
+                self.solver_failures += 1
+                if attempt == 1:
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "fleet solve failed twice; emitting safe-stop"
+                    )
+        return None

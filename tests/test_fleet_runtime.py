@@ -79,3 +79,63 @@ def test_fleet_runtime_closed_loop():
         f"only {reached.sum()}/{n_robots} robots reached their goals"
     )
     assert fleet.last_tick_seconds < 5.0
+
+
+def _small_runtime():
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(4)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(max_vel=2.0, max_acc=3.0, max_decel=3.0),
+    )
+    config = DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0,
+            goal_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+            obstacles_distance_weight=0.0,
+        ),
+    )
+    rt = FleetRuntime(robots, limits, config)
+    paths = []
+    for i, robot in enumerate(robots):
+        robot.state.x = 0.5 * i
+        paths.append(np.array([[0.5 * i, 0.0], [0.5 * i + 2.0, 0.0]]))
+    rt.set_paths(paths)
+    states = [r.state for r in robots]
+    scans = [LaserScanData()] * 4
+    return rt, states, scans
+
+
+def test_fleet_runtime_failsafe_stop(monkeypatch):
+    """A failing device dispatch is retried once; persistent failure
+    degrades the tick to safe-stop commands instead of raising."""
+    rt, states, scans = _small_runtime()
+    rt.tick(states, scans)  # warm: builds the solver
+
+    calls = {"n": 0}
+
+    def boom(_):
+        calls["n"] += 1
+        raise RuntimeError("device lost")
+
+    monkeypatch.setattr(rt, "_solver", boom)
+    results = rt.tick(states, scans)
+    assert calls["n"] == 2  # retried exactly once
+    assert rt.solver_failures == 2
+    for r in results:
+        if r.get("reason") == "solver_error":
+            assert r["vx"] == 0.0 and r["omega"] == 0.0 and not r["found"]
+    assert any(r.get("reason") == "solver_error" for r in results)
