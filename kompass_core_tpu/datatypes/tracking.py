@@ -6,7 +6,7 @@ state, and the planar tracked pose. NumPy storage.
 """
 
 import math
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 from attrs import Factory, define, field

@@ -24,7 +24,7 @@ Path data (padded [N, P] SoA + segment tables) is uploaded once per
 
 import dataclasses
 from functools import partial
-from typing import List, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

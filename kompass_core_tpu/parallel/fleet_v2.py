@@ -13,7 +13,7 @@ follower machinery).
 
 import dataclasses
 import math
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .datatypes.path_sample import PathPoint, PathSample
+from .datatypes.path_sample import PathSample
 from .motion_cost import ReferenceCost
 from .simulation import RobotSim
 

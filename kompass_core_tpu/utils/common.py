@@ -10,7 +10,7 @@ import logging
 import os
 from typing import List, Optional, Sequence
 
-from .config import BaseAttrs, base_validators
+from .config import BaseAttrs, base_validators  # noqa: F401 - re-exported
 
 __all__ = [
     "BaseAttrs",
