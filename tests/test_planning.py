@@ -68,9 +68,15 @@ def test_planner_solves_around_wall(robot, planner_id):
     assert _path_is_collision_free(planner, path)
 
 
-def test_prm_deterministic(robot):
+@pytest.mark.parametrize(
+    "planner_id", ["PRM", "RRTConnect", "InformedRRTstar", "PRMstar"]
+)
+def test_prm_deterministic(robot, planner_id):
     meta, wall = make_wall_map()
-    cfg = GlobalPlannerConfig(planner_id="PRM", num_samples=256, seed=7)
+    cfg = GlobalPlannerConfig(
+        planner_id=planner_id, num_samples=256, seed=7,
+        connection_radius=4.0, max_iterations=512, step_size=0.8,
+    )
     p1 = GlobalPlanner(robot, config=cfg)
     p1.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
     path1 = p1.solve()
