@@ -9,7 +9,10 @@ hardware) CPU vs TPU — and require per-sample cost agreement at rel-tol
 
 A committed golden dump (``tests/resources/cost_parity_golden.json``) pins
 the absolute values so regressions in the cost formulas are caught even
-single-backend.
+single-backend. NOTE: the golden dump is a regression pin only; the parity
+AUTHORITY is the independent serial oracle in
+``tests/test_oracle_parity.py`` (a NumPy transcription of the reference
+C++ semantics sharing no code with the engine).
 """
 
 import json
