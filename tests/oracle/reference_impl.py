@@ -583,8 +583,8 @@ class OracleFollower:
 
     The path is given pre-interpolated as (xs, ys, curvature, seg_starts)
     where seg_starts[i] is the global index of segment i's first point and
-    segments span [seg_starts[i], seg_starts[i+1]] inclusive (shared
-    endpoint), matching the reference's Path::segment views.
+    segment i spans [seg_starts[i], seg_starts[i+1] - 1] (path.cpp:383-396),
+    matching the reference's Path::segment views.
     """
 
     def __init__(self, xs, ys, seg_starts, curvature=None):
@@ -604,8 +604,9 @@ class OracleFollower:
         return self.seg_starts[i]
 
     def segment_end_index(self, i):
+        """path.cpp:383-396: end = next segment's start - 1 (or path end)."""
         if i + 1 <= self.max_segment_index:
-            return self.seg_starts[i + 1]
+            return self.seg_starts[i + 1] - 1
         return len(self.xs) - 1
 
     def _d2(self, state, idx):
