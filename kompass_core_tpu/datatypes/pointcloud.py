@@ -6,7 +6,6 @@ representation is a dense ``[N, 3]`` float32 array — the layout every TPU
 kernel in this package consumes.
 """
 
-import struct
 from typing import Optional
 
 import numpy as np

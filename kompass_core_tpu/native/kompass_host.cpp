@@ -183,41 +183,4 @@ double kh_segment_block(const float* xs, const float* ys, const float* arc,
   return total;
 }
 
-// ---------------------------------------------------------------------------
-// fleet dispatch queue (single-producer multi-consumer ring of robot ids)
-// ---------------------------------------------------------------------------
-// A minimal lock-free work ring used by the fleet host runtime to hand
-// per-robot packing jobs to worker threads. Fixed capacity, indices are
-// managed by the caller via atomics-free split: the producer writes
-// tickets, consumers claim via fetch_add on the head stored in slot 0.
-
-void kh_ring_init(int64_t* ring, int64_t capacity) {
-  ring[0] = 0;  // head (claim counter)
-  ring[1] = 0;  // tail (publish counter)
-  (void)capacity;
-}
-
-void kh_ring_publish(int64_t* ring, int64_t capacity, const int64_t* items,
-                     int64_t n) {
-  int64_t tail = ring[1];
-  for (int64_t i = 0; i < n; ++i) {
-    ring[2 + (tail % capacity)] = items[i];
-    ++tail;
-  }
-  __atomic_store_n(&ring[1], tail, __ATOMIC_RELEASE);
-}
-
-// Claim the next item; returns -1 when the ring is drained.
-int64_t kh_ring_claim(int64_t* ring, int64_t capacity) {
-  while (true) {
-    int64_t head = __atomic_load_n(&ring[0], __ATOMIC_ACQUIRE);
-    const int64_t tail = __atomic_load_n(&ring[1], __ATOMIC_ACQUIRE);
-    if (head >= tail) return -1;
-    if (__atomic_compare_exchange_n(&ring[0], &head, head + 1, false,
-                                    __ATOMIC_ACQ_REL, __ATOMIC_ACQUIRE)) {
-      return ring[2 + (head % capacity)];
-    }
-  }
-}
-
 }  // extern "C"

@@ -33,6 +33,19 @@ class _Validators:
     def positive():
         return _Validators.in_range(np.finfo(float).tiny, np.inf)
 
+    @staticmethod
+    def in_(options):
+        """Value must be one of ``options`` (enum-style params)."""
+        opts = list(options)
+
+        def _validator(_inst, attr, value):
+            if value is None:
+                return
+            if value not in opts:
+                raise ValueError(f"'{attr.name}'={value} not in {opts}")
+
+        return _validator
+
 
 base_validators = _Validators
 

@@ -86,7 +86,9 @@ def test_prm_deterministic(robot, planner_id):
     np.testing.assert_allclose(path1, path2)
 
 
-def test_unreachable_goal_returns_none(robot):
+def test_unreachable_goal_returns_none_after_timeout(robot):
+    import time
+
     meta = {
         "resolution": 0.1,
         "width": 100,
@@ -97,10 +99,15 @@ def test_unreachable_goal_returns_none(robot):
     # full wall, no gap
     xs = np.arange(-1.0, 11.0, 0.04)
     wall = np.stack([xs, np.full_like(xs, 5.0), np.zeros_like(xs)], axis=1)
-    cfg = GlobalPlannerConfig(planner_id="PRM", num_samples=256, seed=0)
+    cfg = GlobalPlannerConfig(
+        planner_id="PRM", num_samples=256, seed=0, planning_timeout=0.4
+    )
     planner = GlobalPlanner(robot, config=cfg)
     planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    t0 = time.monotonic()
     assert planner.solve() is None
+    # the timeout must have driven >= 1 retry round before giving up
+    assert time.monotonic() - t0 >= 0.4
 
 
 def test_empty_map_gives_near_straight_path(robot):
@@ -122,10 +129,136 @@ def test_empty_map_gives_near_straight_path(robot):
 
 def test_registry_covers_reference_planner_families():
     for name in ["PRM", "PRMstar", "RRT", "RRTstar", "RRTConnect",
-                 "InformedRRTstar", "LazyPRM"]:
+                 "InformedRRTstar", "LazyPRM", "LazyPRMstar", "EST",
+                 "KPIECE1", "SST", "FMTstar", "BITstar"]:
         assert name in planner_registry
+    assert len(planner_registry) >= 12
 
 
 def test_unknown_planner_raises(robot):
     with pytest.raises(ValueError):
         GlobalPlanner(robot, config=GlobalPlannerConfig(planner_id="FOO"))
+
+
+# --- extended planner family -------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "planner_id", ["EST", "KPIECE1", "SST", "FMTstar", "BITstar",
+                   "LazyPRMstar"]
+)
+def test_extended_planners_solve_around_wall(robot, planner_id):
+    meta, wall = make_wall_map()
+    # EST/KPIECE/SST are slow explorers by design (no Voronoi pull toward
+    # unexplored space) — they need more expansions to round the wall
+    iters = {"EST": 6144, "KPIECE1": 3072, "SST": 3072}.get(planner_id, 768)
+    cfg = GlobalPlannerConfig(
+        planner_id=planner_id, num_samples=256, seed=3,
+        connection_radius=4.0, max_iterations=iters, step_size=0.8,
+        planning_timeout=30.0,
+    )
+    planner = GlobalPlanner(robot, config=cfg)
+    if planner_id == "FMTstar":
+        planner.planner_params.num_samples = 512
+        planner.planner_params.radius_multiplier = 1.5
+    if planner_id == "BITstar":
+        planner.planner_params.samples_per_batch = 96
+        planner.planner_params.batches = 3
+    if planner_id in ("EST", "KPIECE1", "SST"):
+        planner.planner_params.goal_bias = 0.1
+    if planner_id == "EST":
+        planner.planner_params.density_radius = 1.5
+    if planner_id == "SST":
+        planner.planner_params.selection_radius = 1.5
+        planner.planner_params.pruning_radius = 0.25
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path = planner.solve()
+    assert path is not None, f"{planner_id} found no path"
+    np.testing.assert_allclose(path[0], [2.0, 2.0], atol=0.9)
+    np.testing.assert_allclose(path[-1], [2.0, 8.0], atol=0.9)
+    assert planner.path_cost > 6.0
+    assert planner.path_cost < 40.0
+    assert _path_is_collision_free(planner, path)
+
+
+def test_per_planner_params_surface(robot):
+    """available_planners exposes OMPL-style param maps; the setter
+    type-checks; params are honored (RRT range drives step size)."""
+    from kompass_core_tpu.planning.params import (
+        PLANNER_PARAMS,
+        create_config_class,
+    )
+
+    cfg = GlobalPlannerConfig(planner_id="RRT", seed=5, max_iterations=512)
+    planner = GlobalPlanner(robot, config=cfg)
+    plans = planner.available_planners
+    assert "kompass.geometric.RRT" in plans
+    assert "goal_bias" in plans["kompass.geometric.RRT"]
+    # every registry id carries a param map entry
+    for key, params in plans.items():
+        for name, tup in params.items():
+            assert len(tup) == 4  # (display, type, range, default)
+
+    # default instance exists and is the generated class
+    rrt_cls = create_config_class("RRT", PLANNER_PARAMS["RRT"])
+    assert isinstance(planner.planner_params, rrt_cls)
+    # wrong class rejected
+    est_cls = create_config_class("EST", PLANNER_PARAMS["EST"])
+    with pytest.raises(ValueError):
+        planner.planner_params = est_cls()
+    # validation on generated fields
+    with pytest.raises(ValueError):
+        rrt_cls(goal_bias=2.0)
+
+    # the `range` param is honored: a tiny step bounds consecutive points
+    meta, wall = make_wall_map()
+    pp = rrt_cls(range=0.3, goal_bias=0.2)
+    planner.planner_params = pp
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path = planner.solve()
+    assert path is not None
+    raw = planner.solution  # simplified; check pre-goal hops instead
+    # re-solve without simplification to observe raw steps
+    cfg2 = GlobalPlannerConfig(
+        planner_id="RRT", seed=5, max_iterations=512, simplify=False
+    )
+    p2 = GlobalPlanner(robot, config=cfg2)
+    p2.planner_params = rrt_cls(range=0.3, goal_bias=0.2)
+    p2.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path2 = p2.solve()
+    assert path2 is not None
+    steps = np.hypot(*np.diff(np.asarray(path2[:-1]), axis=0).T)
+    assert np.max(steps) <= 0.3 + 1e-5
+
+
+def test_optimize_rounds_keep_best(robot):
+    meta, wall = make_wall_map()
+    base = dict(
+        planner_id="RRT", num_samples=256, max_iterations=768, step_size=0.8
+    )
+    costs_single = []
+    for seed in (3, 4, 5):
+        p = GlobalPlanner(
+            robot, config=GlobalPlannerConfig(seed=seed, **base)
+        )
+        p.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+        if p.solve() is not None:
+            costs_single.append(p.path_cost)
+    p = GlobalPlanner(
+        robot,
+        config=GlobalPlannerConfig(seed=3, optimize_rounds=3, **base),
+    )
+    p.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    assert p.solve() is not None
+    assert p.path_cost <= min(costs_single) + 1e-6
+
+
+def test_use_fcl_false_skips_collision(robot):
+    meta, wall = make_wall_map()
+    cfg = GlobalPlannerConfig(planner_id="PRM", num_samples=256, seed=1)
+    planner = GlobalPlanner(robot, config=cfg, use_fcl=False)
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path = planner.solve()
+    assert path is not None
+    # without collision checking the straight line through the wall wins
+    assert planner.path_cost == pytest.approx(6.0, rel=0.1)
