@@ -81,6 +81,10 @@ class FleetConfig(NamedTuple):
     curvature_tol: jnp.ndarray  # [N]
     vx_max: jnp.ndarray  # [N]
     max_segment_size: jnp.ndarray  # [N] i32 (lookahead floor, points)
+    # per-robot collision half-extents (heterogeneous fleets with
+    # spec.dynamic_box): (0, 0) for circle robots whose radius is folded
+    # into params12[2] (collision margin); (hl, hw) for BOX robots
+    collision_box2: jnp.ndarray = None  # [N, 2] f32
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +198,8 @@ def _fleet_robot_step(
 ):
     """One robot's full control tick on device."""
     (params12, limits9, sensor_pose, rot_in_place, goal_tol, ori_tol,
-     losing_tol, interp_dist, base_h, curv_tol, vx_max, max_seg_size) = cfg_row
+     losing_tol, interp_dist, base_h, curv_tol, vx_max, max_seg_size,
+     collision_box2) = cfg_row
     closest_idx, seg_idx, pos_in_seg, goal_dist, reached = carry_row
     x, y, yaw = state4[0], state4[1], state4[2]
     P = paths_row.x.shape[0]
@@ -290,6 +295,7 @@ def _fleet_robot_step(
         seg_total_len,
         paths_row.total_len,
         active_points,
+        collision_box_dyn=collision_box2 if spec.dynamic_box else None,
     )
 
     # --- rotate-in-place / reached overrides ---

@@ -81,6 +81,13 @@ class SolverSpec:
     # a circumscribed circle blocks corridors a box robot can pass
     # lengthwise, so box robots get the exact check.
     collision_box: Optional[Tuple[float, float]] = None
+    # Heterogeneous-fleet mode: the box half-extents arrive as a TRACED
+    # [2] argument (``collision_box_dyn``) instead of the static spec
+    # field, so one compiled program serves mixed per-robot shapes. A
+    # circle robot passes half-extents (0, 0) with its radius folded into
+    # ``collision_margin`` — the box surface distance then degenerates to
+    # the exact point distance, reproducing the circle model bit-for-bit.
+    dynamic_box: bool = False
 
     @property
     def num_samples(self) -> int:
@@ -328,17 +335,22 @@ def _min_obstacle_dist_sq(px, py, obs_xy, pt_mask):
     return jnp.where(pt_mask[None, :], d2, _INF)
 
 
-def _min_box_dist_sq(spec, params, state, vels, px, py, obs_xy, pt_mask):
+def _min_box_dist_sq(spec, params, state, vels, px, py, obs_xy, pt_mask,
+                     box_hl=None, box_hw=None):
     """Exact oriented-rectangle surface distance: [S, T] min squared
-    distance from the robot BOX body (half extents spec.collision_box,
-    heading yaw0 + omega*t*dt at pose t) to any obstacle point.
+    distance from the robot BOX body (half extents spec.collision_box or
+    the traced ``box_hl``/``box_hw`` in dynamic-box mode, heading
+    yaw0 + omega*t*dt at pose t) to any obstacle point.
 
     Zero inside the footprint. Role of the reference's FCL box collision
     object (``collision_check.cpp:118-163``) without the broadphase: the
     rotate-into-body-frame + axis clamp is ~4 extra VPU ops per
     (pose, obstacle) pair on top of the point sweep.
     """
-    hl, hw = spec.collision_box
+    if box_hl is None:
+        hl, hw = spec.collision_box
+    else:
+        hl, hw = box_hl, box_hw
     T = px.shape[1]
     yaw = state[2] + vels[:, 2:3] * jnp.arange(T, dtype=jnp.float32)[None, :] * params.time_step
     c = jnp.cos(yaw)[:, :, None]
@@ -553,6 +565,7 @@ def dwa_solve(
     ref_total_len,  # f32 scalar (full interpolated path length)
     active_points,  # int32 scalar <= spec.max_points (adaptive horizon)
     custom_costs: Sequence = (),
+    collision_box_dyn=None,  # [2] traced half-extents (spec.dynamic_box)
 ) -> SolveResult:
     """One DWA tick: returns the argmin trajectory over the dynamic window.
 
@@ -582,11 +595,21 @@ def dwa_solve(
     else:
         d2_obs = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
 
-    if spec.collision_box is not None:
+    if spec.collision_box is not None or (
+        spec.dynamic_box and collision_box_dyn is not None
+    ):
         # exact oriented-box surface distance drives admissibility; the
-        # obstacle COST keeps the reference's point min-distance decay
+        # obstacle COST keeps the reference's point min-distance decay.
+        # Dynamic mode (heterogeneous fleets): half-extents are traced
+        # per-robot values; (0, 0) + radius-in-margin degenerates to the
+        # exact circle model.
+        if spec.collision_box is not None:
+            bhl = bhw = None
+        else:
+            bhl, bhw = collision_box_dyn[0], collision_box_dyn[1]
         d2_col = _min_box_dist_sq(
-            spec, params, state, vels, px, py, obs_xy, pt_mask
+            spec, params, state, vels, px, py, obs_xy, pt_mask,
+            box_hl=bhl, box_hw=bhw,
         )
         admissible, truncate_ok, i_col, last_free = _admissibility(
             spec, params, d2_col, active_points, valid,

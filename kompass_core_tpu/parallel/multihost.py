@@ -70,14 +70,18 @@ class FleetRuntime:
     def __init__(
         self,
         robots: Sequence[Robot],
-        ctrl_limits: RobotCtrlLimits,
+        ctrl_limits,  # RobotCtrlLimits, or one per robot
         config,
         mesh=None,
         host_workers: int = 0,
     ):
+        if isinstance(ctrl_limits, RobotCtrlLimits):
+            limits_list = [ctrl_limits] * len(robots)
+        else:
+            limits_list = list(ctrl_limits)
         self.controllers: List[DWA] = [
-            DWA(robot=r, ctrl_limits=ctrl_limits, config=config)
-            for r in robots
+            DWA(robot=r, ctrl_limits=lim, config=config)
+            for r, lim in zip(robots, limits_list)
         ]
         self.num_robots = len(robots)
         self.mesh = mesh

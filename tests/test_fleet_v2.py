@@ -178,3 +178,209 @@ def test_device_fleet_matches_host_runtime_commands():
         assert out_dev["omega"][i] == pytest.approx(
             out_host[i]["omega"], abs=1e-4
         )
+
+
+# --- heterogeneous fleets ----------------------------------------------------
+
+
+def _hetero_config():
+    return DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0,
+            goal_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+            obstacles_distance_weight=0.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+
+
+def _limits(vx=1.0, vy=0.0):
+    return RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=vx, max_acc=5.0, max_decel=10.0),
+        vy_limits=LinearCtrlLimits(max_vel=vy or 0.5, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+
+
+def test_mixed_kinematics_fleet_reaches_goals():
+    """Diff-drive + omni robots in ONE fleet dispatch (per-robot is_omni
+    via zeroed vy limits on the non-omni rows)."""
+    robots = []
+    for i in range(4):
+        rt = RobotType.OMNI if i % 2 else RobotType.DIFFERENTIAL_DRIVE
+        robots.append(
+            Robot(
+                robot_type=rt,
+                geometry_type=RobotGeometry.Type.CYLINDER,
+                geometry_params=np.array([0.1, 0.4]),
+            )
+        )
+    fleet = DeviceFleet(
+        robots, [_limits() for _ in robots], _hetero_config(),
+        scan_rays=N_RAYS, path_capacity=512, max_segments=16,
+    )
+    paths = []
+    for i, r in enumerate(robots):
+        x0 = 2.0 * i
+        r.state.x, r.state.y, r.state.yaw = x0, 0.0, np.pi / 2
+        paths.append(np.array([[x0, 0.0], [x0, 2.5]]))
+    done, out = _run_closed_loop(robots, fleet, paths)
+    assert done, f"not all reached: {out['reached']}"
+
+
+def test_mixed_shapes_match_homogeneous_fleets():
+    """circle + BOX in one fleet must give the same first-tick commands as
+    the per-shape homogeneous fleets (the (0,0)-extent box degenerates to
+    the exact circle model; dynamic box == static box)."""
+    cfg = _hetero_config()
+    cfg.costs_weights.obstacles_distance_weight = 1.0
+    circle = Robot(
+        robot_type=RobotType.ACKERMANN,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.1, 0.4]),
+    )
+    box = Robot(
+        robot_type=RobotType.ACKERMANN,
+        geometry_type=RobotGeometry.Type.BOX,
+        geometry_params=np.array([1.2, 0.2, 0.3]),
+    )
+    lim = _limits()
+    angles = np.linspace(-np.pi, np.pi, N_RAYS, endpoint=False)
+    # wall AHEAD at 0.5 m in the body frame: the 1.2 m-long box (half
+    # length 0.6) is already into the wall -> every pose collides, no
+    # admissible sample; the r=0.1 circle still advances
+    ranges = np.full(N_RAYS, 10.0)
+    wall_pts = [
+        (0.5, lat) for lat in np.arange(-1.0, 1.0, 0.02)
+    ]  # body x = forward, y = lateral
+    for bx, by in wall_pts:
+        ang = np.arctan2(by, bx)
+        r = np.hypot(bx, by)
+        k = int(np.argmin(np.abs(np.angle(np.exp(1j * (angles - ang))))))
+        ranges[k] = min(ranges[k], r)
+
+    def first_tick(fleet, robots):
+        paths = []
+        for r in robots:
+            r.state.x, r.state.y, r.state.yaw = 0.1, 0.05, np.pi / 2
+            paths.append(np.array([[0.0, 0.0], [0.3, 2.5]]))
+        fleet.set_paths(paths)
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, 0.0] for r in robots]
+        )
+        rr = np.tile(ranges, (len(robots), 1))
+        return fleet.tick(states, np.zeros((len(robots), 3)), rr, angles)
+
+    mixed = DeviceFleet(
+        [circle, box], lim, cfg, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16,
+    )
+    homo_c = DeviceFleet(
+        [circle], lim, cfg, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16,
+    )
+    homo_b = DeviceFleet(
+        [box], lim, cfg, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16,
+    )
+    out_m = first_tick(mixed, [circle, box])
+    out_c = first_tick(homo_c, [circle])
+    out_b = first_tick(homo_b, [box])
+    assert out_m["found"][0] == out_c["found"][0]
+    assert out_m["found"][1] == out_b["found"][0]
+    np.testing.assert_allclose(out_m["vx"][0], out_c["vx"][0], atol=1e-5)
+    np.testing.assert_allclose(out_m["omega"][0], out_c["omega"][0], atol=1e-5)
+    np.testing.assert_allclose(out_m["vx"][1], out_b["vx"][0], atol=1e-5)
+    np.testing.assert_allclose(out_m["omega"][1], out_b["omega"][0], atol=1e-5)
+    # and the two shapes must actually behave differently in this scene
+    # (otherwise the test proves nothing): the long box is wedged against
+    # the wall, the small circle still moves
+    assert out_m["found"][0] and not out_m["found"][1]
+
+
+def test_per_robot_limits_respected():
+    """Per-robot ctrl limits: the slow robot's command must honor ITS
+    vx ceiling while the fast robot exceeds it."""
+    robots = [
+        Robot(
+            robot_type=RobotType.ACKERMANN,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(2)
+    ]
+    fleet = DeviceFleet(
+        robots, [_limits(vx=1.0), _limits(vx=0.25)], _hetero_config(),
+        scan_rays=N_RAYS, path_capacity=512, max_segments=16,
+    )
+    paths = []
+    for r in robots:
+        r.state.x, r.state.y, r.state.yaw = 0.0, 0.0, 0.0
+        paths.append(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    fleet.set_paths(paths)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    ranges = np.full((2, N_RAYS), 10.0)
+    # run a few ticks so the window accelerates to the per-robot ceiling
+    vels = np.zeros((2, 3))
+    for _ in range(6):
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, 0.0] for r in robots]
+        )
+        out = fleet.tick(states, vels, ranges, angles)
+        vels = np.stack([out["vx"], out["vy"], out["omega"]], axis=1)
+        for r, vx, om in zip(robots, out["vx"], out["omega"]):
+            r.set_control(velocity_x=vx, velocity_y=0.0, omega=om)
+            r.get_state(dt=0.1)
+    assert out["vx"][1] <= 0.25 + 1e-5
+    assert out["vx"][0] > 0.3
+
+
+def test_per_robot_sensor_pose():
+    """A robot with a backward-mounted sensor must interpret the same scan
+    as obstacles BEHIND it (free to advance); the forward-mounted one sees
+    the wall ahead."""
+    cfg = _hetero_config()
+    cfg.costs_weights.obstacles_distance_weight = 1.0
+    robots = [
+        Robot(
+            robot_type=RobotType.ACKERMANN,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(2)
+    ]
+    fleet = DeviceFleet(
+        robots, _limits(), cfg, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16,
+        sensor_poses=np.array(
+            [[0.0, 0.0, 0.0], [0.0, 0.0, np.pi]], np.float32
+        ),
+    )
+    paths = []
+    for r in robots:
+        r.state.x, r.state.y, r.state.yaw = 0.0, 0.0, 0.0
+        paths.append(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    fleet.set_paths(paths)
+    angles = np.linspace(-np.pi, np.pi, N_RAYS, endpoint=False)
+    # wall straight ahead in SENSOR frame at 0.35 m
+    ranges = np.full(N_RAYS, 10.0)
+    ranges[np.abs(angles) < np.radians(40)] = 0.35
+    states = np.array(
+        [[r.state.x, r.state.y, r.state.yaw, 0.0] for r in robots]
+    )
+    out = fleet.tick(
+        states, np.zeros((2, 3)), np.tile(ranges, (2, 1)), angles
+    )
+    # robot 1 (sensor yaw=pi): the wall is behind -> full speed ahead;
+    # robot 0: wall ahead -> blocked or crawling
+    assert out["found"][1]
+    assert out["vx"][1] > 0.15
+    assert (not out["found"][0]) or out["vx"][0] < out["vx"][1] - 0.1
