@@ -68,16 +68,31 @@ def measure_fleet_scaling(
         mesh = Mesh(np.array(devices[:n]), axis_names=("robots",))
         solver = make_fleet_solver(spec, mesh=mesh)
         batch = robots_per_device * n
-        inputs = jax.device_put(
-            np.stack([build_scenario(spec, rng, i) for i in range(batch)])
+        stacked = np.stack(
+            [build_scenario(spec, rng, i) for i in range(batch)]
         )
-        out = solver(inputs)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = solver(inputs)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
+        # slope timing over chains of DISTINCT device-resident inputs with
+        # completion forced by a value fetch — block_until_ready is not
+        # trustworthy through a remote-attached tunnel and identical
+        # dispatches can be served from a cache (CLAUDE.md measurement
+        # integrity protocol)
+        variants = []
+        for k in range(3 * reps):
+            v = stacked.copy()
+            v[:, 0] += 1e-4 * k
+            variants.append(jax.device_put(v))
+        for v in variants:
+            float(np.asarray(v[0, 0]))
+
+        def chain(m):
+            t0 = time.perf_counter()
+            outs = [solver(variants[k % len(variants)]) for k in range(m)]
+            float(np.asarray(outs[-1][0, 1]))
+            return time.perf_counter() - t0
+
+        chain(3)  # warm
+        t_lo, t_hi = chain(reps), chain(3 * reps)
+        dt = max((t_hi - t_lo) / (2 * reps), 1e-9)
         sps = batch / dt
         if base is None:
             base = sps

@@ -4,21 +4,30 @@ The DWA tick's dominant cost is two batched min-distance sweeps
 (rollout points vs obstacle points, rollout points vs tracked-segment
 points — the TPU analog of the reference's ``obstaclesDistCostKernel`` and
 ``refPathCostKernel`` SYCL kernels, ``cost_evaluator_gpu.cpp:397-544,
-848-972``). XLA's fused elementwise+reduce runs these on the VPU at ~6 ops
-per (point, obstacle) pair.
+848-972``). At the BASELINE workload the two sweeps are ~88% of the
+batch-64 solve, so this is the kernel that decides the headline number.
 
-This kernel restructures the computation to ride the MXU:
+Two hand-written formulations, both computing BOTH sweeps in ONE kernel
+launch (shared point loads, one pass over the [S*T] point axis):
 
-    d2(p, o) = |p|^2 + |o|^2 - 2 p.o
+  * ``mxu``: d2(p,o) = |p|^2 + |o|^2 - 2 p.o — the cross term for an
+    (obstacle-tile x point-block) is a small K=2 matmul on the systolic
+    array; obstacle tiles stream through a running min held in registers
+    (the round-1 kernel's loss came from streaming the whole [O, BLK]
+    product; tiling + fusion fix that).
+  * ``vpu``: pure elementwise broadcast-FMA per obstacle tile:
+    t = fma(-2px, ox, fma(-2py, oy, |o|^2)), acc = min(acc, t) — 3 VPU
+    ops per (point, obstacle) pair vs ~6 for XLA's fused
+    subtract/square/add/min, with no MXU K-padding waste.
 
-The cross term for a whole (obstacle-tile x point-block) is ONE small
-matmul (K=2) on the systolic array; the VPU then only does an add and a
-running min per pair (~2 ops), with everything resident in VMEM — the
-[N, O] distance matrix never exists in HBM.
+Orientation: obstacles on sublanes, points on lanes — per-point minima
+land along lanes, so the per-tile reduce is (TO/8 - 1) vectorized [8, BLK]
+mins + one intra-tile sublane fold, and results write straight out with
+no transpose.
 
-The public entry `min_point_dist_sq_pallas` is numerically within float32
-matmul tolerance of the XLA path (`ops/solver._min_obstacle_dist_sq`); the
-solver selects the backend via ``SolverSpec.backend``.
+The public entries are numerically within float32 tolerance of the XLA
+path (`ops/solver._min_obstacle_dist_sq`); the solver selects the backend
+via ``SolverSpec.backend`` ("xla" | "pallas" | "pallas_vpu").
 """
 
 from functools import partial
@@ -30,6 +39,164 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLK = 512  # points per grid step (lane-dim multiples of 128)
+_TO = 256  # obstacle/segment rows per VMEM tile
+
+_BIG = 1e8
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# fused two-sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel_mxu(o_tiles, s_tiles, pt_ref, obs_ref, onorm_ref, seg_ref,
+                      snorm_ref, outo_ref, outs_ref):
+    """One point block [2, BLK] vs all obstacle + segment tiles (MXU
+    cross-term)."""
+    pts = pt_ref[:]  # [2, BLK]
+    pnorm = pts[0, :] * pts[0, :] + pts[1, :] * pts[1, :]  # [BLK]
+
+    def sweep(src_ref, norm_ref, n_tiles):
+        def body(t, acc):
+            tile = src_ref[pl.ds(t * _TO, _TO), :]  # [TO, 2]
+            ntile = norm_ref[pl.ds(t * _TO, _TO), :]  # [TO, 1]
+            # HIGHEST precision: the TPU's default f32 matmul runs single-
+            # pass bf16, whose ~8-bit mantissa puts O(0.5 m^2) errors into
+            # d^2 at O(8 m) coordinates — unusable for collision margins
+            cross = jax.lax.dot(
+                tile, pts,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [TO, BLK]
+            d = ntile - 2.0 * cross
+            return jnp.minimum(acc, jnp.min(d, axis=0))
+
+        acc0 = jnp.full((_BLK,), jnp.inf, jnp.float32)
+        return jax.lax.fori_loop(0, n_tiles, body, acc0, unroll=True)
+
+    mo = sweep(obs_ref, onorm_ref, o_tiles)
+    ms = sweep(seg_ref, snorm_ref, s_tiles)
+    # |p|^2 + |o|^2 - 2 p.o can round slightly negative when p ~ o; a
+    # negative d^2 would NaN the sqrt downstream
+    outo_ref[0, :] = jnp.maximum(mo + pnorm, 0.0)
+    outs_ref[0, :] = jnp.maximum(ms + pnorm, 0.0)
+
+
+def _fused_kernel_vpu(o_tiles, s_tiles, pt_ref, obs_ref, onorm_ref, seg_ref,
+                      snorm_ref, outo_ref, outs_ref):
+    """One point block vs all tiles, elementwise broadcast-FMA running min
+    (no MXU: 3 VPU ops per pair)."""
+    pts = pt_ref[:]  # [2, BLK]
+    xd = (-2.0 * pts[0, :])[None, :]  # [1, BLK]
+    yd = (-2.0 * pts[1, :])[None, :]
+    pnorm = pts[0, :] * pts[0, :] + pts[1, :] * pts[1, :]
+
+    def sweep(src_ref, norm_ref, n_tiles):
+        def body(t, acc):
+            tile = src_ref[pl.ds(t * _TO, _TO), :]  # [TO, 2]
+            ntile = norm_ref[pl.ds(t * _TO, _TO), :]  # [TO, 1]
+            ox = tile[:, 0:1]  # [TO, 1]
+            oy = tile[:, 1:2]
+            d = ntile + xd * ox + yd * oy  # [TO, BLK] via broadcast
+            return jnp.minimum(acc, jnp.min(d, axis=0))
+
+        acc0 = jnp.full((_BLK,), jnp.inf, jnp.float32)
+        return jax.lax.fori_loop(0, n_tiles, body, acc0, unroll=True)
+
+    mo = sweep(obs_ref, onorm_ref, o_tiles)
+    ms = sweep(seg_ref, snorm_ref, s_tiles)
+    outo_ref[0, :] = jnp.maximum(mo + pnorm, 0.0)
+    outs_ref[0, :] = jnp.maximum(ms + pnorm, 0.0)
+
+
+def fused_min_dist_sq_pallas(pts_2n, obs_o2, onorm, seg_g2, snorm,
+                             variant="mxu"):
+    """[2, N] points vs [O, 2] obstacles and [G, 2] segment points ->
+    ([N], [N]) min squared distances. N % _BLK == 0; O, G % _TO == 0
+    (caller pads with +1e8 sentinels)."""
+    n = pts_2n.shape[1]
+    O = obs_o2.shape[0]
+    G = seg_g2.shape[0]
+    kern = _fused_kernel_mxu if variant == "mxu" else _fused_kernel_vpu
+    outo, outs = pl.pallas_call(
+        partial(kern, O // _TO, G // _TO),
+        grid=(n // _BLK,),
+        in_specs=[
+            pl.BlockSpec((2, _BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+    )(pts_2n, obs_o2, onorm, seg_g2, snorm)
+    return outo[0], outs[0]
+
+
+def fused_min_dist_sq(px, py, obs_xy, seg_x, seg_y, pt_mask, variant="mxu"):
+    """Both solver sweeps in one kernel: px, py [S, T]; obs_xy [O, 2];
+    seg_x, seg_y [G]; pt_mask [T] -> (d2_obs [S, T], d2_seg [S, T]),
+    +inf at masked points.
+
+    Replaces the reference GPU backend's separate ``obstaclesDistCost`` and
+    ``refPathCost`` tiled kernels (``cost_evaluator_gpu.cpp:397-544,
+    848-972``) with one fused pass over the point axis."""
+    S, T = px.shape
+    n = S * T
+    n_pad = _round_up(n, _BLK)
+    pts = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=0)  # [2, N]
+    pts = jnp.pad(pts, ((0, 0), (0, n_pad - n)))
+
+    def prep(xy):
+        rows = _round_up(xy.shape[0], _TO)
+        xy = jnp.pad(xy, ((0, rows - xy.shape[0]), (0, 0)),
+                     constant_values=_BIG)
+        norm = (xy[:, 0] * xy[:, 0] + xy[:, 1] * xy[:, 1])[:, None]
+        return xy, norm
+
+    obs_p, onorm = prep(obs_xy)
+    seg_p, snorm = prep(jnp.stack([seg_x, seg_y], axis=1))
+    d2o, d2s = fused_min_dist_sq_pallas(
+        pts, obs_p, onorm, seg_p, snorm, variant=variant
+    )
+    d2o = d2o[:n].reshape(S, T)
+    d2s = d2s[:n].reshape(S, T)
+    inf = jnp.inf
+    return (
+        jnp.where(pt_mask[None, :], d2o, inf),
+        jnp.where(pt_mask[None, :], d2s, inf),
+    )
+
+
+def fused_min_dist_sq_reference(px, py, obs_xy, seg_x, seg_y, pt_mask):
+    """Interpret-equivalent math of the fused kernel (for CPU tests)."""
+    S, T = px.shape
+
+    def one(xy):
+        d2 = jnp.min(
+            (px[:, :, None] - xy[None, None, :, 0]) ** 2
+            + (py[:, :, None] - xy[None, None, :, 1]) ** 2,
+            axis=-1,
+        )
+        return jnp.where(pt_mask[None, :], d2, jnp.inf)
+
+    return one(obs_xy), one(jnp.stack([seg_x, seg_y], axis=1))
+
+
+# ---------------------------------------------------------------------------
+# single-sweep kernel (round-1 design, kept for comparison benches)
+# ---------------------------------------------------------------------------
 
 
 def _min_dist_kernel(pt_ref, obs_ref, onorm_ref, out_ref):
@@ -41,12 +208,14 @@ def _min_dist_kernel(pt_ref, obs_ref, onorm_ref, out_ref):
     pts = pt_ref[:]  # [2, BLK]
     obs = obs_ref[:]  # [O, 2]
     onorm = onorm_ref[:]  # [O, 1]
-    cross = jnp.dot(obs, pts, preferred_element_type=jnp.float32)  # [O, BLK]
+    cross = jax.lax.dot(
+        obs, pts,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [O, BLK]
     partial_d2 = onorm - 2.0 * cross  # [O, BLK]
     m = jnp.min(partial_d2, axis=0)  # [BLK]
     pnorm = pts[0, :] * pts[0, :] + pts[1, :] * pts[1, :]
-    # |p|^2 + |o|^2 - 2 p.o can round slightly negative when p ~ o; a
-    # negative d^2 would NaN the sqrt downstream
     out_ref[0, :] = jnp.maximum(m + pnorm, 0.0)
 
 

@@ -586,7 +586,19 @@ def dwa_solve(
     t_idx = jnp.arange(spec.max_points)
     pt_mask = t_idx < active_points
     d2_seg = None
-    if spec.backend == "pallas":
+    if spec.backend in ("pallas", "pallas_vpu"):
+        # fused two-sweep kernel: one pass over the point axis computes
+        # BOTH min-distance fields (~88% of the solve at the BASELINE
+        # workload); "pallas" = MXU cross-term tiles, "pallas_vpu" =
+        # broadcast-FMA tiles
+        from .pallas_kernels import fused_min_dist_sq
+
+        d2_obs, d2_seg = fused_min_dist_sq(
+            px, py, obs_xy, seg_x, seg_y, pt_mask,
+            variant="mxu" if spec.backend == "pallas" else "vpu",
+        )
+    elif spec.backend == "pallas_v1":
+        # round-1 single-sweep kernel (kept for comparison benches)
         from .pallas_kernels import min_obstacle_dist_sq_mxu
 
         d2_obs = min_obstacle_dist_sq_mxu(px, py, obs_xy, pt_mask)

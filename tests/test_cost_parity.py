@@ -141,29 +141,26 @@ def test_parity_against_golden_dump():
 
 
 def test_parity_xla_vs_pallas_math():
-    """The Pallas backend's distance formulation (|p|^2+|o|^2-2p.o) must
-    agree with the XLA path at rel-tol 1e-4 per sample. On CPU the MXU
-    kernel is exercised through its interpret-equivalent math."""
+    """The fused Pallas backend's distance formulation (|p|^2+|o|^2-2p.o)
+    must agree with the XLA path at rel-tol 1e-4 per sample. On CPU the
+    kernel is exercised through its interpret-equivalent math
+    (``fused_min_dist_sq_reference``); TPU runs use the real kernel."""
     import kompass_core_tpu.ops.pallas_kernels as pk
 
-    orig = pk.min_point_dist_sq_pallas
+    orig = pk.fused_min_dist_sq
     try:
-        # route the pallas path through the identical math without Mosaic
-        # (CPU test environments have no TPU); TPU runs use the real kernel
         import jax
 
         if jax.devices()[0].platform != "tpu":
-            pk.min_point_dist_sq_pallas = (
-                lambda pts, obs, onorm: jnp.maximum(
-                    jnp.min(onorm - 2.0 * (obs @ pts), axis=0)
-                    + jnp.sum(pts * pts, axis=0),
-                    0.0,
+            pk.fused_min_dist_sq = (
+                lambda px, py, obs, sx, sy, m, variant="mxu": (
+                    pk.fused_min_dist_sq_reference(px, py, obs, sx, sy, m)
                 )
             )
         res_x = _scenario("xla")
         res_p = _scenario("pallas")
     finally:
-        pk.min_point_dist_sq_pallas = orig
+        pk.fused_min_dist_sq = orig
     cx = _finite_costs(res_x)
     cp = _finite_costs(res_p)
     assert len(cx) == len(cp)

@@ -384,3 +384,89 @@ def test_per_robot_sensor_pose():
     assert out["found"][1]
     assert out["vx"][1] > 0.15
     assert (not out["found"][0]) or out["vx"][0] < out["vx"][1] - 0.1
+
+
+def test_device_fleet_multi_tick_lockstep_with_host_runtime():
+    """10-tick closed-loop lockstep: the device-resident runtime must track
+    the host runtime's commands through follower-state evolution (sticky
+    segments, adaptive horizon), not just on the first tick."""
+    from kompass_core_tpu.parallel import FleetRuntime
+    from kompass_core_tpu.datatypes import LaserScanData
+
+    n = 3
+    robots, fleet = _make(n, robot_type=RobotType.ACKERMANN)
+    host_robots = [
+        Robot(
+            robot_type=RobotType.ACKERMANN,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(n)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0,
+            goal_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+            obstacles_distance_weight=0.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+    host = FleetRuntime(host_robots, limits, config)
+    paths = []
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    for i, (r, hr) in enumerate(zip(robots, host_robots)):
+        x0 = 2.0 * i
+        for rr in (r, hr):
+            rr.state.x, rr.state.y, rr.state.yaw = x0 + 0.1, 0.05, np.pi / 2 + 0.2
+        # gently curving path so the tracked segment and horizon evolve
+        t = np.linspace(0.0, 1.0, 8)
+        paths.append(
+            np.stack([x0 + 0.6 * t**2, 2.8 * t], axis=1)
+        )
+    fleet.set_paths(paths)
+    host.set_paths(paths)
+    scan = LaserScanData(ranges=np.full(N_RAYS, 10.0), angles=angles)
+    ranges = np.full((n, N_RAYS), 10.0)
+
+    vels = np.zeros((n, 3))
+    for tick in range(10):
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, 0.0] for r in robots]
+        )
+        out_dev = fleet.tick(states, vels, ranges, angles)
+        out_host = host.tick([r.state for r in host_robots], [scan] * n)
+        for i in range(n):
+            assert out_dev["found"][i] == out_host[i]["found"], (
+                f"tick {tick} robot {i}"
+            )
+            assert out_dev["vx"][i] == pytest.approx(
+                out_host[i]["vx"], abs=2e-4
+            ), f"tick {tick} robot {i}"
+            assert out_dev["omega"][i] == pytest.approx(
+                out_host[i]["omega"], abs=2e-4
+            ), f"tick {tick} robot {i}"
+        # advance BOTH sims with the device commands (identical inputs)
+        vels = np.stack(
+            [out_dev["vx"], out_dev["vy"], out_dev["omega"]], axis=1
+        )
+        for rr_pair, vx, vy, om in zip(
+            zip(robots, host_robots), out_dev["vx"], out_dev["vy"],
+            out_dev["omega"],
+        ):
+            for rr in rr_pair:
+                rr.set_control(velocity_x=vx, velocity_y=vy, omega=om)
+                rr.get_state(dt=0.1)
+        if out_dev["reached"].all():
+            break
