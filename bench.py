@@ -189,6 +189,18 @@ def bench_device_fleet_v2(log, sizes=(64, 256, 1024)):
     for n in sizes:
         fleet = _fleet_v2_setup(n)
         R = fleet._scan_rays
+        C = fleet._chunk or fleet._n
+        starts = list(range(0, fleet._n, C))
+        if fleet._chunk:
+            paths_c, cfg_c, ang_c = (
+                fleet._paths_chunks, fleet._cfg_chunks, fleet._angles_chunks
+            )
+            carry_c = list(fleet._carry_chunks)
+        else:
+            paths_c, cfg_c, ang_c = (
+                [fleet._paths], [fleet._cfg], [fleet._angles]
+            )
+            carry_c = [fleet._carry]
         variants = []
         for k in range(12):
             inp = np.zeros((fleet._n, 4 + 3 + R), np.float32)
@@ -196,23 +208,28 @@ def bench_device_fleet_v2(log, sizes=(64, 256, 1024)):
             inp[:, 2] = 0.05
             inp[:, 4] = 0.5
             inp[:, 7:] = rng.uniform(2.5, 9.0, (fleet._n, R))
-            variants.append(jax.device_put(inp.astype(np.float32)))
+            variants.append(
+                [jax.device_put(inp[i0 : i0 + C]) for i0 in starts]
+            )
         for v in variants:
-            float(np.asarray(v[0, 0]))
-        carry, paths, cfg, ang = (
-            fleet._carry, fleet._paths, fleet._cfg, fleet._angles
-        )
+            float(np.asarray(v[0][0, 0]))
         t0 = time.time()
-        fleet._tick_fn(paths, cfg, carry, ang, variants[0])
-        log(f"fleet_v2 n={n}: compile {time.time()-t0:.1f}s")
+        fleet._tick_fn(paths_c[0], cfg_c[0], carry_c[0], ang_c[0],
+                       variants[0][0])
+        log(
+            f"fleet_v2 n={n} (chunks of {C}): compile {time.time()-t0:.1f}s"
+        )
 
         def chain(m):
             t0 = time.time()
             o = None
             for k in range(m):
-                _, o = fleet._tick_fn(
-                    paths, cfg, carry, ang, variants[k % len(variants)]
-                )
+                v = variants[k % len(variants)]
+                for ci in range(len(starts)):
+                    _, o = fleet._tick_fn(
+                        paths_c[ci], cfg_c[ci], carry_c[ci], ang_c[ci],
+                        v[ci],
+                    )
             float(np.asarray(o[0, 2]))
             return time.time() - t0
 

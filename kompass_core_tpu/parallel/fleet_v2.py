@@ -50,6 +50,7 @@ class DeviceFleet:
         max_segments: int = 64,
         mesh=None,
         sensor_poses=None,  # [num_robots, 3] (x, y, yaw) in body, or None
+        dispatch_chunk: int = 64,
     ):
         enable_persistent_compilation_cache()
         self.num_robots = len(robots)
@@ -59,6 +60,18 @@ class DeviceFleet:
             int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         )
         self._n = ((self.num_robots + n_dev - 1) // n_dev) * n_dev  # padded
+        # dispatch batch 64 is the measured per-solve optimum on v5e
+        # (larger single dispatches cross an XLA tiling threshold: 122 ->
+        # 154 -> 171 us/robot at 64/256/1024, BENCH r2); big fleets are
+        # served as pipelined chunks of 64 — async dispatches overlap on
+        # device, so fleet throughput == chunk throughput. Disabled under
+        # a mesh (the robot axis is sharded instead).
+        self._chunk = 0
+        if mesh is None and dispatch_chunk and self._n > dispatch_chunk:
+            self._chunk = int(dispatch_chunk)
+            self._n = (
+                (self._n + self._chunk - 1) // self._chunk * self._chunk
+            )
 
         # --- heterogeneity: per-robot limits / kinematics / shapes -------
         # (the reference is per-robot-configured by construction; VERDICT
@@ -201,6 +214,14 @@ class DeviceFleet:
         )
         self.last_tick_seconds = 0.0
 
+    def _split_chunks(self, tree):
+        """Split a per-robot pytree into device-resident dispatch chunks."""
+        C = self._chunk
+        return [
+            jax.tree_util.tree_map(lambda a: a[i : i + C], tree)
+            for i in range(0, self._n, C)
+        ]
+
     def set_scan_angles(self, angles: np.ndarray):
         """Upload the (usually static) scan angle grid once."""
         ang = np.asarray(angles, np.float32)
@@ -211,6 +232,8 @@ class DeviceFleet:
             a2[: len(ang)] = ang
             ang = a2
         self._angles = jnp.asarray(ang)
+        if self._chunk:
+            self._angles_chunks = self._split_chunks(self._angles)
 
     # ------------------------------------------------------------------
 
@@ -264,6 +287,10 @@ class DeviceFleet:
                 [False] * self.num_robots + [True] * (N - self.num_robots)
             ),
         )
+        if self._chunk:
+            self._paths_chunks = self._split_chunks(self._paths)
+            self._cfg_chunks = self._split_chunks(self._cfg)
+            self._carry_chunks = self._split_chunks(self._carry)
 
     def tick(self, states, vels, ranges, angles):
         """One fleet tick.
@@ -283,12 +310,31 @@ class DeviceFleet:
         self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
         self._inputs[:n, 7:] = np.asarray(ranges, np.float32)
         self._inputs[n:, 7:] = _PAD
-        self._carry, out_mat = self._tick_fn(
-            self._paths, self._cfg, self._carry, self._angles, self._inputs
-        )
         from ..ops.fleet_solver import OUT_FIELDS
 
-        out_np = np.asarray(out_mat)[: self.num_robots]  # one fetch
+        if self._chunk:
+            # pipelined chunks of the per-solve-optimal dispatch size:
+            # chunk c+1 is enqueued while c executes (async dispatch)
+            C = self._chunk
+            outs = []
+            for ci, i0 in enumerate(range(0, self._n, C)):
+                self._carry_chunks[ci], out_c = self._tick_fn(
+                    self._paths_chunks[ci],
+                    self._cfg_chunks[ci],
+                    self._carry_chunks[ci],
+                    self._angles_chunks[ci],
+                    jnp.asarray(self._inputs[i0 : i0 + C]),
+                )
+                outs.append(out_c)
+            out_np = np.concatenate([np.asarray(o) for o in outs])[
+                : self.num_robots
+            ]
+        else:
+            self._carry, out_mat = self._tick_fn(
+                self._paths, self._cfg, self._carry, self._angles,
+                self._inputs,
+            )
+            out_np = np.asarray(out_mat)[: self.num_robots]  # one fetch
         out = {k: out_np[:, i] for i, k in enumerate(OUT_FIELDS)}
         out["found"] = out["found"] > 0.5
         out["reached"] = out["reached"] > 0.5

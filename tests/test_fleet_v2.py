@@ -470,3 +470,59 @@ def test_device_fleet_multi_tick_lockstep_with_host_runtime():
                 rr.get_state(dt=0.1)
         if out_dev["reached"].all():
             break
+
+
+def test_chunked_dispatch_matches_single_dispatch():
+    """Fleets above the dispatch-chunk size are served as pipelined chunks;
+    results must match the monolithic dispatch exactly."""
+    n = 20
+    robots_a, fleet_a = _make(n)  # chunked: 3 chunks of 8 (chunk=8)
+    robots_b, fleet_b = _make(n)
+    # force chunking on fleet_a with a small chunk size
+    from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
+
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    fleet_a = DeviceFleet(
+        robots_a, limits, fleet_a.config, scan_rays=N_RAYS,
+        path_capacity=512, max_segments=16, dispatch_chunk=8,
+    )
+    assert fleet_a._chunk == 8 and fleet_a._n == 24
+    fleet_b = DeviceFleet(
+        robots_b, limits, fleet_b.config, scan_rays=N_RAYS,
+        path_capacity=512, max_segments=16, dispatch_chunk=0,
+    )
+    assert fleet_b._chunk == 0
+
+    paths = []
+    for i, (ra, rb) in enumerate(zip(robots_a, robots_b)):
+        x0 = 1.0 * i
+        for r in (ra, rb):
+            r.state.x, r.state.y, r.state.yaw = x0, 0.0, np.pi / 2
+        paths.append(np.array([[x0, 0.0], [x0, 2.5]]))
+    fleet_a.set_paths(paths)
+    fleet_b.set_paths(paths)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    ranges = np.full((n, N_RAYS), 10.0)
+    vels = np.zeros((n, 3))
+    for tick in range(5):
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, 0.0] for r in robots_a]
+        )
+        out_a = fleet_a.tick(states, vels, ranges, angles)
+        out_b = fleet_b.tick(states, vels, ranges, angles)
+        for key in ("found", "reached"):
+            np.testing.assert_array_equal(out_a[key], out_b[key])
+        for key in ("vx", "vy", "omega", "cost"):
+            np.testing.assert_allclose(
+                out_a[key], out_b[key], rtol=1e-6, atol=1e-7,
+                err_msg=f"tick {tick} field {key}",
+            )
+        vels = np.stack([out_a["vx"], out_a["vy"], out_a["omega"]], axis=1)
+        for r, vx, om in zip(robots_a, out_a["vx"], out_a["omega"]):
+            r.set_control(velocity_x=vx, velocity_y=0.0, omega=om)
+            r.get_state(dt=0.1)
