@@ -176,10 +176,99 @@ class BenchmarkRunner:
         return work
 
     def bench_cost_evaluator_5k(self):
-        """5001 trajectories x 1000 points (reference
-        ``benchmark_runner.cpp:150-185``): 71x71 grid ~= 5041 samples."""
-        work = self._dwa_workload(71, 71, 1000, 512, 1024, "5k")
-        self.results.append(measure_performance("CostEvaluator_5k_Trajs", work, runs=5))
+        """The reference's exact CostEvaluator_5k_Trajs workload
+        (``benchmark_runner.cpp:36-185``): 5001 GIVEN trajectories x 1000
+        points (center path + sinusoidal linear/angular fluctuation
+        pairs), straight 10 m path interpolated at 1 cm, 4 active costs
+        {path, goal, smoothness, jerk} = 1.0, NO obstacles — evaluated by
+        the standalone ``evaluate_trajectory_costs`` (the decoupled
+        CostEvaluator API)."""
+        import jax
+
+        from ..ops.solver import SolverParams, get_cost_evaluator
+
+        import jax.numpy as jnp
+
+        S, T = 5001, 1000
+        dt = 0.01
+        v1 = 1.0
+        max_fluct = 0.5
+        pairs = (S - 1) // 2
+        amp = max_fluct / max(pairs, 1)
+
+        # build the 100 MB sample set ON DEVICE (a host->device transfer
+        # of this size through the remote tunnel takes minutes)
+        @jax.jit
+        def build_heavy_samples():
+            i = jnp.arange(T, dtype=jnp.float32)
+            fl = jnp.sin(2.0 * jnp.pi * i / T)
+            k = jnp.arange(S)
+            a = ((k + 1) // 2).astype(jnp.float32) * amp
+            odd = (k % 2) == 1  # linear-fluctuation samples
+            ang = (k % 2 == 0) & (k > 0)  # angular-fluctuation samples
+            px = jnp.broadcast_to(dt * v1 * i, (S, T))
+            py = jnp.where(
+                odd[:, None], dt * (a[:, None] * fl[None, :]) * i[None, :],
+                0.0,
+            )
+            vx = jnp.full((S, T - 1), v1, jnp.float32)
+            vy = jnp.where(odd[:, None], a[:, None] * fl[None, :-1], 0.0)
+            w = jnp.where(ang[:, None], a[:, None] * fl[None, :-1], 0.0)
+            return px, py, jnp.stack([vx, vy, w], axis=-1)
+
+        px, py, vels = build_heavy_samples()
+        float(np.asarray(px[0, 0]))  # force resident
+
+        G = 1024  # 1001-point interpolated path padded
+        s = 0.01 * np.arange(1001, dtype=np.float32)
+        seg_x = np.full(G, 1e8, np.float32)
+        seg_y = np.full(G, 1e8, np.float32)
+        seg_arc = np.zeros(G, np.float32)
+        seg_x[:1001] = s
+        seg_y[:1001] = 0.0
+        seg_arc[:1001] = s
+        params = SolverParams.create(
+            time_step=dt,
+            robot_radius=0.3,
+            collision_margin=0.05,
+            weights={
+                "reference_path_distance_weight": 1.0,
+                "goal_distance_weight": 1.0,
+                "obstacles_distance_weight": 0.0,
+                "smoothness_weight": 1.0,
+                "jerk_weight": 1.0,
+            },
+            acc_limits=(3.0, 3.0, 3.0),
+            max_obstacles_dist=10.0 / 3,
+        )
+        obs = np.full((128, 2), 1e8, np.float32)
+        ev = get_cost_evaluator(with_obstacles=False)
+        args = [
+            jax.device_put(a)
+            for a in (
+                px, py, vels, obs, np.int32(0), seg_x, seg_y, seg_arc,
+                np.int32(1001), np.float32(10.0), np.float32(10.0),
+                np.int32(T),
+            )
+        ]
+
+        # slope-timed over DISTINCT dispatches (ref_total_len perturbed
+        # per variant so no dispatch can be served from a cache); a
+        # blocking round-trip through the dev tunnel adds ~30 ms of pure
+        # RTT and would swamp the device time
+        variants = [
+            jax.device_put(np.float32(10.0 + 1e-4 * k)) for k in range(30)
+        ]
+        self.results.append(
+            measure_throughput_slope(
+                "CostEvaluator_5k_Trajs",
+                lambda rtl: ev(
+                    params, *args[:10], rtl, args[11]
+                ),
+                variants,
+                lambda res: float(np.asarray(res.cost)),
+            )
+        )
 
     def bench_dwa_baseline(self):
         work = self._dwa_workload(45, 45, 30, 512, 384, "baseline")

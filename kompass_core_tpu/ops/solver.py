@@ -712,6 +712,105 @@ def dwa_solve(
     )
 
 
+def evaluate_trajectory_costs(
+    params: SolverParams,
+    px,  # [S, T] given rollout x (the reference's TrajectoryPath SoA)
+    py,  # [S, T]
+    vel_traj,  # [S, T-1, 3] given velocity profiles
+    obs_xy,  # [O, 2] padded obstacle points (+1e8 sentinels)
+    obs_count,  # i32 scalar
+    seg_x,  # [G] tracked segment, padded +1e8
+    seg_y,
+    seg_arc,  # [G] absolute prefix arc lengths
+    seg_count,
+    seg_total_len,
+    ref_total_len,
+    active_points,
+    custom_costs: Sequence = (),
+    with_obstacles: bool = True,
+) -> SolveResult:
+    """Standalone cost evaluation of GIVEN trajectories — the reference's
+    ``CostEvaluator::getMinTrajectoryCost`` API (``cost_evaluator.cpp:
+    49-108``) decoupled from the sampler: callers hand in arbitrary
+    trajectory batches (e.g. externally generated velocity profiles) and
+    get per-sample weighted costs + the strict-first-min winner.
+
+    ``with_obstacles=False`` statically elides the obstacle sweep for
+    workloads with no scan (the reference skips the kernel when
+    ``obstaclePointsX`` is empty, ``cost_evaluator.cpp:76-81``).
+
+    Unlike ``dwa_solve`` (whose constant-velocity samples make smoothness
+    and jerk structurally zero in drop mode), this path always evaluates
+    all five cost kernels — matching the reference's
+    ``CostEvaluator_5k_Trajs`` benchmark workload
+    (``benchmark_runner.cpp:150-185``) exactly.
+    """
+    active_points = jnp.asarray(active_points, jnp.int32)
+    S, T = px.shape
+    t_idx = jnp.arange(T)
+    pt_mask = t_idx < active_points
+    acc_limits = (
+        params.acc_limit_vx, params.acc_limit_vy, params.acc_limit_omega
+    )
+    total = jnp.zeros(S, jnp.float32)
+
+    has_path = ref_total_len > 0.0
+    last_i = jnp.maximum(seg_count - 1, 0)
+    seg_last_x = jax.lax.dynamic_slice_in_dim(seg_x, last_i, 1)[0]
+    seg_last_y = jax.lax.dynamic_slice_in_dim(seg_y, last_i, 1)[0]
+
+    goal = _goal_cost(px, py, seg_x, seg_y, seg_arc, ref_total_len,
+                      active_points)
+    total += jnp.where(
+        has_path & (params.weight_goal > 0), params.weight_goal * goal, 0.0
+    )
+    pathc = _path_cost(
+        px, py, seg_x, seg_y, (seg_last_x, seg_last_y), seg_total_len,
+        active_points,
+    )
+    total += jnp.where(
+        has_path & (params.weight_path > 0), params.weight_path * pathc, 0.0
+    )
+    if with_obstacles:
+        d2_obs = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
+        obst = _obstacles_cost(d2_obs, params.max_obstacles_dist)
+        total += jnp.where(
+            (obs_count > 0) & (params.weight_obstacles > 0),
+            params.weight_obstacles * obst,
+            0.0,
+        )
+    smooth = _smoothness_cost(vel_traj, active_points, acc_limits)
+    total += jnp.where(
+        params.weight_smoothness > 0, params.weight_smoothness * smooth, 0.0
+    )
+    jerk = _jerk_cost(vel_traj, active_points, acc_limits)
+    total += jnp.where(params.weight_jerk > 0, params.weight_jerk * jerk, 0.0)
+    for weight, fn in custom_costs:
+        total += jnp.float32(weight) * fn(vel_traj, px, py, active_points)
+
+    best = jnp.argmin(total).astype(jnp.int32)
+    take_row = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+        a, best, axis=0, keepdims=False
+    )
+    return SolveResult(
+        found=jnp.bool_(S > 0),
+        cost=take_row(total),
+        best_index=best,
+        velocities=take_row(vel_traj),
+        path=jnp.stack([take_row(px), take_row(py)], axis=-1),
+        costs=total,
+        num_admissible=jnp.int32(S),
+    )
+
+
+@_functools.lru_cache(maxsize=16)
+def get_cost_evaluator(with_obstacles: bool = True):
+    """Process-wide jitted standalone cost evaluator."""
+    return jax.jit(
+        partial(evaluate_trajectory_costs, with_obstacles=with_obstacles)
+    )
+
+
 def make_dwa_solver(spec: SolverSpec, custom_costs: Sequence = ()):
     """Build a jit-compiled solver for a fixed `SolverSpec`.
 
