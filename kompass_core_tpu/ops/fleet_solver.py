@@ -329,6 +329,7 @@ def _fleet_robot_step(
             res.cost,
             heading_error,
             active_points.astype(jnp.float32),
+            res.num_admissible.astype(jnp.float32),
         ]
     )
     return new_carry, out
@@ -343,6 +344,7 @@ OUT_FIELDS = (
     "cost",
     "heading_error",
     "active_points",
+    "num_admissible",
 )
 
 
