@@ -14,6 +14,8 @@ from .solver import (  # noqa: F401
     SolverParams,
     SolverSpec,
     dwa_solve,
+    evaluate_trajectory_costs,
+    get_cost_evaluator,
     get_packed_dwa_solver,
     make_dwa_solver,
     make_packed_dwa_solver,
