@@ -75,6 +75,35 @@ PLANNER_PARAMS: Dict[str, Dict[str, tuple]] = {
         "range": _RANGE,
         "connect_steps": ("Connect steps", _I, [1, 1, 64], 8),
     },
+    "LazyRRT": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+    },
+    "LBTRRT": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+        "rewire_factor": _REWIRE,
+        "epsilon": ("Epsilon", _D, [0.0, 0.01, 10.0], 0.4),
+    },
+    "LazyLBTRRT": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+        "rewire_factor": _REWIRE,
+        "epsilon": ("Epsilon", _D, [0.0, 0.01, 10.0], 0.4),
+    },
+    "RRTsharp": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+        "rewire_factor": _REWIRE,
+    },
+    "RRTXstatic": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+        "rewire_factor": _REWIRE,
+        "epsilon_consistency": (
+            "Epsilon consistency", _D, [0.0, 0.001, 1.0], 0.02,
+        ),
+    },
     "EST": {
         "range": _RANGE,
         "goal_bias": _GOAL_BIAS,
@@ -102,7 +131,65 @@ PLANNER_PARAMS: Dict[str, Dict[str, tuple]] = {
         "batches": ("Batches", _I, [1, 1, 64], 4),
         "rewire_factor": _REWIRE,
     },
+    "TRRT": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+        "init_temperature": ("Init temperature", _D, [1e-6, 1.0, 1e6], 100.0),
+        # 0.0 = auto (quarter of the extension step)
+        "frontier_threshold": (
+            "Frontier threshold", _D, [0.0, 0.01, 100.0], 0.0,
+        ),
+    },
+    "BiEST": {
+        "range": _RANGE,
+        "density_radius": ("Density radius", _D, [0.01, 0.01, 100.0], 1.0),
+    },
+    "SBL": {
+        "range": _RANGE,
+    },
+    "BKPIECE1": {
+        "range": _RANGE,
+        "border_fraction": ("Border fraction", _D, [0.0, 0.05, 1.0], 0.9),
+    },
+    "LBKPIECE1": {
+        "range": _RANGE,
+        "border_fraction": ("Border fraction", _D, [0.0, 0.05, 1.0], 0.9),
+    },
+    "ProjEST": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+    },
+    "PDST": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+    },
+    "STRIDE": {
+        "range": _RANGE,
+        "goal_bias": _GOAL_BIAS,
+    },
+    "BFMT": {
+        "num_samples": ("Num samples", _I, [16, 1, 8192], 512),
+        "radius_multiplier": (
+            "Radius multiplier", _D, [0.1, 0.05, 10.0], 1.1,
+        ),
+    },
+    "ABITstar": {
+        "samples_per_batch": ("Samples per batch", _I, [16, 1, 4096], 128),
+        "batches": ("Batches", _I, [1, 1, 64], 4),
+        "rewire_factor": _REWIRE,
+        "initial_inflation": (
+            "Initial inflation", _D, [1.0, 0.1, 1e6], 2.0,
+        ),
+    },
+    "AITstar": {
+        "samples_per_batch": ("Samples per batch", _I, [16, 1, 4096], 128),
+        "batches": ("Batches", _I, [1, 1, 64], 4),
+        "rewire_factor": _REWIRE,
+    },
 }
+
+# "FMT" is the OMPL class name; "FMTstar" the descriptive alias — one map
+PLANNER_PARAMS["FMT"] = PLANNER_PARAMS["FMTstar"]
 
 
 def create_field(input_tuple: tuple):

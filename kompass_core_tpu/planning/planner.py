@@ -200,7 +200,7 @@ def _informed_sample(key, start, goal, c_best, bounds_lo, bounds_hi):
 @partial(
     jax.jit,
     static_argnames=("max_iterations", "edge_check_points", "rewire",
-                     "informed"),
+                     "informed", "cascade", "check_edges"),
 )
 def _rrt_solve(
     blocked,
@@ -214,18 +214,45 @@ def _rrt_solve(
     goal_tolerance,
     goal_bias,
     rewire_factor,
+    epsilon,
+    eps_consistency,
     key,
     max_iterations: int,
     edge_check_points: int,
     rewire: bool = False,
     informed: bool = False,
+    cascade: bool = False,
+    check_edges: bool = True,
 ):
     """RRT(*) under lax.scan: fixed-capacity tree arrays, masked growth.
 
     ``informed``: once any node can reach the goal, draw samples from the
     prolate hyperspheroid bounded by the best known solution cost instead
     of the full workspace (Informed RRT*). ``goal_bias`` and
-    ``rewire_factor`` honor the per-planner OMPL params."""
+    ``rewire_factor`` honor the per-planner OMPL params.
+
+    Optimizing-family extensions (all masked tensor ops, zero-cost when
+    their flags are off):
+
+      * ``epsilon`` — LBT-RRT's approximation factor (Salzman & Halperin
+        2016): the choose-parent step only switches to a cheaper parent
+        when it beats the nearest-node cost by more than a (1 + eps)
+        factor, bounding the tree cost at (1 + eps) x the lower bound
+        while skipping most rewiring work. 0.0 recovers exact RRT*.
+      * ``cascade`` — RRT# / RRTX-style rewiring cascade (Arslan &
+        Tsiotras 2013; Otte & Frazzoli 2015): after each insertion the
+        new node also REVERSE-rewires its neighborhood (existing nodes
+        adopt it as parent when cheaper), and one vectorized
+        cost-propagation pass re-derives every node's cost through its
+        parent edge — improvements percolate one tree level per
+        iteration, keeping the tree cost-consistent.
+      * ``eps_consistency`` — RRTXstatic's epsilon-consistency threshold:
+        cascade updates smaller than this are suppressed.
+      * ``check_edges=False`` — LazyRRT semantics: motions are NOT
+        collision-checked during growth (only states); the host wrapper
+        validates the traced solution path and rejects on failure."""
+    if cascade and not rewire:
+        raise ValueError("cascade requires rewire=True (RRT#/RRTX extend RRT*)")
     N = max_iterations + 2
     nodes = jnp.zeros((N, 2), jnp.float32).at[0].set(start)
     parents = jnp.full((N,), -1, jnp.int32)
@@ -258,41 +285,63 @@ def _rrt_solve(
         direction = sample - nodes[nearest]
         dn = jnp.maximum(jnp.linalg.norm(direction), 1e-9)
         new_pt = nodes[nearest] + direction / dn * jnp.minimum(dn, step_size)
-        ok = segment_free(
-            blocked, origin_xy, resolution, nodes[nearest], new_pt,
-            edge_check_points,
-        ) & point_free(blocked, origin_xy, resolution, new_pt)
+        ok = point_free(blocked, origin_xy, resolution, new_pt)
+        if check_edges:
+            ok = ok & segment_free(
+                blocked, origin_xy, resolution, nodes[nearest], new_pt,
+                edge_check_points,
+            )
 
         parent = nearest.astype(jnp.int32)
         new_cost = costs[nearest] + jnp.linalg.norm(new_pt - nodes[nearest])
         if rewire:
             radius = rewire_factor * 2.0 * step_size
-            near = alive & (jnp.linalg.norm(nodes - new_pt, axis=1) <= radius)
-            seg_ok = segment_free(
-                blocked, origin_xy, resolution, nodes,
-                jnp.broadcast_to(new_pt, nodes.shape), edge_check_points,
-            )
-            through = jnp.where(
-                near & seg_ok,
-                costs + jnp.linalg.norm(nodes - new_pt, axis=1),
-                jnp.inf,
-            )
+            d_new = jnp.linalg.norm(nodes - new_pt, axis=1)
+            near = alive & (d_new <= radius)
+            if check_edges:
+                seg_ok = segment_free(
+                    blocked, origin_xy, resolution, nodes,
+                    jnp.broadcast_to(new_pt, nodes.shape), edge_check_points,
+                )
+            else:
+                seg_ok = jnp.ones((N,), bool)
+            through = jnp.where(near & seg_ok, costs + d_new, jnp.inf)
             best = jnp.argmin(through)
-            better = through[best] < new_cost
+            # LBT-RRT gate: only adopt the cheaper parent when it wins by
+            # more than the (1 + eps) approximation factor (eps=0 = RRT*)
+            better = through[best] * (1.0 + epsilon) < new_cost
             parent = jnp.where(better, best.astype(jnp.int32), parent)
-            new_cost = jnp.minimum(through[best], new_cost)
+            new_cost = jnp.where(better, through[best], new_cost)
 
         idx = count
         nodes = jnp.where(ok, nodes.at[idx].set(new_pt), nodes)
         parents = jnp.where(ok, parents.at[idx].set(parent), parents)
         costs = jnp.where(ok, costs.at[idx].set(new_cost), costs)
         count = count + ok.astype(jnp.int32)
+        if cascade:
+            # RRT# / RRTX: reverse-rewire the neighborhood through the new
+            # node, then one vectorized cost-consistency propagation pass
+            # (improvements percolate one tree level per iteration).
+            via_new = new_cost + d_new
+            adopt = (
+                ok & alive & near & seg_ok
+                & (via_new < costs - eps_consistency)
+            )
+            parents = jnp.where(adopt, idx.astype(jnp.int32), parents)
+            costs = jnp.where(adopt, via_new, costs)
+            psafe = jnp.maximum(parents, 0)
+            pc = costs[psafe] + jnp.linalg.norm(nodes - nodes[psafe], axis=1)
+            costs = jnp.where(
+                (parents >= 0) & (pc < costs - eps_consistency), pc, costs
+            )
         if informed:
             dg = jnp.linalg.norm(new_pt - goal)
-            goal_ok = ok & (dg <= goal_tolerance) & segment_free(
-                blocked, origin_xy, resolution, new_pt, goal,
-                edge_check_points,
-            )
+            goal_ok = ok & (dg <= goal_tolerance)
+            if check_edges:
+                goal_ok = goal_ok & segment_free(
+                    blocked, origin_xy, resolution, new_pt, goal,
+                    edge_check_points,
+                )
             c_best = jnp.where(
                 goal_ok, jnp.minimum(c_best, new_cost + dg), c_best
             )
@@ -305,10 +354,13 @@ def _rrt_solve(
     # connect to goal: nearest tree node within tolerance with a free segment
     alive = jnp.arange(N) < count
     dgoal = jnp.where(alive, jnp.linalg.norm(nodes - goal, axis=1), jnp.inf)
-    seg_ok = segment_free(
-        blocked, origin_xy, resolution, nodes,
-        jnp.broadcast_to(goal, nodes.shape), edge_check_points,
-    )
+    if check_edges:
+        seg_ok = segment_free(
+            blocked, origin_xy, resolution, nodes,
+            jnp.broadcast_to(goal, nodes.shape), edge_check_points,
+        )
+    else:
+        seg_ok = jnp.ones((N,), bool)
     reach = jnp.where(
         alive & seg_ok & (dgoal <= goal_tolerance), costs + dgoal, jnp.inf
     )
@@ -454,6 +506,10 @@ class GlobalPlanner:
         self._config = config or GlobalPlannerConfig()
         if config_file:
             self._config.from_file(config_file)
+        # accept reference-style "ompl.geometric.X" ids (planner.py:34)
+        self._config.planner_id = normalize_planner_id(
+            self._config.planner_id
+        )
         if self._config.planner_id not in planner_registry:
             raise ValueError(
                 f"Unknown planner '{self._config.planner_id}'. Available: "
@@ -672,10 +728,12 @@ def _solve_prm(planner: GlobalPlanner, prob, seed=0) -> Optional[np.ndarray]:
 
 
 def _solve_rrt(planner: GlobalPlanner, prob, seed=0, rewire=False,
-               informed=False):
+               informed=False, cascade=False, check_edges=True,
+               use_epsilon=False):
     cfg = planner._config
     key = jax.random.PRNGKey(seed)
     step = planner._param("range", 0.0) or cfg.step_size
+    epsilon = float(planner._param("epsilon", 0.4)) if use_epsilon else 0.0
     nodes, parents, best, cost = _rrt_solve(
         planner._blocked,
         prob["origin"],
@@ -688,11 +746,16 @@ def _solve_rrt(planner: GlobalPlanner, prob, seed=0, rewire=False,
         jnp.float32(step),
         jnp.float32(planner._param("goal_bias", 0.1)),
         jnp.float32(planner._param("rewire_factor", 1.0)),
+        jnp.float32(epsilon),
+        jnp.float32(planner._param("epsilon_consistency", 0.0)
+                    if cascade else 0.0),
         key,
         max_iterations=cfg.max_iterations,
         edge_check_points=cfg.edge_check_points,
         rewire=rewire,
         informed=informed,
+        cascade=cascade,
+        check_edges=check_edges,
     )
     if not np.isfinite(float(cost)):
         return None
@@ -704,8 +767,21 @@ def _solve_rrt(planner: GlobalPlanner, prob, seed=0, rewire=False,
         if nxt < 0 or nxt in path:
             return None
         path.append(nxt)
-    pts = nodes[path[::-1]]
-    return np.vstack([pts, prob["goal"][None, :]])
+    pts = np.vstack([nodes[path[::-1]], prob["goal"][None, :]])
+    if not check_edges:
+        # lazy semantics: growth skipped motion checks; validate the traced
+        # solution now (OMPL's lazy path-validation step). On failure,
+        # repair by re-solving the same seed with motion checks on — the
+        # TPU analog of OMPL's check-on-demand edge removal loop (the
+        # optimistic pass costs ~nothing; the checked pass is the repair).
+        for a, b in zip(pts[:-1], pts[1:]):
+            if not planner._segment_free_host(a, b):
+                return _solve_rrt(
+                    planner, prob, seed=seed, rewire=rewire,
+                    informed=informed, cascade=cascade, check_edges=True,
+                    use_epsilon=use_epsilon,
+                )
+    return pts
 
 
 def _solve_prm_star(planner: GlobalPlanner, prob, seed=0) -> Optional[np.ndarray]:
@@ -777,6 +853,19 @@ from .planners_ext import (  # noqa: E402 — solvers need _graph_shortest_path
     solve_kpiece,
     solve_sst,
 )
+from .planners_trees import (  # noqa: E402
+    solve_abitstar,
+    solve_aitstar,
+    solve_bfmt,
+    solve_biest,
+    solve_bkpiece,
+    solve_lbkpiece,
+    solve_pdst,
+    solve_proj_est,
+    solve_sbl,
+    solve_stride,
+    solve_trrt,
+)
 
 planner_registry: Dict[str, Callable] = {
     "PRM": _solve_prm,
@@ -788,12 +877,42 @@ planner_registry: Dict[str, Callable] = {
     "RRTConnect": _solve_rrt_connect,
     "RRTstar": partial(_solve_rrt, rewire=True),
     "InformedRRTstar": partial(_solve_rrt, rewire=True, informed=True),
+    # optimizing-family variants, all static-flag modes of the one RRT
+    # kernel (see _rrt_solve's docstring for the algorithm mapping)
+    "LazyRRT": partial(_solve_rrt, check_edges=False),
+    "LBTRRT": partial(_solve_rrt, rewire=True, use_epsilon=True),
+    "LazyLBTRRT": partial(
+        _solve_rrt, rewire=True, use_epsilon=True, check_edges=False
+    ),
+    "RRTsharp": partial(_solve_rrt, rewire=True, informed=True, cascade=True),
+    "RRTXstatic": partial(
+        _solve_rrt, rewire=True, informed=True, cascade=True
+    ),
     "EST": solve_est,
     "KPIECE1": solve_kpiece,
     "SST": solve_sst,
     "FMTstar": solve_fmt,
+    "FMT": solve_fmt,  # OMPL class name (the reference binds "FMT")
     "BITstar": solve_bitstar,
+    "TRRT": solve_trrt,  # the reference front-end's default planner
+    "BiEST": solve_biest,
+    "SBL": solve_sbl,
+    "BKPIECE1": solve_bkpiece,
+    "LBKPIECE1": solve_lbkpiece,
+    "ProjEST": solve_proj_est,
+    "PDST": solve_pdst,
+    "STRIDE": solve_stride,
+    "BFMT": solve_bfmt,
+    "ABITstar": solve_abitstar,
+    "AITstar": solve_aitstar,
 }
+
+
+def normalize_planner_id(planner_id: str) -> str:
+    """Accept reference-style ids (``ompl.geometric.TRRT``,
+    ``kompass.geometric.TRRT``) alongside bare OMPL class names."""
+    return planner_id.rsplit(".", 1)[-1]
+
 
 # reference-compatible alias
 OMPLGeometric = GlobalPlanner

@@ -181,6 +181,62 @@ def test_extended_planners_solve_around_wall(robot, planner_id):
     assert _path_is_collision_free(planner, path)
 
 
+@pytest.mark.parametrize(
+    "planner_id",
+    ["TRRT", "BiEST", "SBL", "BKPIECE1", "LBKPIECE1", "ProjEST", "PDST",
+     "STRIDE", "BFMT", "ABITstar", "AITstar", "LazyRRT", "LBTRRT",
+     "LazyLBTRRT", "RRTsharp", "RRTXstatic"],
+)
+def test_tree_family_planners_solve_around_wall(robot, planner_id):
+    meta, wall = make_wall_map()
+    # density/projection explorers lack RRT's Voronoi pull — more expansions
+    iters = {
+        "TRRT": 4096, "BiEST": 4096, "SBL": 4096, "BKPIECE1": 4096,
+        "LBKPIECE1": 4096, "ProjEST": 6144, "PDST": 6144, "STRIDE": 6144,
+    }.get(planner_id, 1024)
+    cfg = GlobalPlannerConfig(
+        planner_id=planner_id, num_samples=256, seed=3,
+        connection_radius=4.0, max_iterations=iters, step_size=0.8,
+        planning_timeout=30.0,
+    )
+    planner = GlobalPlanner(robot, config=cfg)
+    if planner_id == "BFMT":
+        planner.planner_params.num_samples = 512
+        planner.planner_params.radius_multiplier = 1.5
+    if planner_id in ("ABITstar", "AITstar"):
+        planner.planner_params.samples_per_batch = 96
+        planner.planner_params.batches = 3
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path = planner.solve()
+    assert path is not None, f"{planner_id} found no path"
+    np.testing.assert_allclose(path[0], [2.0, 2.0], atol=0.9)
+    np.testing.assert_allclose(path[-1], [2.0, 8.0], atol=0.9)
+    assert planner.path_cost > 6.0
+    assert planner.path_cost < 40.0
+    assert _path_is_collision_free(planner, path)
+
+
+def test_registry_covers_all_reference_bound_planners():
+    """Every planner the reference binds (ompl_bindings/bindings.cpp:63-444,
+    enumerated in tests/resources/reference/ompl/test_results_geometric_ref.csv)
+    has a registry entry, and reference-style dotted ids resolve."""
+    import csv
+    import pathlib
+
+    from kompass_core_tpu.planning.params import PLANNER_PARAMS
+    from kompass_core_tpu.planning.planner import normalize_planner_id
+
+    csv_path = (pathlib.Path(__file__).parent / "resources" / "reference"
+                / "ompl" / "test_results_geometric_ref.csv")
+    with open(csv_path) as f:
+        ref_ids = [row["method"] for row in csv.DictReader(f)]
+    assert len(ref_ids) >= 28
+    for dotted in ref_ids:
+        name = normalize_planner_id(dotted)
+        assert name in planner_registry, f"{dotted} unbound"
+        assert name in PLANNER_PARAMS, f"{dotted} has no param map"
+
+
 def test_per_planner_params_surface(robot):
     """available_planners exposes OMPL-style param maps; the setter
     type-checks; params are honored (RRT range drives step size)."""
