@@ -142,7 +142,8 @@ PLANNER_PARAMS: Dict[str, Dict[str, tuple]] = {
     },
     "BiEST": {
         "range": _RANGE,
-        "density_radius": ("Density radius", _D, [0.01, 0.01, 100.0], 1.0),
+        # 0.0 = auto (density neighborhood = the extension range)
+        "density_radius": ("Density radius", _D, [0.0, 0.01, 100.0], 0.0),
     },
     "SBL": {
         "range": _RANGE,

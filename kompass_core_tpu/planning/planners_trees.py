@@ -650,7 +650,7 @@ def _solve_bidir(planner, prob, seed=0, selection="est", check_edges=True):
     nodes, parents, found, bridge = bidir_tree_solve(
         *_tree_args(planner, prob),
         jnp.float32(step),
-        jnp.float32(planner._param("density_radius", 1.0)),
+        jnp.float32(planner._param("density_radius", 0.0) or step),
         jnp.float32(planner._param("border_fraction", 0.9)),
         jax.random.PRNGKey(seed),
         max_iterations=cfg.max_iterations,

@@ -358,10 +358,18 @@ def test_emergency_stop_recorded_scan_geometry(recorded_scan):
 # --- turtlebot map planning (reference test_ompl.py) ----------------------
 
 
-@pytest.mark.parametrize(
-    "planner_id", ["PRM", "RRTConnect", "InformedRRTstar", "BITstar",
-                   "FMTstar"]
-)
+def _reference_planner_ids():
+    """All planner ids the reference exercises on this map
+    (tests/resources/reference/ompl/test_results_geometric_ref.csv, the
+    recorded output of the reference's own test_ompl.py run)."""
+    import csv
+
+    path = os.path.join(RES, "ompl", "test_results_geometric_ref.csv")
+    with open(path) as f:
+        return [row["method"].rsplit(".", 1)[-1] for row in csv.DictReader(f)]
+
+
+@pytest.mark.parametrize("planner_id", _reference_planner_ids())
 def test_planner_solves_turtlebot_map(planner_id):
     from kompass_core_tpu.planning import GlobalPlanner, GlobalPlannerConfig
 
