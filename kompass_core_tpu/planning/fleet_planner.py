@@ -1,0 +1,174 @@
+"""Fleet global planning: N start→goal queries over ONE shared roadmap,
+solved in a single device dispatch.
+
+Beyond-reference capability (the reference plans one robot per
+``OMPL2DGeometricPlanner`` instance, ``planning/ompl.cpp:22-67``): a
+warehouse fleet shares one static map, so the expensive part of a
+PRM-style solve — the K x K edge-validity tensor (segment collision
+checks) — is identical for every robot. This module builds the roadmap
+once over [starts | goals | samples] and runs a BATCHED min-plus
+Bellman-Ford relaxation ``d[i,j] = min_k d[i,k] + W[k,j]`` with the
+robot axis as a leading tensor dimension: one compiled program returns
+every robot's distance field and predecessor tree.
+
+TPU notes: the relaxation is a [N, M, M] broadcast-min — VPU-bound,
+fused by XLA; the edge tensor amortizes across the fleet exactly like
+the fleet mapper amortizes the beam lookup (``ops/mapping.py``).
+"""
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import point_free, segment_free
+
+__all__ = ["solve_fleet_prm", "fleet_shortest_paths"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_robots", "edge_check_points", "num_relax_iters",
+                     "knn_cap"),
+)
+def fleet_shortest_paths(
+    blocked,
+    origin_xy,
+    resolution,
+    starts,  # [N, 2]
+    goals,  # [N, 2]
+    samples,  # [K, 2] shared roadmap samples
+    connection_radius,
+    n_robots: int,
+    edge_check_points: int,
+    num_relax_iters: int,
+    knn_cap: int = 0,
+):
+    """One shared roadmap, N-source batched Bellman-Ford.
+
+    Node layout: [starts (N) | goals (N) | samples (K)], M = 2N + K.
+    Returns (nodes [M,2], dists [N, M], preds [N, M]); robot i's
+    solution cost is ``dists[i, N + i]``.
+    """
+    N = n_robots
+    nodes = jnp.concatenate([starts, goals, samples], axis=0)
+    M = nodes.shape[0]
+    node_free = point_free(blocked, origin_xy, resolution, nodes)
+
+    diff = nodes[:, None, :] - nodes[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    seg_ok = segment_free(
+        blocked, origin_xy, resolution, nodes[:, None, :], nodes[None, :, :],
+        edge_check_points,
+    )
+    connected = (
+        seg_ok
+        & (dist <= connection_radius)
+        & node_free[:, None] & node_free[None, :]
+        & (dist > 0)
+    )
+    if knn_cap > 0:
+        k = min(knn_cap, M - 1)
+        cand = jnp.where(connected, dist, jnp.inf)
+        kth = jnp.sort(cand, axis=1)[:, k - 1]
+        in_knn = cand <= kth[:, None]
+        connected = connected & (in_knn | in_knn.T)
+    W = jnp.where(connected, dist, jnp.inf)
+
+    INF = jnp.float32(jnp.inf)
+    # d[i, j]: cost from start node i to node j
+    d0 = jnp.full((N, M), INF)
+    d0 = d0.at[jnp.arange(N), jnp.arange(N)].set(0.0)
+    p0 = jnp.full((N, M), -1, jnp.int32)
+
+    def relax(carry, _):
+        d, p = carry
+        cand = d[:, :, None] + W[None, :, :]  # [N, M(k), M(j)]
+        best_k = jnp.argmin(cand, axis=1)  # [N, M]
+        best_d = jnp.min(cand, axis=1)
+        improved = best_d < d
+        d = jnp.where(improved, best_d, d)
+        p = jnp.where(improved, best_k.astype(jnp.int32), p)
+        return (d, p), None
+
+    (dists, preds), _ = jax.lax.scan(
+        relax, (d0, p0), None, length=num_relax_iters
+    )
+    return nodes, dists, preds
+
+
+def _trace_fleet_path(nodes, pred_row, start_idx, goal_idx):
+    path = [int(goal_idx)]
+    while path[-1] != start_idx:
+        nxt = int(pred_row[path[-1]])
+        if nxt < 0 or nxt in path:
+            return None
+        path.append(nxt)
+    return np.asarray(nodes)[path[::-1]]
+
+
+def solve_fleet_prm(
+    planner,
+    starts: np.ndarray,
+    goals: np.ndarray,
+    seed: Optional[int] = None,
+) -> List[Optional[np.ndarray]]:
+    """Plan all N robots of a fleet over the map configured by
+    ``planner.setup_problem`` (bounds/inflation reused; the per-robot
+    start/goal there is ignored). Returns one path (or None) per robot;
+    each path is simplified with the planner's shortcut pass.
+
+    Failed robots are retried over ``optimize_rounds`` extra seeds with
+    the roadmap resampled — the fleet analog of ``GlobalPlanner.solve``'s
+    retry loop.
+    """
+    if planner._problem is None:
+        raise RuntimeError("Call setup_problem first")
+    starts = np.asarray(starts, np.float32).reshape(-1, 2)
+    goals = np.asarray(goals, np.float32).reshape(-1, 2)
+    if starts.shape != goals.shape:
+        raise ValueError("starts and goals must both be [N, 2]")
+    N = starts.shape[0]
+    cfg = planner._config
+    prob = planner._problem
+    K = cfg.num_samples
+    relax_iters = min(2 * N + K, 128)
+    base_seed = cfg.seed if seed is None else seed
+
+    paths: List[Optional[np.ndarray]] = [None] * N
+    for round_i in range(max(1, cfg.optimize_rounds + 1)):
+        if all(p is not None for p in paths):
+            break
+        key = jax.random.PRNGKey(base_seed + round_i)
+        samples = jax.random.uniform(
+            key, (K, 2), minval=prob["lo"], maxval=prob["hi"],
+            dtype=jnp.float32,
+        )
+        nodes, dists, preds = fleet_shortest_paths(
+            planner._blocked,
+            prob["origin"],
+            prob["resolution"],
+            jnp.asarray(starts),
+            jnp.asarray(goals),
+            samples,
+            jnp.float32(cfg.connection_radius),
+            n_robots=N,
+            edge_check_points=cfg.edge_check_points,
+            num_relax_iters=relax_iters,
+            knn_cap=int(planner._param("max_nearest_neighbors", 0) or 0),
+        )
+        nodes = np.asarray(nodes)
+        dists = np.asarray(dists)
+        preds = np.asarray(preds)
+        for i in range(N):
+            if paths[i] is not None:
+                continue
+            if not np.isfinite(dists[i, N + i]):
+                continue
+            raw = _trace_fleet_path(nodes, preds[i], i, N + i)
+            if raw is None:
+                continue
+            paths[i] = planner._shortcut(raw) if cfg.simplify else raw
+    return paths

@@ -651,6 +651,15 @@ class GlobalPlanner:
     def get_solution(self) -> Optional[np.ndarray]:
         return self.solution
 
+    def solve_fleet(self, starts, goals, seed=None):
+        """Plan N robots over this map in ONE device dispatch (shared
+        roadmap, batched multi-source shortest paths). Beyond-reference;
+        see ``planning/fleet_planner.py``. Returns a list of N paths
+        (``None`` where unsolved)."""
+        from .fleet_planner import solve_fleet_prm
+
+        return solve_fleet_prm(self, starts, goals, seed=seed)
+
     @property
     def path_cost(self) -> float:
         """Solution arc length (role of ``ompl.cpp:77-85``)."""

@@ -237,6 +237,51 @@ def test_registry_covers_all_reference_bound_planners():
         assert name in PLANNER_PARAMS, f"{dotted} has no param map"
 
 
+def test_fleet_planner_solves_all_robots(robot):
+    """N start->goal queries over one shared roadmap in one dispatch:
+    every robot solved, endpoints right, every edge collision-free."""
+    meta, wall = make_wall_map()
+    cfg = GlobalPlannerConfig(
+        planner_id="PRM", num_samples=256, seed=3, connection_radius=4.0,
+    )
+    planner = GlobalPlanner(robot, config=cfg)
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    starts = np.array([[2.0, 2.0], [4.0, 2.0], [8.0, 2.0], [2.0, 8.0]])
+    goals = np.array([[2.0, 8.0], [4.0, 8.0], [8.0, 8.0], [8.0, 2.0]])
+    paths = planner.solve_fleet(starts, goals)
+    assert len(paths) == 4
+    for i, path in enumerate(paths):
+        assert path is not None, f"robot {i} unsolved"
+        np.testing.assert_allclose(path[0], starts[i], atol=1e-5)
+        np.testing.assert_allclose(path[-1], goals[i], atol=1e-5)
+        for a, b in zip(path[:-1], path[1:]):
+            assert planner._segment_free_host(a, b)
+    # robots 0/1 cross the wall -> must detour (cost > straight 6.0)
+    for i in (0, 1):
+        cost = float(np.hypot(*np.diff(paths[i], axis=0).T).sum())
+        assert cost > 6.0
+    # robot 2 goes through the gap column (x=8): near-straight
+    cost2 = float(np.hypot(*np.diff(paths[2], axis=0).T).sum())
+    assert cost2 == pytest.approx(6.0, rel=0.15)
+
+
+def test_fleet_planner_matches_single_robot_quality(robot):
+    """A fleet-of-one solve is as good as the single-robot PRM solve on
+    the same problem (same map, same sample budget)."""
+    meta, wall = make_wall_map()
+    cfg = GlobalPlannerConfig(
+        planner_id="PRM", num_samples=256, seed=3, connection_radius=4.0,
+    )
+    planner = GlobalPlanner(robot, config=cfg)
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    single = planner.solve()
+    assert single is not None
+    (fleet_path,) = planner.solve_fleet([[2.0, 2.0]], [[2.0, 8.0]])
+    assert fleet_path is not None
+    fleet_cost = float(np.hypot(*np.diff(fleet_path, axis=0).T).sum())
+    assert fleet_cost <= planner.path_cost * 1.2
+
+
 def test_per_planner_params_surface(robot):
     """available_planners exposes OMPL-style param maps; the setter
     type-checks; params are honored (RRT range drives step size)."""
