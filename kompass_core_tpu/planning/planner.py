@@ -64,7 +64,9 @@ _segment_free = segment_free
 class GlobalPlannerConfig(BaseAttrs):
     """Planner configuration (role of ``OMPLGeometricConfig``)."""
 
-    planner_id: str = field(default="PRM")
+    # the reference front-end's default planner is TRRT
+    # (third_party/ompl/planner.py:34)
+    planner_id: str = field(default="TRRT")
     # retry budget: rounds with fresh seeds run until a solution is found
     # or the timeout expires (the reference hands this to OMPL's solve())
     planning_timeout: float = field(
@@ -523,6 +525,37 @@ class GlobalPlanner:
         self.solution: Optional[np.ndarray] = None
         self._blocked = None
         self._problem = None
+
+    def configure(
+        self,
+        config_file: str,
+        root_name: Optional[str] = None,
+        planner_id: Optional[str] = None,
+    ) -> None:
+        """Load config from a yaml/json/toml file (role of
+        ``OMPLGeometric.configure``, ``third_party/ompl/planner.py:117-155``):
+        the planner config lives under ``[root_name.]ompl`` and the
+        per-planner params under ``[root_name.]ompl.<PlannerName>``.
+        ``planner_id`` switches the active planner."""
+        nested = (root_name + ".ompl") if root_name else "ompl"
+        self._config.from_file(config_file, nested_root_name=nested)
+        self._config.planner_id = normalize_planner_id(
+            planner_id or self._config.planner_id
+        )
+        if self._config.planner_id not in planner_registry:
+            raise ValueError(
+                f"Selected planner is invalid. Available supported planners "
+                f"are: {sorted(self.available_planners)}"
+            )
+        name = self._config.planner_id
+        self._planner_params = default_planner_params(name)
+        if self._planner_params is not None:
+            try:
+                self._planner_params.from_file(
+                    config_file, nested + "." + name
+                )
+            except KeyError:
+                pass  # no per-planner section in the file: keep defaults
 
     @property
     def available_planners(self) -> Dict[str, Dict[str, tuple]]:

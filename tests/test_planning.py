@@ -135,6 +135,38 @@ def test_registry_covers_reference_planner_families():
     assert len(planner_registry) >= 12
 
 
+def test_default_planner_is_trrt(robot):
+    """The reference front-end defaults to TRRT
+    (third_party/ompl/planner.py:34); so does this one."""
+    assert GlobalPlannerConfig().planner_id == "TRRT"
+
+
+def test_configure_from_file_switches_planner(robot, tmp_path):
+    """configure() mirrors the reference's file layout: planner config
+    under [root.]ompl, per-planner params under [root.]ompl.<Planner>."""
+    import yaml
+
+    cfg_file = tmp_path / "planner.yaml"
+    cfg_file.write_text(yaml.safe_dump({
+        "nav": {"ompl": {
+            "planner_id": "ompl.geometric.RRTstar",
+            "num_samples": 128,
+            "RRTstar": {"goal_bias": 0.25, "rewire_factor": 1.4},
+        }},
+    }))
+    planner = GlobalPlanner(robot)
+    planner.configure(str(cfg_file), root_name="nav")
+    assert planner.planner_id == "RRTstar"
+    assert planner._config.num_samples == 128
+    assert planner.planner_params.goal_bias == pytest.approx(0.25)
+    assert planner.planner_params.rewire_factor == pytest.approx(1.4)
+    # explicit planner_id overrides the file's
+    planner.configure(str(cfg_file), root_name="nav", planner_id="PRM")
+    assert planner.planner_id == "PRM"
+    with pytest.raises(ValueError):
+        planner.configure(str(cfg_file), root_name="nav", planner_id="NOPE")
+
+
 def test_unknown_planner_raises(robot):
     with pytest.raises(ValueError):
         GlobalPlanner(robot, config=GlobalPlannerConfig(planner_id="FOO"))
