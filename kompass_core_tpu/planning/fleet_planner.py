@@ -4,26 +4,29 @@ solved in a single device dispatch.
 Beyond-reference capability (the reference plans one robot per
 ``OMPL2DGeometricPlanner`` instance, ``planning/ompl.cpp:22-67``): a
 warehouse fleet shares one static map, so the expensive part of a
-PRM-style solve — the K x K edge-validity tensor (segment collision
+PRM-style solve — the M x M edge-validity tensor (segment collision
 checks) — is identical for every robot. This module builds the roadmap
 once over [starts | goals | samples] and runs a BATCHED min-plus
 Bellman-Ford relaxation ``d[i,j] = min_k d[i,k] + W[k,j]`` with the
 robot axis as a leading tensor dimension: one compiled program returns
 every robot's distance field and predecessor tree.
 
+The edge tensor and the relaxation are the single-robot roadmap
+kernel's own helpers (``planner.build_edge_weights`` /
+``planner.minplus_relax``) — one implementation serves both paths.
+
 TPU notes: the relaxation is a [N, M, M] broadcast-min — VPU-bound,
 fused by XLA; the edge tensor amortizes across the fleet exactly like
 the fleet mapper amortizes the beam lookup (``ops/mapping.py``).
 """
 
+import time
 from functools import partial
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from .geometry import point_free, segment_free
 
 __all__ = ["solve_fleet_prm", "fleet_shortest_paths"]
 
@@ -52,50 +55,21 @@ def fleet_shortest_paths(
     Returns (nodes [M,2], dists [N, M], preds [N, M]); robot i's
     solution cost is ``dists[i, N + i]``.
     """
+    from .planner import build_edge_weights, minplus_relax
+
     N = n_robots
     nodes = jnp.concatenate([starts, goals, samples], axis=0)
     M = nodes.shape[0]
-    node_free = point_free(blocked, origin_xy, resolution, nodes)
-
-    diff = nodes[:, None, :] - nodes[None, :, :]
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-    seg_ok = segment_free(
-        blocked, origin_xy, resolution, nodes[:, None, :], nodes[None, :, :],
-        edge_check_points,
+    W = build_edge_weights(
+        blocked, origin_xy, resolution, nodes, connection_radius,
+        edge_check_points, knn_cap,
     )
-    connected = (
-        seg_ok
-        & (dist <= connection_radius)
-        & node_free[:, None] & node_free[None, :]
-        & (dist > 0)
-    )
-    if knn_cap > 0:
-        k = min(knn_cap, M - 1)
-        cand = jnp.where(connected, dist, jnp.inf)
-        kth = jnp.sort(cand, axis=1)[:, k - 1]
-        in_knn = cand <= kth[:, None]
-        connected = connected & (in_knn | in_knn.T)
-    W = jnp.where(connected, dist, jnp.inf)
-
     INF = jnp.float32(jnp.inf)
     # d[i, j]: cost from start node i to node j
     d0 = jnp.full((N, M), INF)
     d0 = d0.at[jnp.arange(N), jnp.arange(N)].set(0.0)
     p0 = jnp.full((N, M), -1, jnp.int32)
-
-    def relax(carry, _):
-        d, p = carry
-        cand = d[:, :, None] + W[None, :, :]  # [N, M(k), M(j)]
-        best_k = jnp.argmin(cand, axis=1)  # [N, M]
-        best_d = jnp.min(cand, axis=1)
-        improved = best_d < d
-        d = jnp.where(improved, best_d, d)
-        p = jnp.where(improved, best_k.astype(jnp.int32), p)
-        return (d, p), None
-
-    (dists, preds), _ = jax.lax.scan(
-        relax, (d0, p0), None, length=num_relax_iters
-    )
+    dists, preds = minplus_relax(W, d0, p0, num_relax_iters)
     return nodes, dists, preds
 
 
@@ -120,10 +94,15 @@ def solve_fleet_prm(
     start/goal there is ignored). Returns one path (or None) per robot;
     each path is simplified with the planner's shortcut pass.
 
-    Failed robots are retried over ``optimize_rounds`` extra seeds with
-    the roadmap resampled — the fleet analog of ``GlobalPlanner.solve``'s
-    retry loop.
+    Retry policy mirrors ``GlobalPlanner.solve``: ``optimize_rounds``
+    deliberate rounds always run, then rounds with fresh roadmap samples
+    keep going for still-unsolved robots until ``planning_timeout``
+    expires. Robots already at their goal get the trivial path without
+    touching the roadmap (the roadmap's ``dist > 0`` edge rule would
+    otherwise force an out-and-back detour through a sample node).
     """
+    from .planner import logger
+
     if planner._problem is None:
         raise RuntimeError("Call setup_problem first")
     starts = np.asarray(starts, np.float32).reshape(-1, 2)
@@ -136,10 +115,20 @@ def solve_fleet_prm(
     K = cfg.num_samples
     relax_iters = min(2 * N + K, 128)
     base_seed = cfg.seed if seed is None else seed
+    deadline = time.monotonic() + max(cfg.planning_timeout, 0.0)
 
     paths: List[Optional[np.ndarray]] = [None] * N
-    for round_i in range(max(1, cfg.optimize_rounds + 1)):
+    for i in range(N):
+        if float(np.hypot(*(goals[i] - starts[i]))) < 1e-6:
+            paths[i] = np.stack([starts[i], goals[i]])
+
+    round_i = 0
+    while True:
         if all(p is not None for p in paths):
+            break
+        if round_i >= max(1, cfg.optimize_rounds + 1) and (
+            time.monotonic() >= deadline
+        ):
             break
         key = jax.random.PRNGKey(base_seed + round_i)
         samples = jax.random.uniform(
@@ -170,5 +159,13 @@ def solve_fleet_prm(
             raw = _trace_fleet_path(nodes, preds[i], i, N + i)
             if raw is None:
                 continue
+            if len(raw) >= relax_iters:
+                logger.warning(
+                    "fleet PRM relaxation cap (%d iters) binds: robot %d's "
+                    "solution uses %d hops; consider fewer samples or a "
+                    "larger connection radius",
+                    relax_iters, i, len(raw),
+                )
             paths[i] = planner._shortcut(raw) if cfg.simplify else raw
+        round_i += 1
     return paths

@@ -99,6 +99,60 @@ class GlobalPlannerConfig(BaseAttrs):
 # ---------------------------------------------------------------------------
 
 
+def build_edge_weights(
+    blocked, origin_xy, resolution, pts, connection_radius,
+    edge_check_points: int, knn_cap: int = 0,
+):
+    """[M, M] roadmap edge-weight tensor: euclidean length where the
+    straight segment is collision-free, within ``connection_radius``, and
+    both endpoints are free; +inf elsewhere. ``knn_cap`` > 0 keeps an
+    edge only if it is within either endpoint's ``knn_cap`` nearest
+    connections (OMPL PRM's max_nearest_neighbors). Shared by the
+    single-source roadmap kernel and the fleet planner (trace inside
+    jit)."""
+    M = pts.shape[0]
+    node_free = point_free(blocked, origin_xy, resolution, pts)
+    diff = pts[:, None, :] - pts[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [M, M]
+    seg_ok = segment_free(
+        blocked, origin_xy, resolution, pts[:, None, :], pts[None, :, :],
+        edge_check_points,
+    )
+    connected = (
+        seg_ok
+        & (dist <= connection_radius)
+        & node_free[:, None]
+        & node_free[None, :]
+        & (dist > 0)
+    )
+    if knn_cap > 0:
+        k = min(knn_cap, M - 1)
+        cand = jnp.where(connected, dist, jnp.inf)
+        kth = jnp.sort(cand, axis=1)[:, k - 1]  # k-th nearest per row
+        in_knn = cand <= kth[:, None]
+        connected = connected & (in_knn | in_knn.T)
+    return jnp.where(connected, dist, jnp.inf)
+
+
+def minplus_relax(W, d0, p0, num_iters: int):
+    """Batched min-plus Bellman-Ford: ``d[i,k] = min_j d[i,j] + W[j,k]``
+    for ``num_iters`` rounds. ``d0``/``p0`` are [N, M] initial distance /
+    predecessor tables (N = source count)."""
+
+    def relax(carry, _):
+        d, p = carry
+        cand = d[:, :, None] + W[None, :, :]  # [N, M(j), M(k)]
+        best_j = jnp.argmin(cand, axis=1)  # [N, M]
+        best_d = jnp.min(cand, axis=1)
+        improved = best_d < d
+        d = jnp.where(improved, best_d, d)
+        p = jnp.where(improved, best_j.astype(jnp.int32), p)
+        return (d, p), None
+
+    (d, p), _ = jax.lax.scan(relax, (d0, p0), None, length=num_iters)
+    return d, p
+
+
 @partial(
     jax.jit,
     static_argnames=("edge_check_points", "num_relax_iters", "knn_cap"),
@@ -113,52 +167,17 @@ def _graph_shortest_path(
     num_relax_iters: int,
     knn_cap: int = 0,
 ):
-    """Dense roadmap solve: K x K edges -> Bellman-Ford from node 0.
-
-    ``knn_cap`` > 0 keeps an edge only if it is within either endpoint's
-    ``knn_cap`` nearest connections (OMPL PRM's max_nearest_neighbors)."""
+    """Dense roadmap solve: K x K edges -> Bellman-Ford from node 0."""
     K = pts.shape[0]
-    node_free = point_free(blocked, origin_xy, resolution, pts)
-
-    diff = pts[:, None, :] - pts[None, :, :]
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [K, K]
-    seg_ok = segment_free(
-        blocked, origin_xy, resolution, pts[:, None, :], pts[None, :, :],
-        edge_check_points,
+    W = build_edge_weights(
+        blocked, origin_xy, resolution, pts, connection_radius,
+        edge_check_points, knn_cap,
     )
-    connected = (
-        seg_ok
-        & (dist <= connection_radius)
-        & node_free[:, None]
-        & node_free[None, :]
-        & (dist > 0)
-    )
-    if knn_cap > 0:
-        k = min(knn_cap, K - 1)
-        cand = jnp.where(connected, dist, jnp.inf)
-        kth = jnp.sort(cand, axis=1)[:, k - 1]  # k-th nearest per row
-        in_knn = cand <= kth[:, None]
-        connected = connected & (in_knn | in_knn.T)
-    W = jnp.where(connected, dist, jnp.inf)
-
     INF = jnp.float32(jnp.inf)
-    dist0 = jnp.full((K,), INF).at[0].set(0.0)
-    pred0 = jnp.full((K,), -1, jnp.int32)
-
-    def relax(carry, _):
-        d, p = carry
-        cand = d[:, None] + W  # [K(j), K(k)]
-        best_j = jnp.argmin(cand, axis=0)
-        best_d = jnp.take_along_axis(cand, best_j[None, :], axis=0)[0]
-        improved = best_d < d
-        d = jnp.where(improved, best_d, d)
-        p = jnp.where(improved, best_j.astype(jnp.int32), p)
-        return (d, p), None
-
-    (dist_final, pred), _ = jax.lax.scan(
-        relax, (dist0, pred0), None, length=num_relax_iters
-    )
-    return dist_final, pred
+    dist0 = jnp.full((1, K), INF).at[0, 0].set(0.0)
+    pred0 = jnp.full((1, K), -1, jnp.int32)
+    dist_final, pred = minplus_relax(W, dist0, pred0, num_relax_iters)
+    return dist_final[0], pred[0]
 
 
 def _trace_prm_path(pts, dist, pred) -> Optional[np.ndarray]:
@@ -538,15 +557,20 @@ class GlobalPlanner:
         per-planner params under ``[root_name.]ompl.<PlannerName>``.
         ``planner_id`` switches the active planner."""
         nested = (root_name + ".ompl") if root_name else "ompl"
-        self._config.from_file(config_file, nested_root_name=nested)
-        self._config.planner_id = normalize_planner_id(
-            planner_id or self._config.planner_id
+        # validate BEFORE mutating self._config (the reference checks
+        # membership before assignment, planner.py:139-145) so a rejected
+        # configure() leaves the planner usable
+        staged = GlobalPlannerConfig(**self._config.to_dict())
+        staged.from_file(config_file, nested_root_name=nested)
+        staged.planner_id = normalize_planner_id(
+            planner_id or staged.planner_id
         )
-        if self._config.planner_id not in planner_registry:
+        if staged.planner_id not in planner_registry:
             raise ValueError(
                 f"Selected planner is invalid. Available supported planners "
                 f"are: {sorted(self.available_planners)}"
             )
+        self._config = staged
         name = self._config.planner_id
         self._planner_params = default_planner_params(name)
         if self._planner_params is not None:

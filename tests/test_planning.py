@@ -165,6 +165,11 @@ def test_configure_from_file_switches_planner(robot, tmp_path):
     assert planner.planner_id == "PRM"
     with pytest.raises(ValueError):
         planner.configure(str(cfg_file), root_name="nav", planner_id="NOPE")
+    # a rejected configure leaves the planner untouched and usable
+    assert planner.planner_id == "PRM"
+    meta, wall = make_wall_map()
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    assert planner.solve() is not None
 
 
 def test_unknown_planner_raises(robot):
@@ -295,6 +300,24 @@ def test_fleet_planner_solves_all_robots(robot):
     # robot 2 goes through the gap column (x=8): near-straight
     cost2 = float(np.hypot(*np.diff(paths[2], axis=0).T).sum())
     assert cost2 == pytest.approx(6.0, rel=0.15)
+
+
+def test_fleet_planner_idle_robot_gets_trivial_path(robot):
+    """A robot already at its goal must get the zero-length path, not an
+    out-and-back detour through a roadmap sample."""
+    meta, wall = make_wall_map()
+    cfg = GlobalPlannerConfig(
+        planner_id="PRM", num_samples=256, seed=3, connection_radius=4.0,
+        simplify=False,
+    )
+    planner = GlobalPlanner(robot, config=cfg)
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    moving, idle = planner.solve_fleet(
+        [[2.0, 2.0], [4.0, 2.0]], [[2.0, 8.0], [4.0, 2.0]]
+    )
+    assert moving is not None
+    assert idle is not None
+    assert float(np.hypot(*np.diff(idle, axis=0).T).sum()) == 0.0
 
 
 def test_fleet_planner_matches_single_robot_quality(robot):
