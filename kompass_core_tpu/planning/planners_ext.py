@@ -51,6 +51,48 @@ def _gumbel_pick(key, log_weights):
     return jnp.argmax(log_weights + g)
 
 
+def _mu_free(blocked, res: float) -> float:
+    """Free-space area of the inflated grid. ONE device fetch — hoist out
+    of batch loops (each fetch through a remote tunnel costs ~15-30 ms)."""
+    return max(float((~np.asarray(blocked)).sum()) * res * res, 1e-6)
+
+
+def _rgg_radius(mu_free: float, res: float, n: int, rewire: float) -> float:
+    """PRM*/BIT* shrinking RGG connection radius for n samples."""
+    gamma = rewire * 2.0 * np.sqrt(1.5) * np.sqrt(mu_free / np.pi)
+    return max(gamma * np.sqrt(np.log(max(n, 2)) / n), 2.0 * res)
+
+
+def _fmt_radius(mu_free: float, res: float, K: int, mult: float) -> float:
+    """FMT* connection radius r_n = mult * sqrt((2/pi) mu_free log n / n)
+    (Janson & Pavone 2013, d=2)."""
+    r = mult * 2.0 * np.sqrt((mu_free / np.pi) * np.log(max(K, 2)) / max(K, 2))
+    return max(r, 2.0 * res)
+
+
+def _informed_batch(rng, start, goal, best_cost, m, lo, hi):
+    """m samples for one BIT*-family batch: uniform before an incumbent
+    solution exists, else direct samples of the prolate hyperspheroid with
+    foci start/goal and transverse diameter ``best_cost`` (Gammell 2014)."""
+    if not np.isfinite(best_cost):
+        return rng.uniform(lo, hi, (m, 2))
+    c_min = float(np.linalg.norm(goal - start))
+    r1 = best_cost / 2.0
+    r2 = np.sqrt(max(best_cost**2 - c_min**2, 1e-12)) / 2.0
+    theta = np.arctan2(goal[1] - start[1], goal[0] - start[0])
+    rr = np.sqrt(rng.uniform(size=m))
+    aa = rng.uniform(0, 2 * np.pi, m)
+    ex = r1 * rr * np.cos(aa)
+    ey = r2 * rr * np.sin(aa)
+    ct, st = np.cos(theta), np.sin(theta)
+    centre = (start + goal) / 2.0
+    batch = np.stack(
+        [ct * ex - st * ey + centre[0], st * ex + ct * ey + centre[1]],
+        axis=1,
+    )
+    return np.clip(batch, lo, hi)
+
+
 def _connect_goal(blocked, origin_xy, resolution, nodes, costs, alive, goal,
                   tolerance, edge_check_points):
     """Best tree node that can reach the goal within ``tolerance``."""
@@ -525,16 +567,11 @@ def solve_sst(planner, prob, seed=0) -> Optional[np.ndarray]:
 def solve_fmt(planner, prob, seed=0) -> Optional[np.ndarray]:
     cfg = planner._config
     K = int(planner._param("num_samples", cfg.num_samples))
-    # FMT* connection radius: r_n = mult * sqrt( (2/pi) * mu_free *
-    # log(n)/n ) (Janson & Pavone 2013, d=2), from the measured free area
-    blocked = np.asarray(planner._blocked)
     res = float(prob["resolution"])
-    mu_free = max(float((~blocked).sum()) * res * res, 1e-6)
-    mult = float(planner._param("radius_multiplier", 1.1))
-    r = mult * 2.0 * np.sqrt(
-        (mu_free / np.pi) * np.log(max(K, 2)) / max(K, 2)
+    r = _fmt_radius(
+        _mu_free(planner._blocked, res), res, K,
+        float(planner._param("radius_multiplier", 1.1)),
     )
-    r = max(r, 2.0 * res)
     pts, parent, goal_cost = fmt_solve(
         *_tree_args(planner, prob),
         jnp.float32(r),
@@ -582,40 +619,15 @@ def solve_bitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
     pts[0] = start
     pts[1] = goal
 
-    blocked = np.asarray(planner._blocked)
     res = float(prob["resolution"])
-    mu_free = max(float((~blocked).sum()) * res * res, 1e-6)
+    mu_free = _mu_free(planner._blocked, res)
 
     best_path, best_cost = None, np.inf
-    c_min = float(np.linalg.norm(goal - start))
     for b in range(B):
         n_cur = 2 + (b + 1) * m
-        if np.isfinite(best_cost):
-            # direct sampling of the prolate hyperspheroid (transverse
-            # diameter = best cost)
-            r1 = best_cost / 2.0
-            r2 = np.sqrt(max(best_cost**2 - c_min**2, 1e-12)) / 2.0
-            theta = np.arctan2(goal[1] - start[1], goal[0] - start[0])
-            rr = np.sqrt(rng.uniform(size=m))
-            aa = rng.uniform(0, 2 * np.pi, m)
-            ex = r1 * rr * np.cos(aa)
-            ey = r2 * rr * np.sin(aa)
-            ct, st = np.cos(theta), np.sin(theta)
-            centre = (start + goal) / 2.0
-            batch = np.stack(
-                [ct * ex - st * ey + centre[0], st * ex + ct * ey + centre[1]],
-                axis=1,
-            )
-            batch = np.clip(batch, lo, hi)
-        else:
-            batch = rng.uniform(lo, hi, (m, 2))
+        batch = _informed_batch(rng, start, goal, best_cost, m, lo, hi)
         pts[2 + b * m : 2 + (b + 1) * m] = batch
-
-        # RGG radius for the current sample count (PRM*/BIT* shrinkage)
-        gamma = rewire * 2.0 * np.sqrt(1.5) * np.sqrt(mu_free / np.pi)
-        r_n = max(
-            gamma * np.sqrt(np.log(max(n_cur, 2)) / n_cur), 2.0 * res
-        )
+        r_n = _rgg_radius(mu_free, res, n_cur, rewire)
         dist, pred = _graph_shortest_path(
             planner._blocked,
             prob["origin"],

@@ -48,7 +48,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from .geometry import point_free, segment_free
-from .planners_ext import _gumbel_pick, _trace_tree, _tree_args
+from .planners_ext import (
+    _fmt_radius,
+    _gumbel_pick,
+    _informed_batch,
+    _mu_free,
+    _rgg_radius,
+    _trace_tree,
+    _tree_args,
+)
 
 _PROJ = 32  # projection-grid resolution per axis (OMPL default order)
 
@@ -58,17 +66,44 @@ _PROJ = 32  # projection-grid resolution per axis (OMPL default order)
 # ---------------------------------------------------------------------------
 
 
+def _edt_numpy(free: np.ndarray, resolution: float) -> np.ndarray:
+    """Exact Euclidean distance transform without scipy: per-column
+    nearest-obstacle |dy| via two cumulative passes, then an exact row
+    sweep ``d²(y,x) = min_x' (x-x')² + g(y,x')²`` chunked over rows
+    (O(W²·H), vectorized — a one-time per-map cost)."""
+    H, W = free.shape
+    BIG = H + W + 1.0
+    # pass 1: per-column vertical distance to the nearest obstacle cell
+    g = np.where(free, BIG, 0.0)
+    for y in range(1, H):
+        g[y] = np.minimum(g[y], g[y - 1] + 1.0)
+    for y in range(H - 2, -1, -1):
+        g[y] = np.minimum(g[y], g[y + 1] + 1.0)
+    # pass 2: exact horizontal sweep over candidate columns
+    dx2 = (np.arange(W)[:, None] - np.arange(W)[None, :]) ** 2  # [x, x']
+    d = np.empty((H, W), np.float64)
+    chunk = max(1, int(4e6) // (W * W))
+    for y0 in range(0, H, chunk):
+        gs = g[y0:y0 + chunk] ** 2  # [h, x']
+        d[y0:y0 + chunk] = np.sqrt(
+            np.min(gs[:, None, :] + dx2[None, :, :], axis=2)
+        )
+    return d * resolution
+
+
 def clearance_cost_field(blocked: np.ndarray, resolution: float) -> np.ndarray:
     """State-cost field for TRRT: inverse obstacle clearance.
 
     Exact Euclidean distance transform of the (already robot-inflated)
     occupancy grid; cost = 1 / (resolution + clearance) so the field is
     finite everywhere, highest at obstacle boundaries."""
-    from scipy.ndimage import distance_transform_edt
+    free = ~np.asarray(blocked)
+    try:
+        from scipy.ndimage import distance_transform_edt
 
-    clearance = distance_transform_edt(
-        ~np.asarray(blocked), sampling=resolution
-    )
+        clearance = distance_transform_edt(free, sampling=resolution)
+    except ImportError:  # scipy is optional: exact numpy fallback
+        clearance = _edt_numpy(free, resolution)
     return (1.0 / (resolution + clearance)).astype(np.float32)
 
 
@@ -538,10 +573,17 @@ def bfmt_solve(
         closed = jnp.zeros((K,), bool)
         return cost, parent, open_, closed
 
-    state0 = init_side(0)
-    state1 = init_side(1)
+    # both sides stacked on a leading [2] axis; each scan step expands
+    # ONLY the active side (one dynamic-index slice + write-back), not a
+    # masked no-op over both — halves the O(K^2) per-iteration work
+    c0, p0, o0, cl0 = init_side(0)
+    c1, p1, o1, cl1 = init_side(1)
+    cost = jnp.stack([c0, c1])
+    parent = jnp.stack([p0, p1])
+    open_ = jnp.stack([o0, o1])
+    closed = jnp.stack([cl0, cl1])
 
-    def expand(state, _other_closed, gate):
+    def expand(state, gate):
         """One FMT* expansion step for a side; returns new state and the
         expanded node index z (or -1)."""
         cost, parent, open_, closed = state
@@ -561,28 +603,29 @@ def bfmt_solve(
         return (cost, parent, open_, closed), jnp.where(z_ok, z, -1)
 
     def body(carry, i):
-        state0, state1, meet, done = carry
-        side0 = (i % 2) == 0
-        gate0 = side0 & ~done
-        gate1 = ~side0 & ~done
-        state0, z0 = expand(state0, state1[3], gate0)
-        state1, z1 = expand(state1, state0[3], gate1)
+        cost, parent, open_, closed, meet, done = carry
+        a = i % 2
+        (ca, pa, oa, cla), z = expand(
+            (cost[a], parent[a], open_[a], closed[a]), ~done
+        )
+        cost = cost.at[a].set(ca)
+        parent = parent.at[a].set(pa)
+        open_ = open_.at[a].set(oa)
+        closed = closed.at[a].set(cla)
         # meet test: the node just expanded is closed by BOTH sides
-        z = jnp.where(side0, z0, z1)
-        hit = (z >= 0) & state0[3][jnp.maximum(z, 0)] & state1[3][
-            jnp.maximum(z, 0)
-        ]
+        zs = jnp.maximum(z, 0)
+        hit = (z >= 0) & closed[0, zs] & closed[1, zs]
         meet = jnp.where(hit & (meet < 0), z, meet)
         done = done | hit | (z < 0)
-        return (state0, state1, meet, done), None
+        return (cost, parent, open_, closed, meet, done), None
 
-    (state0, state1, meet, _), _ = jax.lax.scan(
+    (cost, parent, open_, closed, meet, _), _ = jax.lax.scan(
         body,
-        (state0, state1, jnp.int32(-1), jnp.bool_(False)),
+        (cost, parent, open_, closed, jnp.int32(-1), jnp.bool_(False)),
         jnp.arange(2 * K),
     )
-    cost0, parent0, _, closed0 = state0
-    cost1, parent1, _, closed1 = state1
+    cost0, parent0, closed0 = cost[0], parent[0], closed[0]
+    cost1, parent1, closed1 = cost[1], parent[1], closed[1]
     # fallback meet: cheapest node closed/reached by both sides
     both = jnp.isfinite(cost0) & jnp.isfinite(cost1)
     total = jnp.where(both, cost0 + cost1, INF)
@@ -598,14 +641,16 @@ def bfmt_solve(
 def solve_trrt(planner, prob, seed=0) -> Optional[np.ndarray]:
     cfg = planner._config
     step = planner._param("range", 0.0) or cfg.step_size
-    cache_key = id(planner._blocked)
-    if getattr(planner, "_cost_field_key", None) != cache_key:
+    # key the cache on the array OBJECT (identity via `is`, holding the
+    # reference): an id() key could be recycled by a new allocation after
+    # setup_problem rebinds _blocked, silently serving a stale field
+    if getattr(planner, "_cost_field_src", None) is not planner._blocked:
         planner._cost_field = jnp.asarray(
             clearance_cost_field(
                 np.asarray(planner._blocked), float(prob["resolution"])
             )
         )
-        planner._cost_field_key = cache_key
+        planner._cost_field_src = planner._blocked
     nodes, parents, best, cost = trrt_solve(
         *_tree_args(planner, prob),
         planner._cost_field,
@@ -623,7 +668,7 @@ def solve_trrt(planner, prob, seed=0) -> Optional[np.ndarray]:
     return _trace_tree(nodes, parents, best, prob["goal"])
 
 
-def _trace_bidir(nodes, parents, bridge, start, goal) -> Optional[np.ndarray]:
+def _trace_bidir(nodes, parents, bridge) -> Optional[np.ndarray]:
     nodes = np.asarray(nodes)
     parents = np.asarray(parents)
     bridge = np.asarray(bridge)
@@ -660,7 +705,7 @@ def _solve_bidir(planner, prob, seed=0, selection="est", check_edges=True):
     )
     if not bool(found):
         return None
-    pts = _trace_bidir(nodes, parents, bridge, prob["start"], prob["goal"])
+    pts = _trace_bidir(nodes, parents, bridge)
     if pts is None:
         return None
     if not check_edges:
@@ -747,14 +792,11 @@ def solve_stride(planner, prob, seed=0) -> Optional[np.ndarray]:
 def solve_bfmt(planner, prob, seed=0) -> Optional[np.ndarray]:
     cfg = planner._config
     K = int(planner._param("num_samples", cfg.num_samples))
-    blocked = np.asarray(planner._blocked)
     res = float(prob["resolution"])
-    mu_free = max(float((~blocked).sum()) * res * res, 1e-6)
-    mult = float(planner._param("radius_multiplier", 1.1))
-    r = mult * 2.0 * np.sqrt(
-        (mu_free / np.pi) * np.log(max(K, 2)) / max(K, 2)
+    r = _fmt_radius(
+        _mu_free(planner._blocked, res), res, K,
+        float(planner._param("radius_multiplier", 1.1)),
     )
-    r = max(r, 2.0 * res)
     pts, parent_f, parent_r, meet, total = bfmt_solve(
         *_tree_args(planner, prob),
         jnp.float32(r),
@@ -790,12 +832,6 @@ def solve_bfmt(planner, prob, seed=0) -> Optional[np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _rgg_radius(blocked, res, n, rewire):
-    mu_free = max(float((~np.asarray(blocked)).sum()) * res * res, 1e-6)
-    gamma = rewire * 2.0 * np.sqrt(1.5) * np.sqrt(mu_free / np.pi)
-    return max(gamma * np.sqrt(np.log(max(n, 2)) / n), 2.0 * res)
-
-
 def solve_abitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
     """ABIT* (Strub & Gammell 2020): BIT* batches with the two ABIT*
     additions — (1) an INFLATED search radius schedule (the sparse
@@ -822,27 +858,11 @@ def solve_abitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
     pts = np.full((K_total, 2), 1e9, np.float32)
     pts[0] = start
     pts[1] = goal
+    mu_free = _mu_free(planner._blocked, res)  # one fetch, not per batch
 
     best_path, best_cost = None, np.inf
-    c_min = float(np.linalg.norm(goal - start))
     for b in range(B):
-        if np.isfinite(best_cost):
-            r1 = best_cost / 2.0
-            r2 = np.sqrt(max(best_cost**2 - c_min**2, 1e-12)) / 2.0
-            theta = np.arctan2(goal[1] - start[1], goal[0] - start[0])
-            rr = np.sqrt(rng.uniform(size=m))
-            aa = rng.uniform(0, 2 * np.pi, m)
-            ex = r1 * rr * np.cos(aa)
-            ey = r2 * rr * np.sin(aa)
-            ct, st = np.cos(theta), np.sin(theta)
-            centre = (start + goal) / 2.0
-            batch = np.stack(
-                [ct * ex - st * ey + centre[0], st * ex + ct * ey + centre[1]],
-                axis=1,
-            )
-            batch = np.clip(batch, lo, hi)
-        else:
-            batch = rng.uniform(lo, hi, (m, 2))
+        batch = _informed_batch(rng, start, goal, best_cost, m, lo, hi)
         pts[2 + b * m : 2 + (b + 1) * m] = batch
         # informed pruning of ALL accumulated samples (keep start/goal)
         if np.isfinite(best_cost):
@@ -854,7 +874,7 @@ def solve_abitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
         n_cur = 2 + int((pts[2:, 0] < 1e8).sum())
         # inflation schedule: aggressive-then-tight
         infl = infl0 + (1.0 - infl0) * (b / max(B - 1, 1))
-        r_n = _rgg_radius(planner._blocked, res, n_cur, rewire) * infl
+        r_n = _rgg_radius(mu_free, res, n_cur, rewire) * infl
         dist, pred = _graph_shortest_path(
             planner._blocked,
             prob["origin"],
@@ -900,6 +920,7 @@ def solve_aitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
     pts = np.full((K_total, 2), 1e9, np.float32)
     pts[0] = start
     pts[1] = goal
+    mu_free = _mu_free(planner._blocked, res)  # one fetch, not per batch
 
     best_path, best_cost = None, np.inf
     h = None  # adaptive heuristic from the previous reverse search
@@ -907,7 +928,7 @@ def solve_aitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
         batch = rng.uniform(lo, hi, (m, 2))
         pts[2 + b * m : 2 + (b + 1) * m] = batch
         n_cur = 2 + (b + 1) * m
-        r_n = _rgg_radius(planner._blocked, res, n_cur, rewire)
+        r_n = _rgg_radius(mu_free, res, n_cur, rewire)
 
         # reverse search: goal as node 0 (swap roles) -> h(v)
         pts_rev = pts.copy()

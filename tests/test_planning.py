@@ -135,6 +135,23 @@ def test_registry_covers_reference_planner_families():
     assert len(planner_registry) >= 12
 
 
+def test_numpy_edt_matches_scipy():
+    """The scipy-free exact EDT fallback must agree with
+    scipy.ndimage.distance_transform_edt everywhere."""
+    from scipy.ndimage import distance_transform_edt
+
+    from kompass_core_tpu.planning.planners_trees import _edt_numpy
+
+    rng = np.random.default_rng(11)
+    for shape in [(40, 40), (23, 57)]:
+        free = rng.random(shape) > 0.1
+        if not (~free).any():
+            free[0, 0] = False
+        got = _edt_numpy(free, 0.1)
+        want = distance_transform_edt(free, sampling=0.1)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
 def test_default_planner_is_trrt(robot):
     """The reference front-end defaults to TRRT
     (third_party/ompl/planner.py:34); so does this one."""
