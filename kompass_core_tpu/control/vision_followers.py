@@ -149,8 +149,15 @@ class RGBFollowerCore:
         rotation_time = max_rotation_time
         num_pause_steps = int(self.config.target_search_pause / dt)
         if enable_pause:
+            # reference quirk kept verbatim (rgb_follower.cpp:46-49): the
+            # formula divides steps by dt (dimensionally off, goes
+            # negative for realistic configs); latent upstream too, since
+            # getFindTargetCmds never passes enable_pause=true
             rotation_time = max_rotation_time * (1 - num_pause_steps / dt)
         omega_val = total_rotation / rotation_time
+        # reference quirk kept verbatim (rgb_follower.cpp:53-56): the
+        # SIGNED omega is floored by the positive min_vel, so negative
+        # sweeps (the -2*pi return segment) run at min_vel magnitude
         omega_val = max(
             min(omega_val, self.limits.omega_limits.max_vel),
             self.config.min_vel,
@@ -197,6 +204,9 @@ class RGBFollowerCore:
                     last_direction = 1
                     if self._last_tracking is not None:
                         c = self._last_tracking.get_center()
+                        # reference quirk kept verbatim
+                        # (rgb_follower.cpp:121-123): compares center.x
+                        # against HALF CENTER.Y (not half image width)
                         last_direction = 1 if (c[0] - c[1] / 2.0) > 0.0 else -1
                         self._last_tracking = None
                     self.get_find_target_cmds(last_direction)
@@ -438,6 +448,9 @@ class RGBDFollowerCore(RGBFollowerCore):
         return cmds
 
     def _try_wait(self):
+        # reference quirk kept verbatim (rgbd_follower.cpp:258-269): the
+        # wait clock advances by (control_horizon - 1) * dt per tick, so
+        # control_horizon=1 never advances it (frozen wait upstream too)
         dt = self.config.control_time_step
         if self.config.enable_search:
             if self._recorded_wait_time >= dt:

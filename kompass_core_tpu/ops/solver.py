@@ -646,6 +646,12 @@ def dwa_solve(
         d2_lf = jnp.take_along_axis(d2_obs, last_free[:, None], axis=1)
         frozen = truncate_ok[:, None] & (t_idx[None, :] > i_col[:, None])
         d2_obs = jnp.where(frozen, d2_lf, d2_obs)
+        if d2_seg is not None:
+            # same freeze for the pallas-precomputed segment sweep — the
+            # XLA path recomputes from the truncated px/py inside
+            # _path_cost, so only the fused-kernel field needs the patch
+            d2s_lf = jnp.take_along_axis(d2_seg, last_free[:, None], axis=1)
+            d2_seg = jnp.where(frozen, d2s_lf, d2_seg)
 
     acc_limits = (params.acc_limit_vx, params.acc_limit_vy, params.acc_limit_omega)
     f32 = jnp.float32

@@ -314,8 +314,11 @@ class DeviceFleet:
 
         if self._chunk:
             # pipelined chunks of the per-solve-optimal dispatch size:
-            # chunk c+1 is enqueued while c executes (async dispatch)
+            # chunk c+1 is enqueued while c executes (async dispatch).
+            # ONE packed upload and ONE fetch per tick — per-chunk
+            # transfers would pay the ~15-30 ms tunnel RTT per chunk
             C = self._chunk
+            dev_in = jnp.asarray(self._inputs)
             outs = []
             for ci, i0 in enumerate(range(0, self._n, C)):
                 self._carry_chunks[ci], out_c = self._tick_fn(
@@ -323,12 +326,10 @@ class DeviceFleet:
                     self._cfg_chunks[ci],
                     self._carry_chunks[ci],
                     self._angles_chunks[ci],
-                    jnp.asarray(self._inputs[i0 : i0 + C]),
+                    dev_in[i0 : i0 + C],
                 )
                 outs.append(out_c)
-            out_np = np.concatenate([np.asarray(o) for o in outs])[
-                : self.num_robots
-            ]
+            out_np = np.asarray(jnp.concatenate(outs))[: self.num_robots]
         else:
             self._carry, out_mat = self._tick_fn(
                 self._paths, self._cfg, self._carry, self._angles,

@@ -79,6 +79,11 @@ class FleetRuntime:
             limits_list = [ctrl_limits] * len(robots)
         else:
             limits_list = list(ctrl_limits)
+            if len(limits_list) != len(robots):
+                raise ValueError(
+                    f"ctrl_limits has {len(limits_list)} entries for "
+                    f"{len(robots)} robots"
+                )
         self.controllers: List[DWA] = [
             DWA(robot=r, ctrl_limits=lim, config=config)
             for r, lim in zip(robots, limits_list)
@@ -94,6 +99,10 @@ class FleetRuntime:
         self.last_tick_seconds = 0.0
 
     def set_paths(self, paths: Sequence[np.ndarray]):
+        if len(paths) != self.num_robots:
+            raise ValueError(
+                f"{len(paths)} paths for {self.num_robots} robots"
+            )
         for ctrl, path in zip(self.controllers, paths):
             ctrl.set_path(path)
 

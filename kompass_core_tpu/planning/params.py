@@ -63,13 +63,13 @@ PLANNER_PARAMS: Dict[str, Dict[str, tuple]] = {
         "goal_bias": _GOAL_BIAS,
         "rewire_factor": _REWIRE,
     },
+    # (OMPL's number_sampling_attempts is deliberately NOT exposed: it
+    # bounds rejection sampling of the informed set, and this build
+    # samples the prolate hyperspheroid directly — no rejection loop)
     "InformedRRTstar": {
         "range": _RANGE,
         "goal_bias": _GOAL_BIAS,
         "rewire_factor": _REWIRE,
-        "number_sampling_attempts": (
-            "Number sampling attempts", _I, [10, 1, 100000], 100,
-        ),
     },
     "RRTConnect": {
         "range": _RANGE,

@@ -180,17 +180,24 @@ def _graph_shortest_path(
     return dist_final[0], pred[0]
 
 
-def _trace_prm_path(pts, dist, pred) -> Optional[np.ndarray]:
-    """Walk predecessors goal (node 1) -> start (node 0)."""
-    if not np.isfinite(dist[1]):
-        return None
-    path = [1]
-    while path[-1] != 0:
+def _walk_predecessors(pred, goal_idx=1, start_idx=0):
+    """Node-index chain goal -> start through a predecessor array, with
+    cycle/-1 guards. Shared by the roadmap planners (PRM family, FMT*)."""
+    path = [goal_idx]
+    while path[-1] != start_idx:
         nxt = int(pred[path[-1]])
         if nxt < 0 or nxt in path:
             return None
         path.append(nxt)
-    return pts[path[::-1]]
+    return path[::-1]
+
+
+def _trace_prm_path(pts, dist, pred) -> Optional[np.ndarray]:
+    """Walk predecessors goal (node 1) -> start (node 0)."""
+    if not np.isfinite(dist[1]):
+        return None
+    path = _walk_predecessors(pred)
+    return None if path is None else pts[path]
 
 
 # ---------------------------------------------------------------------------
@@ -696,11 +703,12 @@ class GlobalPlanner:
                 if cost < best_cost:
                     best, best_cost = path, cost
             round_i += 1
-            if round_i < cfg.optimize_rounds:
-                continue  # deliberate refinement rounds always run
-            if best is not None:
-                break
             if time.monotonic() >= deadline:
+                break  # planning_timeout strictly bounds wall time, even
+                # mid-optimize_rounds (OMPL's solve(timeout) semantics)
+            if round_i < cfg.optimize_rounds:
+                continue  # deliberate refinement rounds run within budget
+            if best is not None:
                 break
         self.solution = best
         return best
@@ -770,12 +778,15 @@ def _solve_prm(planner: GlobalPlanner, prob, seed=0) -> Optional[np.ndarray]:
     pts = pts.at[0].set(jnp.asarray(prob["start"])).at[1].set(
         jnp.asarray(prob["goal"])
     )
+    # LazyPRM's `range` param (OMPL: max edge length) overrides the
+    # connection radius; 0.0 = inherit the config radius
+    radius = planner._param("range", 0.0) or cfg.connection_radius
     dist, pred = _graph_shortest_path(
         planner._blocked,
         prob["origin"],
         prob["resolution"],
         pts,
-        jnp.float32(cfg.connection_radius),
+        jnp.float32(radius),
         edge_check_points=cfg.edge_check_points,
         num_relax_iters=relax_iters,
         knn_cap=int(planner._param("max_nearest_neighbors", 0) or 0),

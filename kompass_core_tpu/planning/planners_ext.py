@@ -581,15 +581,10 @@ def solve_fmt(planner, prob, seed=0) -> Optional[np.ndarray]:
     )
     if not np.isfinite(float(goal_cost)):
         return None
-    pts = np.asarray(pts)
-    parent = np.asarray(parent)
-    path = [1]
-    while path[-1] != 0:
-        nxt = int(parent[path[-1]])
-        if nxt < 0 or nxt in path:
-            return None
-        path.append(nxt)
-    return pts[path[::-1]]
+    from .planner import _walk_predecessors
+
+    path = _walk_predecessors(np.asarray(parent))
+    return None if path is None else np.asarray(pts)[path]
 
 
 def solve_bitstar(planner, prob, seed=0) -> Optional[np.ndarray]:

@@ -97,15 +97,20 @@ class DepthDetector:
         xl = box2d.get_x_limits()
         yl = box2d.get_y_limits()
         h, w = depth_img.shape
-        crop = depth_img[
-            max(0, yl[0]) : min(h, yl[1] + 1), max(0, xl[0]) : min(w, xl[1] + 1)
-        ]
+        # clamp BOTH slice ends to >= 0: a box fully outside the frame
+        # would otherwise produce a negative end index, which Python
+        # reads as from-the-end and crops nearly the whole image
+        y0, y1 = max(0, yl[0]), max(0, min(h, yl[1] + 1))
+        x0, x1 = max(0, xl[0]), max(0, min(w, xl[1] + 1))
+        if y1 <= y0 or x1 <= x0:
+            return None
+        crop = depth_img[y0:y1, x0:x1]
         depths = crop.astype(np.float64).ravel() * self.depth_conversion_factor
         depths = depths[(depths >= self.min_depth) & (depths <= self.max_depth)]
         if depths.size <= 1:
             return None
-        median = self._median(depths)
-        mad = self._median(np.abs(depths - median))
+        median = float(np.median(depths))
+        mad = float(np.median(np.abs(depths - median)))
         # min/max depth within 1.5 MAD of the median
         inliers_low = depths[depths >= median - 1.5 * mad]
         inliers_high = depths[depths <= median + 1.5 * mad]
@@ -143,12 +148,3 @@ class DepthDetector:
         box3d.size = size_world.astype(np.float32)
         return box3d
 
-    @staticmethod
-    def _median(values: np.ndarray) -> float:
-        """Reference median semantics (``depth_detector.cpp:159-167``):
-        mean of the two middle elements for even counts."""
-        s = np.sort(values)
-        n = len(s)
-        if n % 2 == 0:
-            return 0.5 * (s[n // 2 - 1] + s[n // 2])
-        return float(s[n // 2])

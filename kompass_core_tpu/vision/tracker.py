@@ -125,6 +125,9 @@ class FeatureBasedBboxTracker:
             return False
         dt = label_boxes[0].timestamp - self._tracked.box.timestamp
         if len(label_boxes) == 1:
+            # reference quirk kept verbatim (tracker.cpp:136-140): a lone
+            # same-label detection is accepted unconditionally ("it is
+            # the same"), bypassing the min_accepted_similarity gate
             max_score = 1.0
             found = label_boxes[0]
         else:

@@ -139,3 +139,20 @@ def test_fleet_runtime_failsafe_stop(monkeypatch):
         if r.get("reason") == "solver_error":
             assert r["vx"] == 0.0 and r["omega"] == 0.0 and not r["found"]
     assert any(r.get("reason") == "solver_error" for r in results)
+
+
+def test_fleet_runtime_rejects_mismatched_lengths():
+    """A per-robot ctrl_limits list (or paths list) of the wrong length
+    must fail at construction, not IndexError at the first tick."""
+    import pytest
+
+    rt, _, _ = _small_runtime()
+    robots = [c.robot for c in rt.controllers]
+    lim = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(max_vel=2.0, max_acc=3.0, max_decel=3.0),
+    )
+    with pytest.raises(ValueError):
+        FleetRuntime(robots, [lim] * (len(robots) - 1), rt.controllers[0].config)
+    with pytest.raises(ValueError):
+        rt.set_paths([np.array([[0.0, 0.0], [1.0, 0.0]])])

@@ -59,3 +59,42 @@ def test_point_on_obstacle_never_negative():
     )
     assert float(d2o[0, 0]) >= 0.0
     assert float(d2o[0, 0]) < 1e-6
+
+
+def test_pallas_backend_truncate_parity_vs_xla(monkeypatch):
+    """The pallas code path hands a PRE-truncation d2_seg to the path
+    cost; after truncation it must be frozen at path[last_free] exactly
+    like d2_obs, or truncated samples' costs diverge from the XLA
+    backend. Runs the pallas plumbing on CPU by substituting the Mosaic
+    kernel with its reference formulation."""
+    import dataclasses
+
+    from kompass_core_tpu.ops import pallas_kernels, solver
+    from tests.test_solver_modes import _truncate_scenario
+
+    monkeypatch.setattr(
+        pallas_kernels,
+        "fused_min_dist_sq",
+        lambda px, py, obs, sx, sy, pt_mask, variant="mxu":
+        fused_min_dist_sq_reference(px, py, obs, sx, sy, pt_mask),
+    )
+    orig_solve = solver.dwa_solve
+    res_xla, _ = _truncate_scenario(drop=False)
+
+    def pallas_solve(spec, *args, **kw):
+        return orig_solve(
+            dataclasses.replace(spec, backend="pallas"), *args, **kw
+        )
+
+    monkeypatch.setattr(solver, "dwa_solve", pallas_solve)
+    # re-import inside _truncate_scenario resolves through the module attr
+    from tests import test_solver_modes
+
+    monkeypatch.setattr(test_solver_modes, "dwa_solve", pallas_solve)
+    res_pallas, _ = _truncate_scenario(drop=False)
+
+    np.testing.assert_allclose(
+        np.asarray(res_pallas.costs), np.asarray(res_xla.costs),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert int(res_pallas.best_index) == int(res_xla.best_index)

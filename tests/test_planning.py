@@ -404,6 +404,27 @@ def test_per_planner_params_surface(robot):
     assert np.max(steps) <= 0.3 + 1e-5
 
 
+def test_lazy_prm_range_caps_edge_length(robot):
+    """LazyPRM's `range` param (OMPL: max edge length) is honored: with
+    simplification off, no solution edge exceeds it."""
+    meta = {
+        "resolution": 0.1, "width": 100, "height": 100,
+        "origin_x": 0.0, "origin_y": 0.0,
+    }
+    cfg = GlobalPlannerConfig(
+        planner_id="LazyPRM", num_samples=512, seed=1,
+        connection_radius=4.0, simplify=False,
+    )
+    planner = GlobalPlanner(robot, config=cfg)
+    planner.planner_params.range = 1.2
+    planner.planner_params.max_nearest_neighbors = 0
+    planner.setup_problem(meta, 1.0, 1.0, 0.0, 9.0, 9.0, 0.0, None)
+    path = planner.solve()
+    assert path is not None
+    steps = np.hypot(*np.diff(np.asarray(path), axis=0).T)
+    assert np.max(steps) <= 1.2 + 1e-5
+
+
 def test_optimize_rounds_keep_best(robot):
     meta, wall = make_wall_map()
     base = dict(

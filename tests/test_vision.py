@@ -342,3 +342,26 @@ def test_rgbd_follower_tracks_moving_target(robot, limits):
     assert omegas[-1] < 0.0
     # and still commanding forward motion toward the 3 m-away target
     assert follower.linear_x_control[0] > 0.0
+
+
+def test_depth_detector_rejects_out_of_frame_box():
+    """A 2D box fully outside the image must yield NO detection — a
+    negative Python slice end would otherwise crop nearly the whole
+    image and back-project a phantom target."""
+    det = DepthDetector(
+        depth_range=(0.1, 10.0),
+        camera_in_body_translation=(0, 0, 0),
+        camera_in_body_rotation=(0, 0, 0, 1),
+        focal_length=(FX, FY),
+        principal_point=(CX, CY),
+        depth_conversion_factor=1e-3,
+    )
+    img = np.full((IMG_H, IMG_W), 2000, dtype=np.uint16)  # valid depth
+    above = Bbox2D(
+        top_left_corner=np.array([100, -40]), size=np.array([50, 20])
+    )
+    left = Bbox2D(
+        top_left_corner=np.array([-80, 100]), size=np.array([50, 20])
+    )
+    det.update_boxes(img, [above, left])
+    assert det.get_3d_detections() == []
