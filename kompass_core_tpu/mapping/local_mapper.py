@@ -30,7 +30,7 @@ from ..ops.mapping import (
     MapperSpec,
     get_pointcloud_to_scan,
     get_scan_to_grid,
-    get_scan_to_grid_bayesian,
+    get_scan_to_grid_bayesian_warped,
     get_warp_previous_grid,
     resample_scan_uniform,
 )
@@ -54,7 +54,10 @@ class GridData(BaseAttrs):
         self.occupancy_prob = self.get_initial_grid_data()
 
     def get_initial_grid_data(self) -> np.ndarray:
-        return np.full((self.width, self.height), UNEXPLORED, dtype=np.int32)
+        # [height, width] — the orientation the device kernels emit
+        # ([grid_height, grid_width], ops/mapping.py), so the array shape
+        # is stable before and after the first scan for non-square maps
+        return np.full((self.height, self.width), UNEXPLORED, dtype=np.int32)
 
 
 @define(kw_only=True)
@@ -207,22 +210,6 @@ class LocalMapper:
         )
         return np.asarray(warped)
 
-    def _calculate_grid_shift(self, current_robot_pose: PoseData):
-        """Warp the previous probability grid into the current pose
-        (reference :224-247)."""
-        rel = get_relative_pose(
-            pose_1_in_ref=self._pose_robot_in_world,
-            pose_2_in_ref=current_robot_pose,
-        )
-        warped = get_warp_previous_grid(self._spec)(
-            self._prev_prob,
-            np.array([rel.x, rel.y], np.float32),
-            np.float32(rel.get_yaw()),
-            np.float32(self.scan_model.p_prior),
-        )
-        self._prev_prob = np.asarray(warped)
-        self.previous_grid_prob_transformed = self._prev_prob
-
     def _uniform_ranges(self, scan: LaserScanData):
         """Clip (reference :296-306) + resample to the uniform bin grid."""
         filtered = np.minimum(
@@ -251,6 +238,9 @@ class LocalMapper:
             else:
                 self._initialize(scan.ranges.size)
 
+        # capture the PREVIOUS pose before rebinding: the Bayesian grid
+        # shift is the relative motion previous -> current
+        previous_pose = self._pose_robot_in_world
         self._pose_robot_in_world = robot_pose
         self.lower_right_corner_pose = transform_point_from_local_to_global(
             self._local_lower_right_corner_point, robot_pose
@@ -270,10 +260,21 @@ class LocalMapper:
 
         if self.config.baysian_update:
             if self.processed:
-                self._calculate_grid_shift(robot_pose)
-            occ, prob = get_scan_to_grid_bayesian(self._spec)(
+                rel = get_relative_pose(
+                    pose_1_in_ref=previous_pose, pose_2_in_ref=robot_pose
+                )
+                shift_xy = np.array([rel.x, rel.y], np.float32)
+                shift_yaw = np.float32(rel.get_yaw())
+            else:
+                shift_xy = np.zeros(2, np.float32)
+                shift_yaw = np.float32(0.0)
+            # warp + Bayes fused in one dispatch: the re-projected grid
+            # never bounces through the host (reference :224-247 + :161)
+            occ, prob, warped = get_scan_to_grid_bayesian_warped(self._spec)(
                 ranges,
                 self._prev_prob,
+                shift_xy,
+                shift_yaw,
                 np.float32(self.scan_model.p_prior),
                 np.float32(self.scan_model.p_empty),
                 np.float32(self.scan_model.p_occupied),
@@ -283,6 +284,7 @@ class LocalMapper:
             )
             occ = np.asarray(occ)
             prob = np.asarray(prob)
+            self.previous_grid_prob_transformed = np.asarray(warped)
             self._prev_prob = prob
             self.grid_data.occupancy = occ.copy()
             thresholded = np.full_like(occ, UNEXPLORED)

@@ -58,22 +58,24 @@ def build_critical_zone(
         raise ValueError(
             "SlowDown distance must be greater than the Critical distance!"
         )
-    shape = robot_shape_type.upper()
-    if shape in ("CYLINDER", "CAPSULE", "CONE"):
-        radius = float(robot_dimensions[0])
-    elif shape == "SPHERE":
-        radius = float(robot_dimensions[0])
-    elif shape in ("BOX", "ELLIPSOID"):
-        radius = (
-            math.sqrt(robot_dimensions[0] ** 2 + robot_dimensions[1] ** 2) / 2
+    from ..models.robot import RobotGeometry
+
+    # one radius model shared with the planner's collision checks
+    radius = float(
+        RobotGeometry.get_radius(
+            RobotGeometry.Type[robot_shape_type.upper()],
+            np.asarray(robot_dimensions, np.float64),
         )
-    else:
-        raise ValueError("Invalid robot geometry type")
+    )
 
     qx, qy, qz, qw = (float(v) for v in sensor_rotation_body)
     syaw = math.atan2(2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz))
     sx, sy = float(sensor_position_body[0]), float(sensor_position_body[1])
 
+    # reference quirk kept verbatim (critical_zone_check.cpp:47-48 +
+    # angles.h:21-29): the half-cone is wrapped to [-pi, pi), so a
+    # 360-degree critical_angle maps to -pi and empties BOTH cones
+    # (checker always returns 1.0) upstream too
     half_cone = normalize_to_minus_pi_pi(
         critical_angle_deg * math.pi / 180.0 / 2.0
     )
@@ -122,7 +124,10 @@ def critical_zone_check(spec: CriticalZoneSpec, ranges, forward):
     crit = spec.critical_distance
     slow = spec.slowdown_distance
     factor = jnp.clip((dist - crit) / (slow - crit), 0.0, 1.0)
-    factor = jnp.where(mask, factor, 1.0)
+    # non-finite returns (NaN dropouts, inf no-echo) are skipped exactly
+    # like the reference loop, whose NaN comparisons are all false
+    # (critical_zone_check.cpp:98-116); a masked min would propagate NaN
+    factor = jnp.where(mask & jnp.isfinite(ranges), factor, 1.0)
     return jnp.min(factor)
 
 

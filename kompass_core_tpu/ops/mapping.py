@@ -157,6 +157,26 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2):
     return e_i_c, e_j_c, r_c
 
 
+def _endpoint_occupancy(spec: MapperSpec, ranges, angle_offset):
+    """Exact OCCUPIED layer: scatter each beam's endpoint cell into the
+    grid (reference ``scanToGrid`` stamps the endpoint per beam,
+    ``local_mapper.cpp:127-159``).
+
+    This is beam-side (B elements, ~30 us scatter) and therefore exact at
+    ANY angular resolution — the per-cell candidate window can miss an
+    endpoint whose beam is angularly far from the CELL CENTER's nearest
+    bin (a near cell subtends many bins: at 0.5 deg/bin a hit 3 cells
+    away can sit ~35 bins off-center, outside any practical window).
+    A missed endpoint whose cell is crossed by a longer beam would be
+    marked EMPTY — a safety-critical false-free this layer prevents."""
+    e_i, e_j = _beam_endpoint_cells(spec, ranges, angle_offset)
+    H, W = spec.grid_height, spec.grid_width
+    in_grid = (e_i >= 0) & (e_i < H) & (e_j >= 0) & (e_j < W)
+    flat = jnp.where(in_grid, e_i * W + e_j, H * W)  # slot H*W = dump
+    hist = jnp.zeros(H * W + 1, jnp.int32).at[flat].add(1)
+    return (hist[: H * W] > 0).reshape(H, W)
+
+
 def _line_membership(spec: MapperSpec, di, dj, e_i_c, e_j_c):
     """Diamond (super-cover) membership test of each cell against the line
     from the start cell to candidate beams' endpoint cells ([H,W,C] from
@@ -199,9 +219,9 @@ def scan_to_grid(spec: MapperSpec, ranges, angle_offset=0.0):
     di, dj, d, theta = _cell_geometry(spec)
     base = _base_bin(spec, theta, angle_offset)
     e_i_c, e_j_c, _r_c = _candidate_lookup(spec, base, ranges, angle_offset)
-    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
+    on_line, _is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
 
-    occupied = jnp.any(is_endpoint, axis=-1)
+    occupied = _endpoint_occupancy(spec, ranges, angle_offset)
     empty = jnp.any(on_line, axis=-1)
     grid = jnp.where(
         occupied, OCCUPIED, jnp.where(empty, EMPTY, UNEXPLORED)
@@ -255,9 +275,9 @@ def scan_to_grid_bayesian(
     di, dj, d, theta = _cell_geometry(spec)
     base = _base_bin(spec, theta, angle_offset)
     e_i_c, e_j_c, r_c = _candidate_lookup(spec, base, ranges, angle_offset)
-    on_line, is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
+    on_line, _is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
 
-    occupied = jnp.any(is_endpoint, axis=-1)
+    occupied = _endpoint_occupancy(spec, ranges, angle_offset)
     empty = jnp.any(on_line, axis=-1)
     occ_grid = jnp.where(
         occupied, OCCUPIED, jnp.where(empty, EMPTY, UNEXPLORED)
@@ -327,12 +347,45 @@ def warp_previous_grid(spec: MapperSpec, prob_grid, shift_xy, shift_yaw,
     return jnp.where(valid, val, p_prior)
 
 
+def scan_to_grid_bayesian_warped(
+    spec: MapperSpec,
+    ranges,
+    previous_prob_grid,
+    shift_xy,
+    shift_yaw,
+    p_prior,
+    p_empty,
+    p_occupied,
+    range_sure,
+    range_max,
+    wall_size,
+    angle_offset=0.0,
+):
+    """Warp-then-Bayes as ONE jitted program: re-project the previous
+    probability grid by the robot's relative motion and fuse the new scan,
+    without the intermediate grid bouncing through the host (two extra
+    ~15-30 ms transfers per tick on a remote-attached device).
+
+    Returns (occ [H,W] int32, prob [H,W] f32, warped [H,W] f32)."""
+    warped = warp_previous_grid(spec, previous_prob_grid, shift_xy,
+                                shift_yaw, p_prior)
+    occ, prob = scan_to_grid_bayesian(
+        spec, ranges, warped, p_prior, p_empty, p_occupied, range_sure,
+        range_max, wall_size, angle_offset,
+    )
+    return occ, prob, warped
+
+
 def pointcloud_to_scan(points, num_bins, range_max, min_z, max_z):
     """Bin a [N, 3] cloud into a uniform laserscan: per-bin min range.
 
     Port of ``pointCloudToLaserScanFromRaw`` (``utils/pointcloud.h:116-176``):
     z filter, origin filter, atan2 binning with bin width 2*pi/num_bins,
     bin-min combine. Pure JAX (segment_min over static bins).
+
+    Reference quirk kept verbatim (``pointcloud.h:159``): a NEGATIVE
+    ``max_z`` disables the upper-z filter entirely (``max_z >= 0 &&
+    z > max_z``) — it is a sentinel, not a usable negative ceiling.
     """
     pts = jnp.asarray(points, jnp.float32)
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -376,6 +429,11 @@ def get_scan_to_grid_bayesian(spec: MapperSpec):
 @lru_cache(maxsize=32)
 def get_warp_previous_grid(spec: MapperSpec):
     return jax.jit(partial(warp_previous_grid, spec))
+
+
+@lru_cache(maxsize=32)
+def get_scan_to_grid_bayesian_warped(spec: MapperSpec):
+    return jax.jit(partial(scan_to_grid_bayesian_warped, spec))
 
 
 @lru_cache(maxsize=32)

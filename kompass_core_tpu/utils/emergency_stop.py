@@ -83,7 +83,12 @@ class EmergencyChecker:
         forward: bool = True,
     ) -> float:
         """Slowdown factor for the latest scan: 0.0 = stop, 1.0 = clear."""
-        if self._spec is None:
+        if self._spec is None or self._is_pointcloud != isinstance(
+            scan, PointCloudData
+        ):
+            # re-init when the sensor modality changes — feeding the other
+            # scan type through a stale spec would crash (or silently use
+            # the wrong cone masks)
             self._init_checker(scan)
         if self._is_pointcloud:
             fn = get_critical_zone_checker_cloud(self._spec)

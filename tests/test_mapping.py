@@ -286,3 +286,59 @@ def test_fleet_mapper_matches_per_robot():
                    np.float32(0.075))
         np.testing.assert_array_equal(occ_b[i], np.asarray(o))
         np.testing.assert_allclose(prob_b[i], np.asarray(p), rtol=1e-6)
+
+
+def test_fine_resolution_short_range_endpoint_occupied():
+    """A short-range hit on a fine-angular-resolution scan must stamp its
+    endpoint cell OCCUPIED: the beam that ends in a near cell can sit
+    tens of bins away from the CELL's angularly-nearest bin (outside any
+    candidate window), and a longer beam crossing the same cell would
+    otherwise mark it EMPTY — a safety-critical false-free."""
+    from kompass_core_tpu.ops.mapping import MapperSpec, get_scan_to_grid
+
+    spec = MapperSpec(
+        grid_height=100, grid_width=100, num_bins=720, resolution=0.05,
+    )
+    ranges = np.full(720, 5.0, np.float32)
+    beam = 40  # 20.0 deg, hit at 0.15 m -> endpoint cell ~(2, 1)
+    ranges[beam] = 0.15
+    occ = np.asarray(get_scan_to_grid(spec)(ranges))
+    si, sj = spec.start_cell
+    ang = beam * 2 * np.pi / 720
+    ei = si + int(np.trunc(0.15 * np.cos(ang) / 0.05))
+    ej = sj + int(np.trunc(0.15 * np.sin(ang) / 0.05))
+    assert occ[ei, ej] == OCCUPIED
+
+
+def test_bayesian_grid_shift_follows_robot_motion():
+    """A static world obstacle must stay put in the NEW egocentric frame
+    when the robot moves between Bayesian updates (the previous grid is
+    warped by the relative motion, reference :224-247)."""
+    config = MapConfig(
+        width=6.0, height=6.0, resolution=0.1, baysian_update=True
+    )
+    mapper = LocalMapper(config, ScanModelConfig(p_prior=0.5))
+    angles = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    # world: obstacle wall 2 m ahead (+x); robot at origin
+    scan1 = LaserScanData(ranges=np.full(72, 2.0), angles=angles)
+    pose1 = PoseData()
+    mapper.update_from_scan(pose1, scan1)
+    si, sj = mapper._spec.start_cell
+    assert mapper._prev_prob[si + 20, sj] > 0.5  # obstacle belief at 2.0 m
+
+    # robot advances 0.5 m toward the wall; new scan sees it at 1.5 m
+    pose2 = PoseData()
+    pose2.set_position(x=0.5, y=0.0)
+    scan2 = LaserScanData(ranges=np.full(72, 1.5), angles=angles)
+    mapper.update_from_scan(pose2, scan2)
+    warped = mapper.previous_grid_prob_transformed
+    # the warped PREVIOUS belief must show the old obstacle at 1.5 m in
+    # the new frame (cells si+14/15 after float truncation), not still
+    # at 2.0 m (cell si+20)
+    assert warped[si + 14 : si + 16, sj].max() > 0.5
+    assert warped[si + 20, sj] <= 0.5
+    # and the fused posterior reinforces the obstacle around 1.5 m
+    assert (
+        mapper._prev_prob[si + 14 : si + 16, sj].max()
+        >= warped[si + 14 : si + 16, sj].max()
+    )
