@@ -158,6 +158,11 @@ class DeformableVirtualZone:
         """Blend a corrective deceleration with the reference linear control
         (reference ``:425-466``)."""
         if self.total_deformation > 0.0:
+            # reference quirk kept verbatim (algorithms/dvz.py:438-441):
+            # the [0, 2pi) mean orientation is wrapped to [-pi, pi] before
+            # dividing, so a right-side obstacle flips the sign of the
+            # correction and a near-zero wrapped angle leaves only the
+            # +EPSILON guard between this and a huge acceleration
             orientation_regulated = (
                 normalize_to_minus_pi_pi(self.deformation_orientation) + EPSILON_ANG
             )

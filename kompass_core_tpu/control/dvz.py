@@ -56,6 +56,12 @@ class DVZ:
             self._path_controller.set_from_yaml(config_file)
         self._dvz_linear = 0.0
         self._dvz_angular = 0.0
+        # two reference quirks kept verbatim (control/dvz.py:99-110):
+        # the generator StanleyConfig carries only the two gains, so
+        # wheel_base stays the attrs default (NOT robot.wheelbase); and
+        # `config_yaml_root_name=` does not match Stanley's
+        # `config_root_name` parameter, so it lands in **_ and the YAML
+        # root is ignored — both identical upstream
         self._ref = Stanley(
             robot=robot,
             ctrl_limits=ctrl_limits,
@@ -137,12 +143,13 @@ class DVZ:
         if laser_scan_data.angles.any():
             angles = laser_scan_data.angles
         else:
+            # build exactly len(ranges) angles: an arange from the scan
+            # metadata can disagree with the ranges length and break the
+            # elementwise deformation math downstream
+            n = len(laser_scan_data.ranges)
             angles = normalize_to_0_2pi(
-                np.arange(
-                    laser_scan_data.angle_min,
-                    laser_scan_data.angle_max,
-                    laser_scan_data.angle_increment,
-                )
+                laser_scan_data.angle_min
+                + laser_scan_data.angle_increment * np.arange(n)
             )
         self._path_controller.update_zone_size(self._dvz_linear)
         self._path_controller.set_scan_values(

@@ -192,6 +192,10 @@ class Follower:
                 > self.config.loosing_goal_distance
             ):
                 loosing_goal = True
+        # reference quirk kept verbatim (follower.cpp:136-140): LOSING the
+        # goal also sets reached_goal, so a diverging approach is reported
+        # as GOAL_REACHED; FollowingStatus.LOOSING_GOAL exists but is
+        # never emitted (upstream behavior)
         if end_reached or loosing_goal:
             self._path_processing = False
             self._reached_goal = True

@@ -80,6 +80,18 @@ class PurePursuit(Follower):
         is_ackermann = robot.robot_type == RobotType.ACKERMANN
         super().__init__(config=config, is_ackermann=is_ackermann)
         self._config = config
+        # sensor-to-body 2D transform, honored like the reference wrapper
+        # (control/pure_pursuit.py:143) and DWA's derivation
+        q = np.asarray(
+            config.proximity_sensor_rotation_to_robot, dtype=np.float64
+        )
+        self._sensor_yaw = math.atan2(
+            2.0 * (q[3] * q[2] + q[0] * q[1]),
+            1.0 - 2.0 * (q[1] * q[1] + q[2] * q[2]),
+        )
+        self._sensor_pos = np.asarray(
+            config.proximity_sensor_position_to_robot, dtype=np.float64
+        )[:2]
         self.robot = robot
         self.ctrl_limits = ctrl_limits
         self._control_time_step = config.control_time_step
@@ -89,8 +101,10 @@ class PurePursuit(Follower):
         self._obstacles_world: Optional[np.ndarray] = None
         self._result: Optional[FollowingResult] = None
         self._latest_cmd = VelocityCommand()
-        # search offsets: +step, -step, +2step, -2step, ...
-        # (pure_pursuit.cpp:28-40)
+        # search offsets, reference quirk kept verbatim
+        # (pure_pursuit.cpp:36-39): the loop strides i by 2 but scales by
+        # (i+1), so the sequence is ODD multiples +-1,+-3,+-5,... * step,
+        # not +-1,+-2,+-3,...
         n = config.max_search_candidates
         n += n % 2
         offs = []
@@ -103,6 +117,10 @@ class PurePursuit(Follower):
     # --- lookahead point (pure_pursuit.cpp:214-273) ---
 
     def find_lookahead_point(self, radius: float):
+        # reference semantics kept (pure_pursuit.cpp:219-254): the loop
+        # scans ALL remaining segments with no early break, so the LAST
+        # circle intersection wins (on a switchback both legs intersect
+        # and the far leg is chosen — upstream behavior)
         path = self._path
         xs, ys = path.xs.astype(np.float64), path.ys.astype(np.float64)
         target = np.array([xs[-1], ys[-1]])
@@ -280,8 +298,6 @@ class PurePursuit(Follower):
             self, laser_scan, point_cloud
         )
 
-    _sensor_yaw = 0.0
-    _sensor_pos = np.zeros(2)
 
     def loop_step(
         self,

@@ -205,6 +205,10 @@ class Stanley(Follower):
             and abs(self.distance_error) < self._config.max_distance_error
         )
 
+    # The reached_end() zero-guard exists only in the generate_reference
+    # branch — the non-generate branches return the stale pre-goal command
+    # after arrival, exactly like the reference getters
+    # (control/stanley.py:199-257)
     @property
     def linear_x_control(self) -> List[float]:
         if self._generate_reference:
