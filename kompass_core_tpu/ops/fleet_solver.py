@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .solver import SolverSpec, _device_window, dwa_solve
-from .window import MIN_VEL
 
 _PAD = 1e8
 
@@ -326,7 +325,9 @@ def _fleet_robot_step(
             cmd_vx,
             cmd_vy,
             cmd_w,
-            res.cost,
+            # host parity: _rotate_in_place_result reports cost 0.0
+            # (dwa.py), not the discarded solve's cost
+            jnp.where(rotate, 0.0, res.cost),
             heading_error,
             active_points.astype(jnp.float32),
             res.num_admissible.astype(jnp.float32),
@@ -370,7 +371,9 @@ def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots")
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles,
         )
-        return carry2, out
+        # keep the FleetCarry treedef: a plain-tuple carry fed back on the
+        # next tick would change the jit cache key and force a retrace
+        return FleetCarry(*carry2), out
 
     if mesh is None:
         return jax.jit(tick)

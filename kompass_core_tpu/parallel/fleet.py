@@ -70,11 +70,19 @@ def make_fleet_solver(
         n = bufs.shape[0]
         if n <= chunk_size:
             return jitted(bufs)
+        # pad the tail to a full chunk: an uneven tail shape would compile
+        # a SECOND program (remote compiles cost minutes); zero pad rows
+        # solve to found=False and are sliced off
+        pad = (-n) % chunk_size
+        if pad:
+            bufs = jnp.concatenate(
+                [bufs, jnp.zeros((pad, bufs.shape[1]), bufs.dtype)], axis=0
+            )
         outs = [
             jitted(bufs[i : i + chunk_size])
-            for i in range(0, n, chunk_size)
+            for i in range(0, n + pad, chunk_size)
         ]
-        return jnp.concatenate(outs, axis=0)
+        return jnp.concatenate(outs, axis=0)[:n]
 
     return chunked
 

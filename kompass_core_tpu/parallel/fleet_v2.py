@@ -12,6 +12,7 @@ follower machinery).
 """
 
 import dataclasses
+import logging
 import math
 from typing import Optional, Sequence
 
@@ -209,6 +210,7 @@ class DeviceFleet:
         self._paths: Optional[FleetPaths] = None
         self._carry: Optional[FleetCarry] = None
         self._angles = None  # device-resident per-robot scan angles
+        self._angles_src = None  # host copy for change detection
         self._inputs = np.zeros(
             (self._n, 4 + 3 + scan_rays), np.float32
         )
@@ -225,6 +227,7 @@ class DeviceFleet:
     def set_scan_angles(self, angles: np.ndarray):
         """Upload the (usually static) scan angle grid once."""
         ang = np.asarray(angles, np.float32)
+        self._angles_src = ang.copy()
         if ang.ndim == 1:
             ang = np.tile(ang, (self._n, 1))
         else:
@@ -263,11 +266,27 @@ class DeviceFleet:
             arc[i, :n] = ref.arc_lengths[:n]
             curv[i, :n] = ref.curvature[:n]
             n_points[i] = n
-            ns = min(ref.num_segments, NS)
-            seg_starts[i, :ns] = ref.segment_starts[:ns]
+            starts = np.asarray(ref.segment_starts[: ref.num_segments])
+            if ref.size() > P:
+                # keep only segments that survive the truncation; phantom
+                # starts past the kept points would make the losing-goal
+                # failsafe unreachable (at_end could never fire)
+                logging.getLogger("kompass_core_tpu").warning(
+                    "fleet path %d truncated: %d interpolated points > "
+                    "path_capacity %d; increase FleetSpec.path_capacity",
+                    i, ref.size(), P,
+                )
+                starts = starts[starts < n]
+            ns = max(min(len(starts), NS), 1)
+            seg_starts[i, :ns] = starts[:ns]
             seg_starts[i, ns:] = n  # padded starts point past the end
             n_segs[i] = ns
-            total[i] = ref.total_path_length()
+            # total length of the path AS LOADED (goal = last kept point)
+            total[i] = (
+                ref.total_path_length()
+                if ref.size() <= P
+                else float(ref.arc_lengths[n - 1])
+            )
         self._paths = FleetPaths(
             x=jnp.asarray(x),
             y=jnp.asarray(y),
@@ -302,8 +321,14 @@ class DeviceFleet:
         import time
 
         t0 = time.perf_counter()
-        if self._angles is None:
-            self.set_scan_angles(angles)
+        ang_in = np.asarray(angles, np.float32)
+        if self._angles is None or not np.array_equal(
+            ang_in, self._angles_src
+        ):
+            # (re)upload the angle grid when it actually changes — a
+            # silently-ignored new grid would place every obstacle at the
+            # wrong bearing
+            self.set_scan_angles(ang_in)
         n = self.num_robots
         s = np.asarray(states, np.float32)
         self._inputs[:n, : min(4, s.shape[1])] = s[:, :4]

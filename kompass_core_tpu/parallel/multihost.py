@@ -93,6 +93,7 @@ class FleetRuntime:
         self._solver = None
         self._spec = None
         self._inputs = None
+        self._solvers_by_bucket = {}
         self._pool = None
         self.host_workers = int(host_workers)
         self.solver_failures = 0  # cumulative device-dispatch failures
@@ -107,26 +108,37 @@ class FleetRuntime:
             ctrl.set_path(path)
 
     def _ensure_solver(self, scan_bucket: int):
-        if self._solver is None:
+        # keyed per scan bucket like DWA._solver_for: freezing the first
+        # tick's bucket would silently TRUNCATE longer later scans (and
+        # their obstacle points) to the stale scan_size
+        if scan_bucket not in self._solvers_by_bucket:
             import dataclasses
 
             spec, _, _ = self.controllers[0]._solver_for(scan_bucket)
             # fleet mode computes the dynamic window on device — the host
-            # never walks the per-robot velocity grid
-            spec = dataclasses.replace(spec, device_window=True)
-            self._spec = spec
-            self._solver = make_fleet_solver(spec, mesh=self.mesh)
+            # never walks the per-robot velocity grid. The tracked-segment
+            # capacity must cover the FASTEST robot's lookahead, not robot
+            # 0's (per-robot limits are allowed).
+            seg = max(c._spec_proto["seg_size"] for c in self.controllers)
+            spec = dataclasses.replace(
+                spec, device_window=True, seg_size=seg
+            )
             from ..ops.solver import packed_input_size
 
             # pad the robot axis to a multiple of the mesh size (sharding
             # requires even division; pad rows are solved and ignored)
             n_dev = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
             padded = ((self.num_robots + n_dev - 1) // n_dev) * n_dev
-            self._inputs = np.zeros(
-                (padded, packed_input_size(spec)), np.float32
+            self._solvers_by_bucket[scan_bucket] = (
+                spec,
+                make_fleet_solver(spec, mesh=self.mesh),
+                np.zeros((padded, packed_input_size(spec)), np.float32),
             )
             # pad rows need valid-ish content; leave zeros (no admissible
             # samples -> found=False, ignored)
+        spec, solver, inputs = self._solvers_by_bucket[scan_bucket]
+        if self._spec is not spec:  # rebind only on bucket change
+            self._spec, self._solver, self._inputs = spec, solver, inputs
 
     def _host_stage(self, i, state, scan):
         """Per-robot host work: follower bookkeeping + pack the input row.
