@@ -146,7 +146,11 @@ def split_obstacles_by_type(
             obstacles.robot_pose,
         )
     for k in range(len(obstacles)):
-        dst = out.get(OBSTACLE_TYPE(obstacles.obstacle_type[k]))
+        try:
+            kind = OBSTACLE_TYPE(obstacles.obstacle_type[k])
+        except ValueError:
+            continue  # unknown type codes are skipped, not fatal
+        dst = out.get(kind)
         if dst is None:
             continue
         for col in _COLUMNS:

@@ -191,10 +191,13 @@ class ReferencePath:
             xi = np.interp(sq, s_vals, x64)
             yi = np.interp(sq, s_vals, y64)
         elif interpolation_type == InterpolationType.CUBIC_SPLINE:
-            xpp = _natural_cubic_coeffs(s_vals, x64)
-            ypp = _natural_cubic_coeffs(s_vals, y64)
-            xi = _eval_natural_cubic(s_vals, x64, xpp, sq)
-            yi = _eval_natural_cubic(s_vals, y64, ypp, sq)
+            # native O(n+m) spline when the host lib is built; its
+            # fallback IS _natural_cubic_coeffs/_eval_natural_cubic, so
+            # both deployments evaluate the same math
+            from ..native import cubic_spline_eval
+
+            xi = cubic_spline_eval(s_vals, x64, sq)
+            yi = cubic_spline_eval(s_vals, y64, sq)
         elif interpolation_type == InterpolationType.HERMITE_SPLINE:
             xi = _eval_hermite(s_vals, x64, sq)
             yi = _eval_hermite(s_vals, y64, sq)

@@ -54,16 +54,32 @@ class PointCloudData:
         """
         dt = _DTYPES[dtype_code]
         buf = np.frombuffer(data, dtype=np.uint8)
-        if row_step is not None and height > 1:
-            rows = buf.reshape(height, -1)[:, :row_step]
-            buf = rows.reshape(-1)
-        n = buf.size // point_step
-        buf = buf[: n * point_step].reshape(n, point_step)
         itemsize = np.dtype(dt).itemsize
+        # mirror the reference's row walk (``pointcloud.h:135-146``):
+        # point k of row r starts at r*row_step + k*point_step, for
+        # k*point_step < row_step — row_step is the ROW STRIDE, so rows
+        # with padding stay aligned; a final point overlapping the pad is
+        # kept iff it fits in the buffer (the reference's max_offset
+        # guard, same semantics)
+        if row_step is None:
+            row_step = buf.size
+            height = 1
+        cols = np.arange(0, row_step, point_step, dtype=np.int64)
+        starts = (
+            np.arange(height, dtype=np.int64)[:, None] * row_step
+            + cols[None, :]
+        ).ravel()
+        max_off = max(x_offset, y_offset, z_offset) + itemsize
+        starts = starts[starts + max_off <= buf.size]
 
         def read_field(offset):
-            raw = buf[:, offset : offset + itemsize].copy()
-            return raw.view(dt).reshape(n).astype(np.float32)
+            idx = starts[:, None] + offset + np.arange(itemsize)
+            return (
+                np.ascontiguousarray(buf[idx])
+                .view(dt)
+                .reshape(len(starts))
+                .astype(np.float32)
+            )
 
         pts = np.stack(
             [read_field(x_offset), read_field(y_offset), read_field(z_offset)],

@@ -235,6 +235,9 @@ class TrackedBbox3D:
             acc=self.acc.copy(),
             unique_id=self.unique_id,
         )
+        # reference quirk kept verbatim (tracking.h:247-253): the center
+        # advances by (vel + acc*dt)*dt — i.e. vel*dt + acc*dt^2, not the
+        # kinematic vel*dt + 0.5*acc*dt^2
         out.box.center = self.box.center + out.vel * dt
         return out
 

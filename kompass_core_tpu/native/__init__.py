@@ -39,14 +39,19 @@ def _build() -> bool:
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib, _build_attempted
+    # the kill switch must win even when a built .so already exists
+    if os.environ.get("KOMPASS_TPU_NO_NATIVE"):
+        return None
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        if _build_attempted or os.environ.get("KOMPASS_TPU_NO_NATIVE"):
-            return None
-        _build_attempted = True
-        if not _build():
-            return None
+    if _build_attempted:
+        return _lib
+    _build_attempted = True
+    # always run make: it is an mtime no-op when the .so is fresh, and it
+    # rebuilds a stale .so after source edits instead of silently loading
+    # old native code
+    if not _build() and not os.path.exists(_LIB_PATH):
+        return None
     lib = ctypes.CDLL(_LIB_PATH)
 
     lib.kh_find_closest_segment.restype = ctypes.c_int
@@ -125,7 +130,11 @@ def closest_point_on_segment(xs, ys, start: int, end: int, px: float, py: float)
     lib = get_lib()
     if lib is None:
         seg = np.arange(start, end + 1)
-        d2 = (px - xs[seg]) ** 2 + (py - ys[seg]) ** 2
+        # float64 like the native kernel — a float32 d2 could round
+        # near-ties differently and pick a different `<=` winner index
+        d2 = (px - xs[seg].astype(np.float64)) ** 2 + (
+            py - ys[seg].astype(np.float64)
+        ) ** 2
         min_val = d2.min()
         local = int(np.where(d2 == min_val)[0][-1])
         return start + local, float(min_val)
@@ -182,8 +191,11 @@ def scan_to_obstacle_block(
         out[scan_cap : scan_cap + n] = wy[:n]
         return out, n
     out = np.empty(2 * scan_cap, np.float32)
+    # n_rays bounded by BOTH arrays: ranges longer than angles would read
+    # past the angles buffer in the C kernel (the fallback broadcasts and
+    # raises instead)
     n = lib.kh_scan_to_obstacle_block(
-        ranges, angles, len(ranges),
+        ranges, angles, min(len(ranges), len(angles)),
         sensor_pose[0], sensor_pose[1], sensor_pose[2],
         robot_pose[0], robot_pose[1], robot_pose[2],
         pad_value, scan_cap, out,

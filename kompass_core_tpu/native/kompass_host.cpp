@@ -83,6 +83,11 @@ void kh_closest_point_on_segment(const float* xs, const float* ys,
 // m query points sq (monotonic). Thomas algorithm, O(n + m).
 void kh_cubic_spline(const double* s, const double* y, int64_t n,
                      const double* sq, int64_t m, double* out) {
+  if (n < 2) {
+    // degenerate knot set: constant (or zero) output, no s[1] read
+    for (int64_t k = 0; k < m; ++k) out[k] = (n == 1) ? y[0] : 0.0;
+    return;
+  }
   if (n < 3) {
     // linear fallback
     int64_t j = 0;

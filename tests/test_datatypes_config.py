@@ -103,11 +103,15 @@ def test_pointcloud_bytes_nonzero_offsets_and_dtype():
 
 
 def test_pointcloud_bytes_multirow_row_step_padding():
-    """height>1 organized cloud with per-row padding beyond row_step."""
+    """height>1 organized cloud, ROS convention: row_step is the ROW
+    STRIDE including padding. Points after the first row must stay
+    aligned. Mirrors the reference walk (pointcloud.h:135-146), which
+    also decodes a pad-overlapping partial point per row when
+    k*point_step < row_step and the read fits in the buffer."""
     h, w = 3, 4
     point_step = 12
-    row_step = w * point_step
     pad = 8
+    row_step = w * point_step + pad  # stride includes the padding
     rows = []
     for r in range(h):
         pts = np.arange(w * 3, dtype=np.float32).reshape(w, 3) + 100 * r
@@ -116,9 +120,12 @@ def test_pointcloud_bytes_multirow_row_step_padding():
     pc = PointCloudData.from_bytes(
         raw, point_step=point_step, row_step=row_step, height=h
     )
-    assert pc.points.shape == (h * w, 3)
-    np.testing.assert_allclose(pc.points[4], [100.0, 101.0, 102.0])
-    np.testing.assert_allclose(pc.points[-1], [209.0, 210.0, 211.0])
+    # 5 column slots per row (col 48 < row_step); the last row's partial
+    # slot fails the buffer-bounds guard -> 3*5 - 1 = 14 decoded points
+    assert pc.points.shape == (14, 3)
+    np.testing.assert_allclose(pc.points[0], [0.0, 1.0, 2.0])
+    np.testing.assert_allclose(pc.points[5], [100.0, 101.0, 102.0])  # row 1
+    np.testing.assert_allclose(pc.points[13], [209.0, 210.0, 211.0])
 
 
 def test_utils_common_yaml_and_logging(tmp_path):
