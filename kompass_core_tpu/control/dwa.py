@@ -12,6 +12,7 @@ are *steps* and multiplied by control_time_step before use
 (reference ``control/dwa.py:233-234``).
 """
 
+import dataclasses
 import logging
 import math
 from typing import List, Optional, Sequence, Union
@@ -133,8 +134,19 @@ class DWA(Follower):
         self._config = config = config or DWAConfig()
         if config_file:
             config.from_file(config_file, config_root_name)
+            # from_file assigns via setattr — re-apply the post-init
+            # clamp, otherwise a file could set control_horizon beyond
+            # prediction_horizon and slice past the command arrays
+            config.control_horizon = min(
+                config.control_horizon, config.prediction_horizon
+            )
         if control_time_step:
             config.control_time_step = control_time_step
+        if config.prediction_horizon < 2:
+            raise ValueError(
+                "prediction_horizon must be >= 2 steps (a rollout needs at "
+                "least one velocity command)"
+            )
 
         is_ackermann = robot.robot_type == RobotType.ACKERMANN
         super().__init__(config=config, is_ackermann=is_ackermann)
@@ -372,6 +384,11 @@ class DWA(Follower):
         """Pure-rotation shortcut for large heading error
         (``dwa.h:195-205`` + ``trajectory_sampler.cpp:409-445`` with vx=0).
 
+        Runs BEFORE the adaptive-horizon update, so the trajectory is
+        sized with the PREVIOUS tick's active_points — same ordering as
+        the reference's findBestPath (rotate check precedes
+        adaptPredictionHorizonToCurvature, ``dwa.h:195-206``).
+
         Deliberate divergence: the reference uses ``-heading_error * w_max /
         pi`` (``dwa.h:202``), which rotates AWAY from the target heading and
         limit-cycles at +-pi (unexercised upstream — their DWA test robot is
@@ -424,7 +441,11 @@ class DWA(Follower):
         self._adapt_prediction_horizon()
 
         if map_points_world is not None:
-            obs = np.asarray(map_points_world, np.float32)[:, :2]
+            obs = np.asarray(map_points_world, np.float32)
+            # an empty local map means obstacle-free planning, not a crash
+            obs = (
+                np.zeros((0, 2), np.float32) if obs.size == 0 else obs[:, :2]
+            )
         else:
             obs = self._obstacle_points_world(laser_scan, point_cloud)
         obs_count = len(obs)
@@ -436,19 +457,11 @@ class DWA(Follower):
 
         start, end = self._tracked_segment_window()
         seg_len_actual = end - start + 1
-        seg_x = np.full(spec.seg_size, 1e8, dtype=np.float32)
-        seg_y = np.full(spec.seg_size, 1e8, dtype=np.float32)
-        seg_arc = np.zeros(spec.seg_size, dtype=np.float32)
-        seg_x[:seg_len_actual] = self._path.xs[start : end + 1]
-        seg_y[:seg_len_actual] = self._path.ys[start : end + 1]
-        seg_arc[:seg_len_actual] = self._path.arc_lengths[start : end + 1]
-        seg_total_len = float(
-            np.sum(
-                np.hypot(
-                    np.diff(self._path.xs[start : end + 1]),
-                    np.diff(self._path.ys[start : end + 1]),
-                )
-            )
+        from ..native import segment_block
+
+        seg_x, seg_y, seg_arc, seg_total_len = segment_block(
+            self._path.xs, self._path.ys, self._path.arc_lengths,
+            start, end, 1e8, spec.seg_size,
         )
 
         window = sample_velocity_window(
@@ -592,6 +605,10 @@ class DWA(Follower):
         obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
         obs_padded[:obs_count] = obs[:bucket]
         spec, _solver, buf = self._solver_for(bucket)
+        if drop_samples is not None and bool(drop_samples) != spec.drop_samples:
+            # honor the override: debug the requested admissibility mode
+            spec = dataclasses.replace(spec, drop_samples=bool(drop_samples))
+            buf = np.zeros(packed_input_size(spec), dtype=np.float32)
         start, end = self._tracked_segment_window()
         from ..native import segment_block
 
@@ -610,7 +627,11 @@ class DWA(Follower):
             end - start + 1, seg_total, self._path.total_path_length(),
             self._active_points,
         )
-        px, py, costs, adm = get_debug_dwa_solver(spec)(buf)
+        # same custom costs as the production solver, so debug rankings
+        # agree with the executed command
+        px, py, costs, adm = get_debug_dwa_solver(
+            spec, tuple(self._custom_costs)
+        )(buf)
         self._debugging_samples = (
             np.asarray(px), np.asarray(py), np.asarray(costs), np.asarray(adm)
         )
@@ -624,8 +645,10 @@ class DWA(Follower):
         return self._debugging_samples
 
     def check_states_feasibility(self, states, laser_scan=None, point_cloud=None) -> bool:
-        """True if any given state collides with the sensor data (role of
-        ``TrajectorySampler::checkStatesFeasibility``)."""
+        """True if any given state COLLIDES with the sensor data — the
+        reference's (misleadingly named) boolean convention, kept for
+        parity (``trajectory_sampler.cpp:378-407`` returns true at the
+        first collision)."""
         from ..ops.solver import check_states_feasibility
 
         obs = self._obstacle_points_world(laser_scan, point_cloud)

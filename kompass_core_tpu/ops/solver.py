@@ -474,9 +474,16 @@ def _path_cost(px, py, seg_x, seg_y, seg_last_xy, seg_total_len, active_points,
         jnp.float32
     )
     end_x, end_y = _trajectory_end_points(px, py, active_points)
-    end_dist = (
-        jnp.sqrt((end_x - seg_last_xy[0]) ** 2 + (end_y - seg_last_xy[1]) ** 2)
-        / seg_total_len
+    # a degenerate single-point segment (robot at the path end, goal not
+    # yet within tolerance) has zero length: dividing by it would turn
+    # every sample's cost inf/NaN and argmin would return an arbitrary
+    # index-0 (full-reverse) winner — skip the normalized term instead
+    end_dist = jnp.where(
+        seg_total_len > 0.0,
+        jnp.sqrt(
+            (end_x - seg_last_xy[0]) ** 2 + (end_y - seg_last_xy[1]) ** 2
+        ) / jnp.maximum(seg_total_len, 1e-9),
+        0.0,
     )
     return (avg + end_dist) / 2.0
 
@@ -843,10 +850,19 @@ def make_dwa_solver(spec: SolverSpec, custom_costs: Sequence = ()):
 _HDR = 20  # header scalars, see layout below
 
 
+def _window_block_size(spec: SolverSpec) -> int:
+    """Floats reserved for the window block. Device-window mode stores
+    (current_vel[3] | limits[9]) there, so the block must hold at least
+    12 floats even when the sample grid is tiny — otherwise the limits
+    would spill into (and be read back from) the obstacle region."""
+    n = 2 * (spec.n_vx + spec.n_vy + spec.n_omega)
+    return max(n, 12) if spec.device_window else n
+
+
 def packed_input_size(spec: SolverSpec) -> int:
     return (
         _HDR
-        + 2 * (spec.n_vx + spec.n_vy + spec.n_omega)
+        + _window_block_size(spec)
         + 2 * spec.scan_size
         + 3 * spec.seg_size
     )
@@ -887,7 +903,7 @@ def pack_solver_input(
         # (current_vel[3], limits[9]); the grid is built on device
         buf[o : o + 3] = current_vel
         buf[o + 3 : o + 12] = limits_vec
-        o += 2 * (spec.n_vx + spec.n_vy + spec.n_omega)
+        o += _window_block_size(spec)
     else:
         for arr in (
             window.vx_vals,
@@ -946,7 +962,7 @@ def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
         window = _device_window(
             spec, buf[o : o + 3], buf[o + 3 : o + 12], params.time_step
         )
-        o += 2 * (nx + ny + nw)
+        o += _window_block_size(spec)
     else:
         vx_vals = buf[o : o + nx]
         vx_mask = buf[o + nx : o + 2 * nx] > 0.5
@@ -1031,11 +1047,12 @@ def get_packed_dwa_solver(spec: SolverSpec):
     return make_packed_dwa_solver(spec)
 
 
-def dwa_sample_debug(spec: SolverSpec, buf):
+def dwa_sample_debug(spec: SolverSpec, buf, custom_costs=()):
     """Debug variant: return every rollout and its admissibility/cost
     (role of ``DWA::debugVelocitySearch`` + ``getDebuggingSamples``,
     ``dwa.h:141-163``). Returns (px [S,T], py [S,T], costs [S],
-    admissible [S])."""
+    admissible [S]). ``custom_costs`` must match the production solver's
+    so debug rankings agree with the executed command."""
     from .window import VelocityWindow
 
     state = buf[0:3]
@@ -1068,6 +1085,7 @@ def dwa_sample_debug(spec: SolverSpec, buf):
     res = dwa_solve(
         spec, params, state, window, obs_xy, obs_count, seg_x, seg_y,
         seg_arc, seg_count, seg_total_len, ref_total_len, active_points,
+        custom_costs=custom_costs,
     )
     vels, valid = _build_velocity_grid(spec, window)
     px, py = _rollout(spec, params, state, vels)
@@ -1075,8 +1093,8 @@ def dwa_sample_debug(spec: SolverSpec, buf):
 
 
 @_functools.lru_cache(maxsize=16)
-def get_debug_dwa_solver(spec: SolverSpec):
-    return jax.jit(partial(dwa_sample_debug, spec))
+def get_debug_dwa_solver(spec: SolverSpec, custom_costs=()):
+    return jax.jit(partial(dwa_sample_debug, spec, custom_costs=custom_costs))
 
 
 def check_states_feasibility(states_xy, obs_xy, radius, margin):
