@@ -13,6 +13,7 @@ import numpy as np
 from .datatypes.path_sample import MotionSample, PathSample
 from .models import MotionModel2D
 from .simulation import RobotSim
+from .utils.angles import normalize_to_minus_pi_pi
 
 
 class ModelFitting:
@@ -37,7 +38,10 @@ class ModelFitting:
         ok = dt > 1e-9
         dx = np.diff(x)[ok]
         dy = np.diff(y)[ok]
-        dyaw = np.diff(yaw)[ok]
+        # wrap yaw increments: recorded headings come wrapped to [-pi, pi]
+        # (quaternion-derived), so a raw diff contains ~±2π jumps at the
+        # wrap that poison the omega least-squares fit
+        dyaw = normalize_to_minus_pi_pi(np.diff(yaw))[ok]
         dt = dt[ok]
         c = np.cos(yaw[:-1][ok])
         s = np.sin(yaw[:-1][ok])
@@ -107,12 +111,16 @@ class Calibration:
             y=robot_data.y_points[0],
             yaw=robot_data.heading_points[0],
         )
+        # replay with the RECORDED per-interval timing — a mean dt would
+        # misalign variable-rate recordings and misreport model error
         dt = np.diff(robot_data.time_points)
-        dt_mean = float(np.mean(dt[dt > 0])) if np.any(dt > 0) else 0.1
+        dt = np.where(dt > 0, dt, float(np.mean(dt[dt > 0])) if np.any(
+            dt > 0
+        ) else 0.1)
         modeled = sim.simulate_motion(
             robot_data.vx_points[1:],
             robot_data.omega_points[1:],
-            dt_mean,
+            dt,
             robot_data.vy_points[1:],
         )
         n = min(len(modeled.x_points), len(robot_data.x_points))

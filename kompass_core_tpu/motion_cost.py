@@ -14,7 +14,11 @@ from attrs import define, field
 
 from .datatypes.path_sample import ObstaclesData, PathSample
 from .utils.config import BaseAttrs, base_validators
-from .utils.geometry import probability_of_collision
+from .utils.angles import normalize_to_minus_pi_pi
+from .utils.geometry import (
+    probability_of_collision,  # noqa: F401 — public, re-exported
+    probability_of_collision_array,
+)
 
 
 class MotionCost:
@@ -111,14 +115,11 @@ class DynamicCollisionProbabilityCost(CollisionCost):
             + (path.y_points[:, None] - oy) ** 2
         )
         sigma_t = self.position_sigma * (1.0 + t[:, None])
-        probs = np.array(
-            [
-                probability_of_collision(
-                    float(dv), float(sv), self.collision_limit_radius
-                )
-                for dv, sv in zip(d.ravel(), sigma_t.repeat(d.shape[1]).ravel())
-            ]
-        ).reshape(d.shape)
+        # one vectorized erf over the whole [points, obstacles] block —
+        # the per-element Python loop was ~ms per call and grew linearly
+        probs = probability_of_collision_array(
+            d, np.broadcast_to(sigma_t, d.shape), self.collision_limit_radius
+        )
         self.cost = float(1.0 - np.prod(1.0 - np.max(probs, axis=1)))
         return self.weight * self.cost
 
@@ -143,8 +144,9 @@ class ReferenceCost(MotionCost):
         d = np.sqrt(dx * dx + dy * dy)
         nearest = np.argmin(d, axis=1)
         self.lateral_error = float(np.mean(np.min(d, axis=1)))
-        dh = path.heading_points - reference.heading_points[nearest]
-        dh = np.mod(dh + np.pi, 2 * np.pi) - np.pi
+        dh = normalize_to_minus_pi_pi(
+            path.heading_points - reference.heading_points[nearest]
+        )
         self.heading_error = float(np.mean(np.abs(dh)))
         self.end_error = float(
             math.hypot(

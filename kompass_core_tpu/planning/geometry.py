@@ -30,8 +30,10 @@ def build_inflated_grid(
     pts = np.asarray(obstacle_points, np.float64).reshape(
         -1, obstacle_points.shape[-1]
     )
-    gx = ((pts[:, 0] - origin_xy[0]) / resolution).astype(np.int64)
-    gy = ((pts[:, 1] - origin_xy[1]) / resolution).astype(np.int64)
+    # floor, not int-truncation: truncation would pull points up to one
+    # cell left/below the origin into row/column 0 (point_free floors too)
+    gx = np.floor((pts[:, 0] - origin_xy[0]) / resolution).astype(np.int64)
+    gy = np.floor((pts[:, 1] - origin_xy[1]) / resolution).astype(np.int64)
     ok = (gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
     occ = np.zeros((height, width), dtype=bool)
     occ[gy[ok], gx[ok]] = True

@@ -30,9 +30,13 @@ def resample_path(path: PathSample, num_points: int) -> PathSample:
     arc = np.concatenate([[0.0], np.cumsum(seg)])
     s = np.linspace(0.0, arc[-1], num_points)
     out = PathSample(num_points)
+    # unwrap before interpolating: a raw interp across the ±pi wrap would
+    # yield bogus intermediate headings (e.g. ~0 between pi and -pi)
+    heading = np.interp(s, arc, np.unwrap(path.heading_points))
+    heading = np.mod(heading + np.pi, 2 * np.pi) - np.pi
     out.set_path(
         np.interp(s, arc, path.x_points),
         np.interp(s, arc, path.y_points),
-        np.interp(s, arc, path.heading_points),
+        heading,
     )
     return out

@@ -77,6 +77,10 @@ class RobotSim:
         n = len(vx_sequence)
         if vy_sequence is None:
             vy_sequence = np.zeros(n)
+        # scalar dt or one dt per step (variable-rate recordings replay
+        # with their true timing)
+        steps = np.broadcast_to(np.asarray(time_step, np.float64), (n,))
+        times = np.concatenate([[0.0], np.cumsum(steps)])
         sample = MotionSample(n + 1)
         st = self.robot.state
         sample.set_sample_point(0, 0.0, st.x, st.y, st.yaw)
@@ -84,12 +88,12 @@ class RobotSim:
             st.simulate(
                 float(vx_sequence[i]),
                 float(omega_sequence[i]),
-                time_step,
+                float(steps[i]),
                 v_y=float(vy_sequence[i]),
             )
             sample.set_sample_point(
                 i + 1,
-                (i + 1) * time_step,
+                float(times[i + 1]),
                 st.x,
                 st.y,
                 st.yaw,

@@ -65,6 +65,7 @@ class EmergencyChecker:
             angles = np.arange(0.0, 2 * np.pi, self._scan_model.angle_step)
         else:
             angles = scan.angles
+        self._spec_angles = np.array(angles, np.float64, copy=True)
         self._spec = build_critical_zone(
             robot_shape_type=self._robot_shape,
             robot_dimensions=self._robot_dimensions,
@@ -83,12 +84,18 @@ class EmergencyChecker:
         forward: bool = True,
     ) -> float:
         """Slowdown factor for the latest scan: 0.0 = stop, 1.0 = clear."""
-        if self._spec is None or self._is_pointcloud != isinstance(
-            scan, PointCloudData
+        is_pc = isinstance(scan, PointCloudData)
+        if (
+            self._spec is None
+            or self._is_pointcloud != is_pc
+            or (
+                not is_pc
+                and not np.array_equal(scan.angles, self._spec_angles)
+            )
         ):
-            # re-init when the sensor modality changes — feeding the other
-            # scan type through a stale spec would crash (or silently use
-            # the wrong cone masks)
+            # re-init when the sensor modality OR the angle grid changes —
+            # a stale spec would crash on a different ray count or
+            # silently evaluate against the wrong per-beam cone masks
             self._init_checker(scan)
         if self._is_pointcloud:
             fn = get_critical_zone_checker_cloud(self._spec)

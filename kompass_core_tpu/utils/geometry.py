@@ -96,3 +96,19 @@ def probability_of_collision(
         return 1.0 if mean_distance <= collision_radius else 0.0
     z = (collision_radius - mean_distance) / (sigma * math.sqrt(2.0))
     return 0.5 * (1.0 + math.erf(z))
+
+
+def probability_of_collision_array(
+    mean_distance: np.ndarray, sigma: np.ndarray, collision_radius: float
+) -> np.ndarray:
+    """Vectorized ``probability_of_collision`` over arrays (broadcasts)."""
+    from scipy.special import erf
+
+    mean_distance = np.asarray(mean_distance, np.float64)
+    sigma = np.asarray(sigma, np.float64)
+    z = (collision_radius - mean_distance) / (
+        np.maximum(sigma, 1e-300) * math.sqrt(2.0)
+    )
+    soft = 0.5 * (1.0 + erf(z))
+    hard = (mean_distance <= collision_radius).astype(np.float64)
+    return np.where(sigma <= 0, hard, soft)

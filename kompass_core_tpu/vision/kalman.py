@@ -53,7 +53,10 @@ class LinearSSKalmanFilter:
 
     def estimate(self, measurements, number_steps: int = 1, inputs=None):
         """Predict ``number_steps`` then update with ``measurements``
-        (``kalman_filter.cpp:61-88``)."""
+        (``kalman_filter.cpp:61-88``). Returns False (no state change)
+        before setup/initialization — S would be singular."""
+        if not (self.system_initialized and self.state_initialized):
+            return False
         if inputs is None:
             inputs = np.zeros((self.num_inputs, 1))
         measurements = np.asarray(measurements, dtype=np.float64).reshape(-1, 1)
@@ -66,6 +69,7 @@ class LinearSSKalmanFilter:
         K = self.P @ self.H.T @ np.linalg.inv(S)
         self.state = predicted + K @ (measurements - self.H @ predicted)
         self.P = (np.eye(self.num_states) - K @ self.H) @ self.P
+        return True
 
     def get_state(self) -> Optional[np.ndarray]:
         if self.state_initialized and self.system_initialized:
