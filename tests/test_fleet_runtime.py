@@ -156,3 +156,27 @@ def test_fleet_runtime_rejects_mismatched_lengths():
         FleetRuntime(robots, [lim] * (len(robots) - 1), rt.controllers[0].config)
     with pytest.raises(ValueError):
         rt.set_paths([np.array([[0.0, 0.0], [1.0, 0.0]])])
+
+
+def test_fleet_runtime_rebuilds_for_larger_scan_bucket():
+    """A later tick with a longer scan must rebuild the solver for the
+    larger bucket instead of silently truncating obstacle points to the
+    first tick's scan_size."""
+    rt, states, _ = _small_runtime()
+    small = [
+        LaserScanData(
+            ranges=np.full(120, 5.0),
+            angles=np.linspace(0, 2 * np.pi, 120, endpoint=False),
+        )
+    ] * rt.num_robots
+    rt.tick(states, small)
+    first_size = rt._spec.scan_size
+    big = [
+        LaserScanData(
+            ranges=np.full(480, 5.0),
+            angles=np.linspace(0, 2 * np.pi, 480, endpoint=False),
+        )
+    ] * rt.num_robots
+    rt.tick(states, big)
+    assert rt._spec.scan_size > first_size
+    assert rt._spec.scan_size >= 480

@@ -330,3 +330,116 @@ def test_box_collision_passes_tight_corridor():
         "circumscribed circle must block the corridor "
         f"(got {results['circle']})"
     )
+
+
+def test_device_window_tiny_grid_packed_layout():
+    """The packed window block must hold the 12-float (vel | limits)
+    payload even when the sample grid is tiny — spilling into the
+    obstacle region would feed obstacle coordinates back as
+    acceleration limits."""
+    import dataclasses
+
+    from kompass_core_tpu.ops.solver import (
+        _unpack_and_solve,
+        pack_solver_input,
+        packed_input_size,
+    )
+
+    spec = SolverSpec(
+        is_omni=False, n_vx=3, n_vy=1, n_omega=1, max_points=8,
+        num_ctrl_points=2, scan_size=32, seg_size=64, drop_samples=True,
+        device_window=True,
+    )
+    assert packed_input_size(spec) >= 20 + 12 + 2 * 32 + 3 * 64 - 10
+    limits = _limits().to_array()
+    limits[3:6] = 0.0
+    params = np.array(
+        [0.1, 0.2, 0.05, 1.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 3.0, 10 / 3],
+        np.float32,
+    )
+    obs = np.full((32, 2), 1e8, np.float32)
+    n_seg = 30
+    seg_x = np.full(64, 1e8, np.float32)
+    seg_y = np.full(64, 1e8, np.float32)
+    seg_arc = np.zeros(64, np.float32)
+    seg_x[:n_seg] = np.linspace(0, 2.9, n_seg)
+    seg_y[:n_seg] = 0.0
+    seg_arc[:n_seg] = np.linspace(0, 2.9, n_seg)
+    buf = np.zeros(packed_input_size(spec), np.float32)
+    pack_solver_input(
+        spec, buf, params, (0.0, 0.0, 0.0), None, obs, 0,
+        seg_x, seg_y, seg_arc, n_seg, 2.9, 2.9, 8,
+        current_vel=(0.5, 0.0, 0.0), limits_vec=limits,
+    )
+    out = np.asarray(_unpack_and_solve(spec, jnp.asarray(buf)))
+    # found with a forward command toward the straight path
+    assert out[0] > 0.5
+    # winning vx must respect the (intact) limits: within [v0-dec*dt, hi]
+    vx_cmd = out[4]
+    assert 0.0 <= vx_cmd <= 1.0 + 1e-5
+
+
+def test_path_cost_degenerate_single_point_segment():
+    """seg_total_len == 0 (robot at the path end, laterally offset) must
+    NOT blow every cost to inf/NaN and return an arbitrary winner."""
+    spec = SolverSpec(
+        is_omni=False, n_vx=3, n_vy=1, n_omega=3, max_points=8,
+        num_ctrl_points=2, scan_size=32, seg_size=64, drop_samples=True,
+    )
+    limits = _limits().to_array()
+    limits[3:6] = 0.0
+    window = sample_velocity_window(
+        (0.3, 0.0, 0.0), limits, 0.1, 3, 1, 3, False
+    )
+    obs = np.full((32, 2), 1e8, np.float32)
+    seg_x = np.full(64, 1e8, np.float32)
+    seg_y = np.full(64, 1e8, np.float32)
+    seg_arc = np.zeros(64, np.float32)
+    seg_x[0], seg_y[0] = 5.0, 0.0  # single-point segment
+    params = SolverParams.create(
+        time_step=0.1, robot_radius=0.2, collision_margin=0.05,
+        weights={
+            "reference_path_distance_weight": 2.0,
+            "goal_distance_weight": 1.0,
+            "obstacles_distance_weight": 0.0,
+            "smoothness_weight": 0.0,
+            "jerk_weight": 0.0,
+        },
+        acc_limits=(5.0, 0.0, 3.0), max_obstacles_dist=10 / 3,
+    )
+    res = dwa_solve(
+        spec, params, jnp.array([5.0, 0.5, 0.0], jnp.float32), window,
+        jnp.asarray(obs), jnp.int32(0), jnp.asarray(seg_x),
+        jnp.asarray(seg_y), jnp.asarray(seg_arc), jnp.int32(1),
+        jnp.float32(0.0), jnp.float32(10.0), jnp.int32(8),
+    )
+    costs = np.asarray(res.costs)
+    assert np.isfinite(costs).any()
+    assert np.isfinite(float(res.cost))
+    # the winner must actually be the argmin of finite costs, not slot 0
+    assert int(res.best_index) == int(np.nanargmin(
+        np.where(np.isfinite(costs), costs, np.inf)
+    ))
+
+
+def test_dwa_empty_local_map_plans_obstacle_free():
+    robot = Robot(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.2, 0.5]),
+    )
+    config = DWAConfig(
+        max_linear_samples=4, max_angular_samples=4,
+        prediction_horizon=10, control_horizon=2, control_time_step=0.1,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0, goal_distance_weight=1.0,
+            smoothness_weight=0.0, jerk_weight=0.0,
+            obstacles_distance_weight=0.0,
+        ),
+    )
+    dwa = DWA(robot=robot, ctrl_limits=_limits(), config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [2.0, 0.0]]))
+    res = dwa.compute_velocity_commands(
+        (0.3, 0.0, 0.0), map_points_world=np.array([])
+    )
+    assert res.is_found
