@@ -168,12 +168,17 @@ class BenchmarkRunner:
             seg_x, seg_y, seg_arc, n_seg, float(s[-1]), 10.0, max_points,
         )
         solver = get_packed_dwa_solver(spec)
-        buf_dev = jax.device_put(buf)
-
-        def work():
-            np.asarray(solver(buf_dev))
-
-        return work
+        # 30 DISTINCT resident inputs (state x perturbed): identical
+        # re-dispatches may be cache-served on remote runtimes, so every
+        # workload here is slope-timed over distinct variants
+        variants = []
+        for k in range(30):
+            v = buf.copy()
+            v[0] += 1e-4 * k
+            variants.append(jax.device_put(v))
+        for v in variants:
+            float(np.asarray(v[0]))
+        return solver, variants
 
     def bench_cost_evaluator_5k(self):
         """The reference's exact CostEvaluator_5k_Trajs workload
@@ -271,12 +276,27 @@ class BenchmarkRunner:
         )
 
     def bench_dwa_baseline(self):
-        work = self._dwa_workload(45, 45, 30, 512, 384, "baseline")
-        self.results.append(measure_performance("DWA_2025x30", work))
+        solver, variants = self._dwa_workload(
+            45, 45, 30, 512, 384, "baseline"
+        )
+        self.results.append(
+            measure_throughput_slope(
+                "DWA_2025x30", solver, variants,
+                lambda o: float(np.asarray(o[1])),
+            )
+        )
 
     def bench_fleet(self, batch=64):
         import jax
 
+        import os
+        import sys
+
+        root = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "..")
+        )
+        if root not in sys.path:
+            sys.path.insert(0, root)
         from bench import build_scenario, build_spec  # repo-root bench module
         from ..parallel.fleet import make_fleet_solver
 
@@ -312,14 +332,19 @@ class BenchmarkRunner:
             grid_height=400, grid_width=400, num_bins=3600, resolution=0.05
         )
         rng = np.random.default_rng(0)
-        ranges = rng.uniform(0.5, 9.9, 3600).astype(np.float32)
         fn = get_scan_to_grid(spec)
-        r_dev = jax.device_put(ranges)
-
-        def work():
-            np.asarray(fn(r_dev))
-
-        self.results.append(measure_performance("Mapper_Dense_400x400", work))
+        variants = [
+            jax.device_put(rng.uniform(0.5, 9.9, 3600).astype(np.float32))
+            for _ in range(30)
+        ]
+        for v in variants:
+            float(np.asarray(v[0]))
+        self.results.append(
+            measure_throughput_slope(
+                "Mapper_Dense_400x400", fn, variants,
+                lambda o: int(np.asarray(o[0, 0])),
+            )
+        )
 
     def bench_mapper_pointcloud(self):
         """100k-point cloud -> laserscan -> grid
@@ -351,11 +376,18 @@ class BenchmarkRunner:
             )
         )
         pts_dev = jax.device_put(pts)
-
-        def work():
-            np.asarray(fused(pts_dev))
-
-        self.results.append(measure_performance("Mapper_PointCloud_100k", work))
+        # distinct variants built ON DEVICE (30 x 1.2 MB host uploads
+        # through a remote tunnel would dominate setup)
+        shift = jax.jit(lambda p, c: p + c)
+        variants = [shift(pts_dev, np.float32(1e-5 * k)) for k in range(30)]
+        for v in variants:
+            float(np.asarray(v[0, 0]))
+        self.results.append(
+            measure_throughput_slope(
+                "Mapper_PointCloud_100k", fused, variants,
+                lambda o: int(np.asarray(o[0, 0])),
+            )
+        )
 
     def bench_critical_zone_cloud(self):
         """100k cloud safety factor (reference
@@ -382,11 +414,21 @@ class BenchmarkRunner:
         ).astype(np.float32)
         fn = get_critical_zone_checker_cloud(spec)
         pts_dev = jax.device_put(pts)
-
-        def work():
-            float(fn(pts_dev, True, np.float32(20.0), np.float32(-1.0), np.float32(1.0)))
-
-        self.results.append(measure_performance("CriticalZone_100k_Cloud", work))
+        shift = jax.jit(lambda p, c: p + c)
+        variants = [shift(pts_dev, np.float32(1e-5 * k)) for k in range(30)]
+        for v in variants:
+            float(np.asarray(v[0, 0]))
+        self.results.append(
+            measure_throughput_slope(
+                "CriticalZone_100k_Cloud",
+                lambda p: fn(
+                    p, True, np.float32(20.0), np.float32(-1.0),
+                    np.float32(1.0),
+                ),
+                variants,
+                lambda o: float(o),
+            )
+        )
 
     def bench_critical_zone_dense(self):
         """3600 rays forced into the slowdown band 0.81-1.11 m (reference
@@ -404,14 +446,21 @@ class BenchmarkRunner:
             160.0, 0.3, 0.6, angles,
         )
         rng = np.random.default_rng(0)
-        ranges = rng.uniform(0.81, 1.11, 3600).astype(np.float32)
         fn = get_critical_zone_checker(spec)
-        r_dev = jax.device_put(ranges)
-
-        def work():
-            float(fn(r_dev, True))
-
-        self.results.append(measure_performance("CriticalZone_Dense_Scan", work))
+        variants = [
+            jax.device_put(rng.uniform(0.81, 1.11, 3600).astype(np.float32))
+            for _ in range(30)
+        ]
+        for v in variants:
+            float(np.asarray(v[0]))
+        self.results.append(
+            measure_throughput_slope(
+                "CriticalZone_Dense_Scan",
+                lambda r: fn(r, True),
+                variants,
+                lambda o: float(o),
+            )
+        )
 
     # --- suite ---
 

@@ -77,16 +77,17 @@ def measure_fleet_scaling(
         # dispatches can be served from a cache (CLAUDE.md measurement
         # integrity protocol)
         variants = []
-        for k in range(3 * reps):
+        for k in range(3 + reps + 3 * reps):  # one distinct input per dispatch
             v = stacked.copy()
             v[:, 0] += 1e-4 * k
             variants.append(jax.device_put(v))
         for v in variants:
             float(np.asarray(v[0, 0]))
+        next_v = iter(range(len(variants)))
 
         def chain(m):
             t0 = time.perf_counter()
-            outs = [solver(variants[k % len(variants)]) for k in range(m)]
+            outs = [solver(variants[next(next_v)]) for _ in range(m)]
             float(np.asarray(outs[-1][0, 1]))
             return time.perf_counter() - t0
 
@@ -95,7 +96,9 @@ def measure_fleet_scaling(
         dt = max((t_hi - t_lo) / (2 * reps), 1e-9)
         sps = batch / dt
         if base is None:
-            base = sps
+            # per-DEVICE baseline: correct even when device_counts does
+            # not start at 1
+            base = sps / n
         results.append(
             {
                 "devices": n,
