@@ -91,6 +91,79 @@ class MotionSample(TrajectorySample):
         self.speed_points = np.zeros(length, dtype=float)
 
 
+class Point2D:
+    """2D point (reference ``datatypes/path.py:561-568``)."""
+
+    def __init__(self, x: float = 0.0, y: float = 0.0):
+        self.x = float(x)
+        self.y = float(y)
+
+
+class Range2D:
+    """2D range limits (reference ``datatypes/path.py:571-577``)."""
+
+    def __init__(self, min_val: float = 0.0, max_val: float = 0.0):
+        self.min_val = float(min_val)
+        self.max_val = float(max_val)
+
+
+class InterpolationPoint:
+    """Interpolated path point: arc length + coordinates + pitch
+    (reference ``datatypes/path.py:529-538``)."""
+
+    def __init__(self, s, x, y, pitch):
+        self.s = s
+        self.x = x
+        self.y = y
+        self.pitch = pitch
+
+
+class TrackedPoint:
+    """Extended interpolated path point used for path following
+    (reference ``datatypes/path.py:542-558``)."""
+
+    def __init__(self):
+        self.s = 0.0
+        self.x = 0.0
+        self.y = 0.0
+        self.tangent_ori = 0.0
+        self.lat_dist = 0.0
+        self.curv = 0.0
+        self.ori_err = 0.0
+        self.s_dot = 0.0
+        self.lat_vel = 0.0
+        self.pitch = 0.0
+        self.forward_dist = 0.0
+
+
+class PathTrackingError:
+    """Path tracking errors (reference ``datatypes/path.py:580-591``)."""
+
+    def __init__(self):
+        self.orientation_error = 0.0
+        self.lateral_distance_error = 0.0
+
+    def set(self, ori_error: float, lat_error: float):
+        self.orientation_error = ori_error
+        self.lateral_distance_error = lat_error
+
+
+class Odom2D:
+    """2D odometry (reference ``datatypes/path.py:594-608``)."""
+
+    def __init__(self):
+        self.x = 0.0
+        self.y = 0.0
+        self.ori = 0.0
+        self.speed = 0.0
+
+    def set(self, x, y, ori, speed):
+        self.x = x
+        self.y = y
+        self.ori = ori
+        self.speed = speed
+
+
 # the canonical ObstaclesData lives in datatypes/obstacles.py (full
 # reference API); re-exported here for backwards compatibility with the
 # offline tools that grew up importing it from this module

@@ -1,2 +1,7 @@
 from .executor import PathExecutor, PathRecorder  # noqa: F401
-from .interpolation import interpolate_path, resample_path  # noqa: F401
+from .interpolation import (  # noqa: F401
+    Spline,
+    SplineInterpolatedPath,
+    interpolate_path,
+    resample_path,
+)

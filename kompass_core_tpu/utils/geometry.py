@@ -14,6 +14,17 @@ convert_to_0_2pi = normalize_to_0_2pi
 convert_to_plus_minus_pi = normalize_to_minus_pi_pi
 
 
+def add_angle(angle1: float, angle2: float) -> float:
+    """Wrap-aware angle addition into (-pi, pi] (reference
+    ``utils/geometry.py:335-352``)."""
+    result = angle1 + angle2
+    if result > math.pi:
+        result -= 2 * math.pi
+    if result <= -math.pi:
+        result += 2 * math.pi
+    return result
+
+
 def quaternion_from_euler(roll: float, pitch: float, yaw: float) -> np.ndarray:
     """(x, y, z, w) quaternion from intrinsic ZYX euler angles."""
     cy, sy = math.cos(yaw / 2), math.sin(yaw / 2)
