@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 from attrs import define, field
 
-from ..models import Robot, RobotCtrlLimits
+from ..models import Robot, RobotCtrlLimits, RobotState
 from ..utils.angles import normalize_to_0_2pi, normalize_to_minus_pi_pi
 from ..utils.config import BaseAttrs, base_validators
 
@@ -64,6 +64,11 @@ class DeformableVirtualZone:
         )
         zone_side_margin = robot.radius / config.side_margin_width_ratio
         self.zone_minor_radius = robot.radius + zone_side_margin
+        # speed-derivatives of the zone parameters for the deformation
+        # gradients; the minor radius and lateral shift are
+        # speed-independent (reference ``algorithms/dvz.py:145-165``)
+        self.zone_minor_radius_diff = 0.0
+        self.zone_shift_y_diff = 0.0
         self.scan_values = np.zeros(0)
         self.scan_angles = np.zeros(0)
         self.total_deformation = 0.0
@@ -93,11 +98,15 @@ class DeformableVirtualZone:
         self.zone_major_radius = (
             1 + abs(robot_speed) / self.ctrl_limits.vx_limits.max_vel
         ) * self.config.min_front_margin
+        self.zone_major_radius_diff = (
+            self.config.min_front_margin / self.ctrl_limits.vx_limits.max_vel
+        )
         zone_shift_const = 2.0 / 3.0
         sign_speed = 1.0 if robot_speed == 0 else float(np.sign(robot_speed))
         self.zone_center_shift_x = (
             -zone_shift_const * sign_speed * self.zone_major_radius
         )
+        self.zone_shift_x_diff = -zone_shift_const * self.zone_major_radius_diff
 
     def set_scan_values(self, scan_values: np.ndarray, scan_angles: np.ndarray):
         self.scan_values = np.asarray(scan_values, np.float64)
@@ -122,6 +131,70 @@ class DeformableVirtualZone:
         C = (ax * b) ** 2 + (ay * a) ** 2 - (a * b) ** 2
         num = np.sqrt(np.maximum(B**2 - 4 * A * C, 0.0))
         return (-B + num) / (2 * A)
+
+    def get_gradients(self, angle: float) -> None:
+        """Deformation-formula gradients w.r.t. control and shift angle
+        ("J_A/B/C" terms of Lapierre 2007; reference
+        ``algorithms/dvz.py:226-333,359-370``)."""
+        a, b = self.zone_major_radius, self.zone_minor_radius
+        da, db = self.zone_major_radius_diff, self.zone_minor_radius_diff
+        ax_, ay = self.zone_center_shift_x, self.zone_center_shift_y
+        dax, day = self.zone_shift_x_diff, self.zone_shift_y_diff
+        c, s = np.cos(angle), np.sin(angle)
+        self.grad_A_u = 2 * (b * db * c**2 + a * da * s**2)
+        self.grad_A_ang = 2 * c * s * (b**2 - a**2)
+        self.grad_B_u = 2 * (
+            c * (b**2 * dax + 2 * ax_ * b * db)
+            + s * (a**2 * day + 2 * ay * a * da)
+        )
+        self.grad_B_ang = 2 * (ax_ * b**2 * s - ay * a**2 * c)
+        self.grad_C_u = 2 * (
+            ax_ * b * (b * dax + ax_ * db)
+            + ay * a * (a * day + ay * da)
+            - a * b * (a * db + b * da)
+        )
+
+    def plt_robot_zone(
+        self, robot_state: RobotState, fig_ax=None, display_now: bool = False
+    ) -> None:
+        """Plot the robot footprint, the elliptic zone and the current
+        scan deformation polygon (reference ``algorithms/dvz.py:500-575``)."""
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Ellipse, Polygon
+
+        if not fig_ax:
+            fig_ax = plt.gca()
+        self.robot.footprint.plt_robot(
+            x=robot_state.x, y=robot_state.y, heading=robot_state.yaw, ax=fig_ax
+        )
+        fig_ax.set(aspect=1)
+        zone_x = robot_state.x - self.zone_center_shift_x
+        zone_y = robot_state.y + self.zone_center_shift_y
+        zone_angle = robot_state.yaw + self.zone_ori_shift
+        fig_ax.add_patch(
+            Ellipse(
+                xy=(zone_x, zone_y),
+                width=self.zone_major_radius * 2,
+                height=self.zone_minor_radius * 2,
+                angle=zone_angle,
+                color="red",
+                alpha=0.5,
+                fill=True,
+            )
+        )
+        fig_ax.plot(zone_x, zone_y, "r+")
+        if self.deformation_plot:
+            deformation_plot_xy = [
+                (
+                    point[1] * np.cos(point[0]) + robot_state.x,
+                    point[1] * np.sin(point[0]) + robot_state.y,
+                )
+                for point in self.deformation_plot
+            ]
+            fig_ax.add_patch(Polygon(deformation_plot_xy, fill=False))
+        fig_ax.autoscale()
+        if display_now:
+            plt.show()
 
     def get_total_deformation(self, compute_deformation_plot: bool = False):
         """Accumulate intrusion depth and its mean orientation over the scan

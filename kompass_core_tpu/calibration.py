@@ -129,3 +129,47 @@ class Calibration:
             modeled.y_points[:n] - robot_data.y_points[:n],
         )
         return modeled, float(np.sqrt(np.mean(err**2)))
+
+    @classmethod
+    def vis_calibration(
+        cls, robot_data: MotionSample, modeled_path: PathSample
+    ):
+        """Plot real vs modeled motion per axis + the resulting paths
+        (reference ``calibration.py:179-256``)."""
+        import matplotlib.pyplot as plt
+
+        fig, (ax0, ax1, ax2, ax3) = plt.subplots(
+            nrows=4, ncols=1, figsize=(8, 8)
+        )
+        fig.suptitle("Calibration Results")
+        fig.tight_layout(pad=3.0)
+        n = min(len(modeled_path.x_points), len(robot_data.x_points))
+        t = robot_data.time_points[:n]
+        for ax, real, model, title in (
+            (ax0, robot_data.x_points, modeled_path.x_points, "X-axis motion"),
+            (ax1, robot_data.y_points, modeled_path.y_points, "Y-axis motion"),
+            (
+                ax2,
+                robot_data.heading_points,
+                modeled_path.heading_points,
+                "Heading",
+            ),
+        ):
+            ax.plot(t, real[:n], color="red", label="Real")
+            ax.plot(t, model[:n], color="blue", label="Model")
+            ax.legend()
+            ax.set_title(title)
+            ax.set_xlabel("time (s)")
+        ax3.axis("equal")
+        ax3.plot(
+            robot_data.x_points, robot_data.y_points, color="red", label="Real"
+        )
+        ax3.plot(
+            modeled_path.x_points,
+            modeled_path.y_points,
+            color="blue",
+            label="Model",
+        )
+        ax3.legend()
+        ax3.set_title("Path")
+        return fig

@@ -84,6 +84,14 @@ class DVZ:
     def interpolated_path(self):
         return self._ref.interpolated_path()
 
+    def optimal_path(self):
+        """No local plan is produced by DVZ (reference template default,
+        ``control/_base_.py:300-303``)."""
+        return None
+
+    def set_interpolation_type(self, interpolation_type) -> None:
+        return self._ref.set_interpolation_type(interpolation_type)
+
     @property
     def tracked_state(self) -> Optional[RobotState]:
         return self._ref.tracked_state

@@ -133,6 +133,19 @@ class Follower:
     def set_interpolation_type(self, interpolation_type: InterpolationType):
         self._interpolation_type = interpolation_type
 
+    @property
+    def planner(self) -> "Follower":
+        """The underlying path-tracking engine. The reference wrapper
+        holds the C++ Follower as ``planner`` (``_base_.py:228-231``);
+        here the wrapper and engine are one object."""
+        return self
+
+    def optimal_path(self):
+        """Local plan, when the controller produces one — base default is
+        None (reference template, ``control/_base_.py:300-303``);
+        sampling controllers (DWA) override it."""
+        return None
+
     # --- path management (follower.cpp:67-105) ---
 
     def clear_current_path(self):

@@ -81,14 +81,79 @@ class TrajectorySample(PathSample):
         self.vy_points[idx] = vy
         self.omega_points[idx] = omega
 
+    @property
+    def time(self) -> np.ndarray:
+        """Reference field name for the timestamps array
+        (``datatypes/path.py:126-180``)."""
+        return self.time_points
+
+    def set_traj_point(
+        self, x: float, y: float, heading: float, time: float, idx: int
+    ):
+        """Sets pose + timestamp at an index (reference
+        ``datatypes/path.py:183-199``)."""
+        self.set_point(idx, x, y, heading)
+        self.time_points[idx] = time
+
 
 class MotionSample(TrajectorySample):
     """Recorded robot motion (state sequence + control sequence), the input
     to motion-model calibration."""
 
+    CSV_NAMES = [
+        "time",
+        "x",
+        "y",
+        "heading",
+        "speed",
+        "linear_control_x",
+        "linear_control_y",
+        "angular_control",
+    ]
+
     def __init__(self, length: int, frame_id: str = "map"):
         super().__init__(length, frame_id)
         self.speed_points = np.zeros(length, dtype=float)
+
+    def set_control_point(
+        self,
+        linear_control_x: float,
+        linear_control_y: float,
+        angular_control: float,
+        idx: int,
+    ):
+        """Sets the commanded control at an index (reference
+        ``datatypes/path.py:308-332``; the [N, 3] control matrix is the
+        vx/vy/omega SoA columns here)."""
+        self.vx_points[idx] = linear_control_x
+        self.vy_points[idx] = linear_control_y
+        self.omega_points[idx] = angular_control
+
+    def save_to_csv(self, file_location: str, file_name: str) -> bool:
+        """Saves the motion record to csv (reference
+        ``datatypes/path.py:414-448``); stdlib csv writer, no pandas."""
+        import csv
+        import os
+
+        if not os.path.exists(file_location):
+            return False
+        if not file_name.lower().endswith(".csv"):
+            file_name += ".csv"
+        columns = [
+            self.time_points,
+            self.x_points,
+            self.y_points,
+            self.heading_points,
+            self.speed_points,
+            self.vx_points,
+            self.vy_points,
+            self.omega_points,
+        ]
+        with open(os.path.join(file_location, file_name), "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(self.CSV_NAMES)
+            writer.writerows(zip(*columns))
+        return True
 
 
 class Point2D:

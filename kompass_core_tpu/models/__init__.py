@@ -10,6 +10,7 @@ from .robot import (  # noqa: F401
     LinearCtrlLimits,
     MotionControl,
     MotionModel2D,
+    MotionModel2DParams,
     OmniControl,
     Robot,
     RobotCtrlLimits,

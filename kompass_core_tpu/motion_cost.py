@@ -29,6 +29,16 @@ class MotionCost:
         self.margin = float(margin)
         self.cost = 0.0
 
+    @property
+    def value(self) -> float:
+        """Reference attribute name for the accumulated raw cost
+        (``motion_cost.py:33``)."""
+        return self.cost
+
+    @value.setter
+    def value(self, v: float) -> None:
+        self.cost = float(v)
+
     def set_params(self, weight: float, margin: float):
         self.weight = float(weight)
         self.margin = float(margin)
@@ -38,21 +48,39 @@ class MotionCost:
 
 
 class CollisionCost(MotionCost):
-    """Collision cost base with a robot-footprint collision radius."""
+    """Collision cost base with a robot-footprint collision radius.
+    Accepts either a footprint object (anything with ``get_radius()``,
+    e.g. Circular/RectangleFootprint — the reference's ctor contract,
+    ``motion_cost.py:64-80``) or a plain radius."""
 
-    def __init__(self, weight: float, margin: float, robot_radius: float):
+    def __init__(self, weight: float, margin: float, robot_radius):
         super().__init__(weight, margin)
-        self.robot_radius = float(robot_radius)
+        if hasattr(robot_radius, "get_radius"):
+            self.robot_footprint = robot_radius
+            self.robot_radius = float(robot_radius.get_radius())
+        else:
+            self.robot_footprint = None
+            self.robot_radius = float(robot_radius)
 
     @property
     def collision_limit_radius(self) -> float:
         return self.robot_radius + self.margin
+
+    def _get_collision_limit_radius(self) -> float:
+        """Reference method name (``motion_cost.py:82-89``)."""
+        return self.collision_limit_radius
+
+    def call(self) -> float:
+        """Weighted accumulated cost (reference ``motion_cost.py:91-92``)."""
+        return MotionCost.__call__(self)
 
 
 class StaticCollisionCost(CollisionCost):
     """Min-clearance cost against static obstacles
     (reference ``motion_cost.py:95-155``): 1 at contact, linear decay to 0
     at margin distance beyond the footprint."""
+
+    closest_distance: Optional[float] = None
 
     def __call__(
         self, path: PathSample, obstacles: ObstaclesData
@@ -75,6 +103,32 @@ class StaticCollisionCost(CollisionCost):
         else:
             self.cost = (self.margin - clearance) / self.margin
         return self.weight * self.cost
+
+    def point_cost(
+        self, point_x: float, point_y: float, local_map: ObstaclesData
+    ) -> float:
+        """Per-point static cost: count of obstacles within the collision
+        radius (the reference's per-point ``__call__``,
+        ``motion_cost.py:106-132``)."""
+        if len(local_map) == 0:
+            self.closest_distance = float("inf")
+            return 0.0
+        limit = self._get_collision_limit_radius()
+        dist_sqr = (
+            np.asarray(local_map.x_global, float) - point_x
+        ) ** 2 + (np.asarray(local_map.y_global, float) - point_y) ** 2
+        self.closest_distance = float(np.min(dist_sqr))
+        return float(np.sum(np.where(dist_sqr <= limit**2, 1.0, 0.0)))
+
+    def update(
+        self, path_sample: PathSample, idx: int, local_map: ObstaclesData
+    ) -> float:
+        """Accumulate the static cost at a path index and return the
+        weighted total (reference ``motion_cost.py:134-154``)."""
+        self.value += self.point_cost(
+            path_sample.x_points[idx], path_sample.y_points[idx], local_map
+        )
+        return self.call()
 
 
 class DynamicCollisionProbabilityCost(CollisionCost):
@@ -123,17 +177,135 @@ class DynamicCollisionProbabilityCost(CollisionCost):
         self.cost = float(1.0 - np.prod(1.0 - np.max(probs, axis=1)))
         return self.weight * self.cost
 
+    _MAX_POINT_UNCERTAINTY = 1.0
+
+    def point_cost(
+        self,
+        point_x: float,
+        point_y: float,
+        idx: int,
+        future_map: ObstaclesData,
+        time_step: float,
+        prediction_horizon: float,
+    ) -> float:
+        """Per-point collision probability against one predicted map with
+        time-growing inflation (the reference's per-point ``__call__``,
+        ``motion_cost.py:166-256``; circle-overlap probability,
+        ``utils/geometry.py:29-80``)."""
+        from .utils.geometry import probability_of_collision_circles
+
+        pose_uncertainty = self._MAX_POINT_UNCERTAINTY * (
+            idx * time_step / prediction_horizon
+        )
+        robot_inflated = self._get_collision_limit_radius() * (
+            1.0 + pose_uncertainty
+        )
+        prob = 0.0
+        for i in range(len(future_map)):
+            object_inflated = (
+                float(future_map.occupied_zone[i]) + self.margin
+            ) * (1.0 + pose_uncertainty)
+            prob = max(
+                prob,
+                probability_of_collision_circles(
+                    point_x,
+                    point_y,
+                    float(future_map.x_global[i]),
+                    float(future_map.y_global[i]),
+                    robot_inflated,
+                    object_inflated,
+                ),
+            )
+        return prob
+
+    def update(
+        self,
+        path_sample: PathSample,
+        idx: int,
+        predicted_maps,
+        time_step: float,
+        prediction_horizon: float,
+    ) -> float:
+        """Track the max collision probability along the path and return
+        the weighted value (reference ``motion_cost.py:221-255``)."""
+        self.value = max(
+            self.point_cost(
+                path_sample.x_points[idx],
+                path_sample.y_points[idx],
+                idx,
+                predicted_maps[idx],
+                time_step,
+                prediction_horizon,
+            ),
+            self.value,
+        )
+        return self.call()
+
 
 class ReferenceCost(MotionCost):
     """Tracking error costs vs a reference path
     (reference ``motion_cost.py:258-360``): mean lateral distance, end-point
-    distance, and mean heading error."""
+    distance, and mean heading error. Carries both the batch evaluation
+    (``__call__(path, reference)``) and the reference's incremental
+    per-index API (``update``/``point_cost`` over displacement +
+    heading-error sub-costs)."""
 
-    def __init__(self, weight: float, margin: float = 0.0):
-        super().__init__(weight, margin)
+    PATH_TRACKING_COST = 0
+    GOAL_POINT_COST = 1
+
+    def __init__(
+        self,
+        displacement_weight: float,
+        heading_weight: Optional[float] = None,
+        reference_type: int = PATH_TRACKING_COST,
+        margin: float = 0.0,
+    ):
+        super().__init__(displacement_weight, margin)
+        self.reference_type = reference_type
+        self.displacement = MotionCost(displacement_weight, 0.0)
+        self.heading_cost = MotionCost(
+            heading_weight if heading_weight is not None else displacement_weight,
+            0.0,
+        )
         self.lateral_error = 0.0
         self.heading_error = 0.0
         self.end_error = 0.0
+
+    def point_cost(
+        self, point_x: float, point_y: float, point_heading: float, reference
+    ):
+        """(displacement, heading error) of one pose vs a reference path
+        (list of PathPoint) or goal point (the reference's per-point
+        ``__call__``, ``motion_cost.py:288-332``)."""
+        from .py_path_tools.executor import PathExecutor
+        from .utils.angles import normalize_to_0_2pi
+
+        if self.reference_type == self.PATH_TRACKING_COST:
+            path_point = PathExecutor.get_closest_point(
+                reference, point_x, point_y
+            )
+        else:
+            path_point = reference
+        displacement = math.hypot(
+            point_x - path_point.x, point_y - path_point.y
+        )
+        heading_error = normalize_to_minus_pi_pi(
+            point_heading - normalize_to_0_2pi(path_point.heading)
+        )
+        return (displacement, float(heading_error))
+
+    def update(self, path_sample: PathSample, idx: int, ref_path):
+        """Accumulate the per-index tracking cost and return the weighted
+        (displacement, heading) pair (reference ``motion_cost.py:334-360``)."""
+        displacement, heading_error = self.point_cost(
+            path_sample.x_points[idx],
+            path_sample.y_points[idx],
+            path_sample.heading_points[idx],
+            ref_path,
+        )
+        self.displacement.value += displacement / 2
+        self.heading_cost.value = abs(heading_error) / 2
+        return self.displacement(), self.heading_cost()
 
     def __call__(self, path: PathSample, reference: PathSample) -> float:
         if len(path) == 0 or len(reference) == 0:
@@ -174,6 +346,58 @@ class MotionCostsParams(BaseAttrs):
     collision_margin: float = field(
         default=0.3, validator=base_validators.in_range(0.0, 1e2)
     )
+    # reference field names (``motion_cost.py:362-382``); the *_margin pair
+    # defaults to the shared collision_margin when not set explicitly
+    static_collision_margin: float = field(
+        default=0.1, validator=base_validators.in_range(0.0, 1e2)
+    )
+    dynamic_collision_margin: float = field(
+        default=0.1, validator=base_validators.in_range(0.0, 1e2)
+    )
+    goal_lat_err_weight: float = field(
+        default=1.0, validator=base_validators.in_range(0.0, 1e3)
+    )
+    goal_heading_err_weight: float = field(
+        default=0.1, validator=base_validators.in_range(0.0, 1e3)
+    )
+
+    def set(
+        self,
+        static_collision_margin: float,
+        static_collision_weight: float,
+        dynamic_collision_margin: float,
+        dynamic_collision_weight: float,
+        goal_lat_err_weight: float,
+        goal_heading_err_weight: float,
+    ):
+        """Set all six reference parameters (reference
+        ``motion_cost.py:383-413``)."""
+        self.static_collision_margin = static_collision_margin
+        self.static_collision_weight = static_collision_weight
+        self.dynamic_collision_margin = dynamic_collision_margin
+        self.dynamic_collision_weight = dynamic_collision_weight
+        self.goal_lat_err_weight = goal_lat_err_weight
+        self.goal_heading_err_weight = goal_heading_err_weight
+
+    def set_from_yaml(self, path_to_file: str):
+        """Load the parameters from a yaml file's 'motion_costs' section
+        (reference ``motion_cost.py:415-438``)."""
+        from .utils.common import set_params_from_yaml
+
+        set_params_from_yaml(
+            self,
+            path_to_file,
+            param_names=[
+                "static_collision_margin",
+                "static_collision_weight",
+                "dynamic_collision_margin",
+                "dynamic_collision_weight",
+                "goal_lat_err_weight",
+                "goal_heading_err_weight",
+            ],
+            root_name="motion_costs",
+            yaml_key_equal_attribute_name=True,
+        )
 
     def build(self, robot_radius: float):
         return {

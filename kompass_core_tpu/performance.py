@@ -48,6 +48,85 @@ class MotionResult:
             "end_point_error": self.end_point_error,
         }
 
+    def vis_result(
+        self,
+        test=None,
+        robot_footprint=None,
+        figure_title: str = "Figure 0",
+    ):
+        """Plot the test result: per-point tracking error + executed vs
+        reference path, with the robot footprint at start/end (role of
+        reference ``performance.py:29-118``; this engine records paths
+        rather than raw command streams, so the error/path panels replace
+        the reference's command panels)."""
+        import matplotlib.pyplot as plt
+
+        if self.executed_path is None:
+            return None
+        fig, (ax0, ax1) = plt.subplots(nrows=2, ncols=1, figsize=(8, 8))
+        fig.suptitle(figure_title)
+        fig.tight_layout(pad=3.0)
+
+        if self.reference_path is not None and len(self.reference_path):
+            dx = (
+                self.executed_path.x_points[:, None]
+                - self.reference_path.x_points[None, :]
+            )
+            dy = (
+                self.executed_path.y_points[:, None]
+                - self.reference_path.y_points[None, :]
+            )
+            lat_err = np.min(np.sqrt(dx * dx + dy * dy), axis=1)
+            ax0.plot(lat_err)
+            ax0.set_title("Lateral Distance Error (m)")
+            ax0.set_xlabel("step")
+            ax0.set_ylabel("Distance (m)")
+            ax1.plot(
+                self.reference_path.x_points,
+                self.reference_path.y_points,
+                color="red",
+                label="reference",
+            )
+        ax1.axis("equal")
+        ax1.plot(
+            self.executed_path.x_points,
+            self.executed_path.y_points,
+            label="executed",
+        )
+        if robot_footprint is not None and len(self.executed_path):
+            robot_footprint.plt_robot(
+                self.executed_path.x_points[0],
+                self.executed_path.y_points[0],
+                self.executed_path.heading_points[0],
+                ax=ax1,
+                color="gray",
+            )
+            robot_footprint.plt_robot(
+                self.executed_path.x_points[-1],
+                self.executed_path.y_points[-1],
+                self.executed_path.heading_points[-1],
+                ax=ax1,
+            )
+        ax1.legend()
+        ax1.set_title("Robot path")
+        ax1.set_xlabel("X (m)")
+        ax1.set_ylabel("Y (m)")
+        return fig
+
+
+class TestBase(RobotSim):
+    """Robot-sim test fixture holding one reference path + result
+    (reference ``performance.py:120-133``)."""
+
+    def __init__(self, params_file: str) -> None:
+        super().__init__(params_file=params_file)
+        self.reset()
+
+    def reset(self):
+        """Reset test and result."""
+        self.test: List = []
+        self.result = MotionResult()
+
 
 class TestAvgResults:
     """Aggregate over a batch of tests (reference ``performance.py:135-223``)."""
@@ -145,6 +224,20 @@ class MotionEvaluation(RobotSim):
         result.compute_errors()
         self.avg_results.add_test(result)
         return result
+
+    def compute_motion_cost(self, result: MotionResult, ref_path) -> float:
+        """Accumulate the goal-tracking cost along an executed path
+        (reference ``performance.py:248-257``). ``ref_path`` is a list of
+        PathPoint; returns the weighted displacement cost total."""
+        if result.executed_path is None:
+            return 0.0
+        self.end_goal_cost = ReferenceCost(1.0)
+        weighted = 0.0
+        for idx in range(len(result.executed_path.x_points)):
+            weighted, _ = self.end_goal_cost.update(
+                result.executed_path, idx, ref_path
+            )
+        return weighted
 
     def export(self, file_dir: str, name: str = "motion_evaluation"):
         os.makedirs(file_dir, exist_ok=True)

@@ -1,4 +1,10 @@
-from .executor import PathExecutor, PathRecorder  # noqa: F401
+from .executor import (  # noqa: F401
+    PathExecutor,
+    PathExecutorParams,
+    PathRecorder,
+    WaypointExecutor,
+    follower_types,
+)
 from .interpolation import (  # noqa: F401
     Spline,
     SplineInterpolatedPath,

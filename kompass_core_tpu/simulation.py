@@ -12,7 +12,7 @@ from typing import Optional
 import numpy as np
 
 from .datatypes.path_sample import MotionSample, PathSample
-from .models import MotionModel2D, Robot, RobotState
+from .models import MotionModel2D, Robot, RobotGeometry, RobotState
 
 
 class RobotSim:
@@ -58,6 +58,32 @@ class RobotSim:
         ):
             if key in robot:
                 setattr(st.model, key, robot[key])
+
+    def init_robot(self, params_file: str):
+        """Rebuild the testing robot (type, geometry, initial state) from a
+        config file's 'robot' section (reference ``simulation.py:40-65``)."""
+        import json
+
+        if params_file.endswith((".yaml", ".yml")):
+            import yaml
+
+            with open(params_file) as f:
+                data = yaml.safe_load(f)
+        else:
+            with open(params_file) as f:
+                data = json.load(f)
+        robot = data.get("robot", data)
+        if "robot_model_type" in robot:
+            self.robot = Robot(
+                robot_type=robot["robot_model_type"],
+                geometry_type=RobotGeometry.Type.from_str(
+                    robot.get("robot_geometry_type", "CYLINDER")
+                ),
+                geometry_params=np.asarray(
+                    robot.get("robot_geometry_params", [0.2, 0.5]), float
+                ),
+            )
+        self.set_robot_params(params_file)
 
     def reset_state(self, x=0.0, y=0.0, yaw=0.0, speed=0.0):
         self.robot.state.x = x

@@ -60,6 +60,24 @@ REFERENCE_EXPORTS = {
         "VisionRGBDFollowerConfig",
         "FollowerTemplate",
     ],
+    "models": [
+        "MotionModel2DParams",
+        "MotionModel2D",
+        "RobotState",
+        "CircularFootprint",
+        "RectangleFootprint",
+        "footprint_types",
+        "RobotGeometry",
+        "MotionControl",
+        "DifferentialDriveControl",
+        "AckermannControl",
+        "OmniDirectionalControl",
+        "RobotType",
+        "LinearCtrlLimits",
+        "AngularCtrlLimits",
+        "RobotCtrlLimits",
+        "Robot",
+    ],
     "algorithms": ["DeformableVirtualZone", "DeformableVirtualZoneParams"],
     "py_path_tools": ["PathExecutor", "SplineInterpolatedPath"],
     "mapping": ["LocalMapper", "MapConfig"],
@@ -306,3 +324,427 @@ def test_spline_limit_check_and_unset():
     assert not sp.limit_check(2.5)
     assert sp(1.0) == pytest.approx(1.0)
     assert sp.get_points_len() == 3
+
+
+# ----------------------------------------------------------- models.py
+
+
+def test_motion_model_reference_surface(tmp_path):
+    from kompass_core_tpu.models import (
+        MotionModel2D,
+        MotionModel2DParams,
+    )
+
+    params = MotionModel2DParams(x_dot_prop_vx=0.9, yaw_dot_prop=0.8)
+    model = MotionModel2D(params)
+    assert model.x_dot_prop_vx == 0.9
+    assert model.yaw_dot_prop == 0.8  # reference field name alias
+    assert model.params.yaw_dot_prop == 0.8
+
+    # classmethod models (reference models.py:60-129); heading wraps 0..2pi
+    x_new = MotionModel2D.x_model((1.0, 0.0, 2.0, 0.0, 0.1), 1.0, 0.0)
+    assert x_new == pytest.approx(1.2)
+    y_new = MotionModel2D.y_model((0.0, math.pi / 2, 2.0, 0.0, 0.1), 1.0, 0.0)
+    assert y_new == pytest.approx(0.2)
+    yaw_new = MotionModel2D.heading_model((-0.1, 0.0, 0.1), 1.0)
+    assert yaw_new == pytest.approx(2 * math.pi - 0.1)
+
+    model.set_linear_x_params([1.1, 0.2])
+    model.set_angular_params([0.7])
+    assert model.x_dot_prop_vy == 0.2 and model.yaw_dot_prop_omega == 0.7
+    assert "Kinematic Model" in str(model)
+
+    cfg = tmp_path / "robot.yaml"
+    cfg.write_text(
+        "robot:\n  x_dot_prop_vx: 0.5\n  yaw_dot_prop: 0.6\n"
+    )
+    model.set_params_from_file(str(cfg))
+    assert model.x_dot_prop_vx == 0.5 and model.yaw_dot_prop == 0.6
+
+
+def test_robot_state_reference_surface(tmp_path):
+    from kompass_core_tpu.models import RobotState
+
+    a = RobotState(x=3.0, y=4.0, yaw=0.5, speed=1.0)
+    b = RobotState(x=0.0, y=0.0)
+    assert abs(a) == pytest.approx(5.0)
+    assert a.distance(b) == pytest.approx(5.0)
+    with pytest.raises(TypeError):
+        a.distance((0.0, 0.0))
+
+    front = RobotState(x=1.0, y=1.0, yaw=math.pi / 2).front_state_from_center_state(
+        robot_radius=0.4
+    )
+    assert front.x == pytest.approx(1.0)
+    assert front.y == pytest.approx(1.2)
+
+    cfg = tmp_path / "state.yaml"
+    cfg.write_text(
+        "robot:\n  robot_initial_x: 2.0\n  robot_initial_heading: 0.3\n"
+    )
+    s = RobotState()
+    s.set_from_yaml(str(cfg))
+    assert s.x == 2.0 and s.yaw == 0.3
+
+
+def test_robot_geometry_and_controls_reference_surface():
+    import numpy as np
+
+    from kompass_core_tpu.models import (
+        AckermannControl,
+        CircularFootprint,
+        DifferentialDriveControl,
+        OmniDirectionalControl,
+        RectangleFootprint,
+        Robot,
+        RobotGeometry,
+        RobotType,
+    )
+
+    assert RobotType.to_str(RobotType.OMNI) == "OMNI"
+    assert RobotType.to_str("ACKERMANN") == "ACKERMANN"
+    with pytest.raises(ValueError):
+        RobotType.to_str("HOVERCRAFT")
+
+    cyl = np.array([0.3, 1.0])
+    box = np.array([0.6, 0.4, 0.2])
+    assert RobotGeometry.get_length(RobotGeometry.Type.BOX, box) == 0.6
+    assert (
+        RobotGeometry.get_length(RobotGeometry.Type.BOX, np.array([0.6]))
+        is None
+    )
+    fp = RobotGeometry.get_footprint(RobotGeometry.Type.CYLINDER, cyl)
+    assert isinstance(fp, CircularFootprint) and fp.get_radius() == 0.3
+    fp2 = RobotGeometry.get_footprint(RobotGeometry.Type.BOX, box)
+    assert isinstance(fp2, RectangleFootprint)
+    assert fp2.length == pytest.approx(0.6) and fp2.width == pytest.approx(0.4)
+
+    # kinematic control conversions (reference models.py:995-1135)
+    diff = DifferentialDriveControl.init_zero(wheel_base=0.5)
+    diff.update_ctr(omega=2.0, velocity_x=1.0)
+    assert diff.v_right == pytest.approx(1.5)
+    assert diff.v_left == pytest.approx(0.5)
+    assert diff.linear_velocity_x == 1.0 and diff.angular_velocity == 2.0
+    diff.angular_velocity = 0.0
+    assert diff.v_left == diff.v_right == 1.0
+
+    ack = AckermannControl.init_zero(wheel_base=0.4)
+    ack.update_ctr(omega=0.5, velocity_x=1.0)
+    assert ack.linear_vel == 1.0
+
+    omni = OmniDirectionalControl.init_zero(wheel_base=0.4)
+    omni.update_ctr(omega=0.0, velocity_x=0.5, velocity_y=0.2)
+    assert omni.linear_velocity_y == 0.2
+
+    # Robot aggregate carries a per-type control holder + geometry props
+    robot = Robot(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=cyl,
+    )
+    assert isinstance(robot.control, DifferentialDriveControl)
+    assert robot.height == pytest.approx(1.0)
+    assert isinstance(robot.footprint, CircularFootprint)
+    robot.set_state(1.0, 2.0, 0.5, 0.1)
+    assert robot.state.x == 1.0 and robot.state.speed == 0.1
+    from kompass_core_tpu.models import MotionModel2D
+
+    new_model = MotionModel2D(x_dot_prop_vx=0.8)
+    robot.set_model(new_model)
+    assert robot.state.model.x_dot_prop_vx == 0.8
+
+
+def test_follower_template_surface_complete():
+    """Every wrapper controller exposes the reference FollowerTemplate
+    surface (``control/_base_.py:209-392``)."""
+    from kompass_core_tpu.control import DVZ, DWA, PurePursuit, Stanley
+
+    surface = [
+        "loop_step",
+        "logging_info",
+        "linear_x_control",
+        "linear_y_control",
+        "angular_control",
+        "reached_end",
+        "set_path",
+        "path",
+        "optimal_path",
+        "interpolated_path",
+        "set_interpolation_type",
+        "tracked_state",
+        "distance_error",
+        "orientation_error",
+        "planner",
+    ]
+    for cls in (DWA, Stanley, PurePursuit, DVZ):
+        missing = [m for m in surface if not hasattr(cls, m)]
+        assert not missing, f"{cls.__name__} missing {missing}"
+
+
+# ------------------------------------------------------- PathExecutor
+
+
+def test_path_executor_record_save_load(tmp_path):
+    from kompass_core_tpu.py_path_tools import PathExecutor, PathExecutorParams
+
+    ex = PathExecutor(PathExecutorParams(min_segment_length=0.05))
+    ex.start_path_recording()
+    n_rec = 0
+    for x in np.linspace(0.0, 2.0, 100):
+        n_rec += ex.record_path_point(float(x), 0.0, 0.0, vel=0.5)
+    assert 30 < n_rec < 60  # pruned by min_segment_length
+    assert ex.total_length == pytest.approx(2.0, abs=0.1)
+
+    assert ex.save_path_to_xml(str(tmp_path), "ref", frame_id="odom")
+    ex2 = PathExecutor()
+    assert ex2.read_path_from_xml(str(tmp_path), "ref")
+    assert len(ex2.ref_path) == n_rec
+    assert ex2.params.frame_id == "odom"
+    assert ex2.total_length == pytest.approx(ex.total_length)
+    assert ex2.ref_path[3].speed == 0.5
+    assert not ex2.read_path_from_xml(str(tmp_path), "missing")
+
+
+def test_path_executor_closest_point_and_heading():
+    from kompass_core_tpu.datatypes import PathPoint
+    from kompass_core_tpu.py_path_tools import PathExecutor
+
+    path = [PathPoint(idx=i, x=float(i), y=0.0) for i in range(5)]
+    assert PathExecutor.get_closest_point_index(path, 2.2, 0.5) == 2
+    # index 0 is a valid answer (reference's falsy-int check loses it)
+    assert PathExecutor.get_closest_point(path, -1.0, 0.0) is path[0]
+    assert PathExecutor.get_closest_point([], 0.0, 0.0) is None
+    assert PathExecutor.get_path_heading(path, 1) == pytest.approx(0.0)
+    # last-index heading comes from the previous segment (the reference's
+    # own last-index branch is dead and raises)
+    assert PathExecutor.get_path_heading(path, 4) == pytest.approx(0.0)
+    with pytest.raises(IndexError):
+        PathExecutor.get_path_heading(path, 7)
+
+
+def test_path_executor_interpolation_and_reached_end():
+    from kompass_core_tpu.py_path_tools import PathExecutor, PathExecutorParams
+
+    ex = PathExecutor(
+        PathExecutorParams(
+            min_segment_length=0.05,
+            spline_segment_length=0.1,
+            min_interpolation_dist=2.0,
+            max_end_dist_error=0.3,
+            max_end_ori_error=1.0,
+        )
+    )
+    ex.start_path_recording()
+    for t in np.linspace(0.0, math.pi / 2, 80):
+        ex.record_path_point(
+            5.0 * math.sin(t), 5.0 * (1 - math.cos(t)), t, vel=0.5
+        )
+    assert ex.interpolate_path_spline(0.0, 0.0)
+    assert len(ex.interpolation_xpoints) > 3
+    # interpolated segment stays near the recorded arc
+    for px, py in zip(ex.interpolation_xpoints, ex.interpolation_ypoints):
+        r = math.hypot(px, py - 5.0)
+        assert abs(r - 5.0) < 0.2
+
+    end = ex.ref_path[-1]
+    reached, lat, ori = ex.reached_end(end.x, end.y, end.heading)
+    assert reached and lat == pytest.approx(0.0)
+    reached, lat, _ = ex.reached_end(0.0, 0.0, 0.0)
+    assert not reached and lat > 1.0
+
+
+def test_path_executor_motion_recording(tmp_path):
+    from kompass_core_tpu.py_path_tools import PathExecutor
+
+    ex = PathExecutor()
+    assert not ex.record_trajectory_point(0, 0, 0, 0.0)  # not started
+    assert not ex.record_motion_point(0, 0, 0, 0.0, 0.1, 0.0, 0.2)
+
+    ex.start_trajectory_recording(recording_period=1.0, recording_step=0.1)
+    for k in range(20):
+        ok = ex.record_trajectory_point(0.1 * k, 0.0, 0.0, 0.1 * k)
+        assert ok == (k < 9)  # capacity period/step - 1
+
+    ex.start_motion_recording(recording_period=1.0, recording_step=0.1)
+    assert ex.record_motion_point(0.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.1)
+    assert ex.rec_motion.vx_points[0] == 0.5
+    assert ex.save_motion_to_csv(str(tmp_path), "motion")
+    csv_text = (tmp_path / "motion.csv").read_text()
+    assert csv_text.startswith("time,x,y,heading,speed")
+    assert "0.5" in csv_text
+
+
+# ------------------------------------- offline tools reference surface
+
+
+def test_motion_cost_incremental_api():
+    from kompass_core_tpu.datatypes import ObstaclesData, OBSTACLE_TYPE, PathPoint
+    from kompass_core_tpu.datatypes.path_sample import PathSample
+    from kompass_core_tpu.models import CircularFootprint
+    from kompass_core_tpu.motion_cost import (
+        DynamicCollisionProbabilityCost,
+        MotionCostsParams,
+        ReferenceCost,
+        StaticCollisionCost,
+    )
+
+    path = PathSample(3)
+    path.set_path([0.0, 1.0, 2.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+
+    obs = ObstaclesData()
+    obs.add_obstacle(OBSTACLE_TYPE.SCAN, 1.0, 0.2)
+
+    # footprint-based ctor (reference contract) + incremental update
+    static = StaticCollisionCost(2.0, 0.1, CircularFootprint(rad=0.3))
+    assert static._get_collision_limit_radius() == pytest.approx(0.4)
+    w = static.update(path, 1, obs)  # obstacle 0.2m from (1,0): collides
+    assert static.value == 1.0 and w == 2.0
+    w = static.update(path, 0, obs)  # (0,0) is 1m away: no collision
+    assert static.value == 1.0 and w == 2.0 and static.call() == 2.0
+
+    dyn = DynamicCollisionProbabilityCost(1.0, 0.1, 0.3)
+    maps = [obs, obs, obs]
+    w = dyn.update(path, 1, maps, time_step=0.1, prediction_horizon=1.0)
+    assert 0.0 < dyn.value <= 1.0  # overlapping inflated circles
+    w0 = dyn.update(path, 0, maps, time_step=0.1, prediction_horizon=1.0)
+    assert w0 >= w * 0 and dyn.value > 0  # max-tracked across indices
+
+    ref_pts = [PathPoint(idx=i, x=float(i), y=0.0) for i in range(4)]
+    ref = ReferenceCost(1.0, 0.5)
+    path_off = PathSample(2)
+    path_off.set_path([0.0, 1.0], [0.3, 0.3], [0.1, 0.1])
+    d_w, h_w = ref.update(path_off, 0, ref_pts)
+    assert d_w == pytest.approx(0.15)  # 0.3/2 * weight 1.0
+    assert h_w == pytest.approx(0.5 * 0.05)  # |0.1|/2 * weight 0.5
+
+    params = MotionCostsParams()
+    params.set(0.2, 5.0, 0.3, 1.0, 1.0, 0.1)
+    assert params.static_collision_margin == 0.2
+    assert params.static_collision_weight == 5.0
+
+
+def test_circle_overlap_probability():
+    from kompass_core_tpu.utils.geometry import probability_of_collision_circles
+
+    # far apart -> 0; identical -> 1; contained -> 1 (reference raises)
+    assert probability_of_collision_circles(0, 0, 5, 0, 1.0, 1.0) == 0.0
+    assert probability_of_collision_circles(0, 0, 0, 0, 1.0, 1.0) == 1.0
+    assert probability_of_collision_circles(0, 0, 0.1, 0, 0.5, 2.0) == 1.0
+    p = probability_of_collision_circles(0, 0, 1.0, 0, 1.0, 1.0)
+    assert 0.0 < p < 1.0
+
+
+def test_dvz_gradients_and_zone_plot():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from kompass_core_tpu.algorithms import DeformableVirtualZone
+    from kompass_core_tpu.algorithms.dvz import DeformableVirtualZoneParams
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits,
+        LinearCtrlLimits,
+        Robot,
+        RobotCtrlLimits,
+        RobotGeometry,
+        RobotState,
+        RobotType,
+    )
+
+    robot = Robot(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.2, 0.4]),
+    )
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=2.0, max_decel=2.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=2.0, max_acc=4.0, max_decel=4.0, max_steer=3.1
+        ),
+    )
+    dvz = DeformableVirtualZone(
+        robot=robot, ctrl_limits=limits, config=DeformableVirtualZoneParams()
+    )
+    dvz.update_zone_size(robot_speed=0.5)
+    assert dvz.zone_major_radius_diff == pytest.approx(1.0)
+    assert dvz.zone_shift_x_diff == pytest.approx(-2.0 / 3.0)
+
+    dvz.get_gradients(0.5)
+    for name in ("grad_A_u", "grad_A_ang", "grad_B_u", "grad_B_ang", "grad_C_u"):
+        assert isinstance(getattr(dvz, name), float) or np.isfinite(
+            getattr(dvz, name)
+        )
+    # A-term angular gradient formula: 2 sin cos (b^2 - a^2)
+    expected = (
+        2
+        * np.cos(0.5)
+        * np.sin(0.5)
+        * (dvz.zone_minor_radius**2 - dvz.zone_major_radius**2)
+    )
+    assert dvz.grad_A_ang == pytest.approx(expected)
+
+    angles = np.linspace(-np.pi, np.pi, 60)
+    dvz.set_scan_values(np.full(60, 0.4), angles)
+    dvz.get_total_deformation(compute_deformation_plot=True)
+    fig_ax = None
+    dvz.plt_robot_zone(RobotState(x=0.0, y=0.0, yaw=0.1), display_now=False)
+
+
+def test_offline_tool_surface(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from kompass_core_tpu.datatypes import PathPoint
+    from kompass_core_tpu.performance import MotionResult, TestBase
+    from kompass_core_tpu.calibration import Calibration
+    from kompass_core_tpu.simulation import MotionPaths, RobotSim
+
+    cfg = tmp_path / "robot.yaml"
+    cfg.write_text(
+        "robot:\n"
+        "  robot_model_type: DIFFERENTIAL_DRIVE\n"
+        "  robot_geometry_type: CYLINDER\n"
+        "  robot_geometry_params: [0.25, 0.4]\n"
+        "  robot_initial_x: 1.5\n"
+    )
+    sim = RobotSim()
+    sim.init_robot(str(cfg))
+    assert sim.robot.radius == pytest.approx(0.25)
+    assert sim.robot.state.x == 1.5
+
+    tb = TestBase(str(cfg))
+    assert tb.result is not None and tb.test == []
+    tb.result.reached_end = True
+    tb.reset()
+    assert not tb.result.reached_end
+
+    # vis_result renders a figure from a result
+    res = MotionResult()
+    res.reference_path = MotionPaths.generate_line_path(num_points=20)
+    res.executed_path = MotionPaths.generate_line_path(num_points=25)
+    fig = res.vis_result(robot_footprint=sim.robot.footprint)
+    assert fig is not None
+
+    # calibration visualization renders
+    model_data = sim.simulate_motion(
+        np.full(30, 0.5), np.full(30, 0.1), time_step=0.1
+    )
+    fig2 = Calibration.vis_calibration(model_data, model_data)
+    assert fig2 is not None
+
+
+def test_motion_evaluation_compute_motion_cost():
+    from kompass_core_tpu.datatypes import PathPoint
+    from kompass_core_tpu.performance import MotionEvaluation, MotionResult
+    from kompass_core_tpu.simulation import MotionPaths
+
+    ev = MotionEvaluation()
+    res = MotionResult()
+    res.executed_path = MotionPaths.generate_line_path(num_points=10)
+    ref_pts = [PathPoint(idx=i, x=i * 0.5, y=0.1) for i in range(12)]
+    total = ev.compute_motion_cost(res, ref_pts)
+    assert total > 0.0  # constant 0.1 lateral offset accumulates
+    assert ev.end_goal_cost.displacement.value > 0.0

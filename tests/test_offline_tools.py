@@ -26,8 +26,8 @@ from kompass_core_tpu.motion_cost import (
 )
 from kompass_core_tpu.performance import MotionEvaluation
 from kompass_core_tpu.py_path_tools import (
-    PathExecutor,
     PathRecorder,
+    WaypointExecutor,
     interpolate_path,
     resample_path,
 )
@@ -142,7 +142,7 @@ def test_path_recorder_and_executor(tmp_path):
     loaded = PathRecorder.load_xml(f)
     np.testing.assert_allclose(loaded.x_points, path.x_points)
 
-    ex = PathExecutor(path, reach_tolerance=0.05)
+    ex = WaypointExecutor(path, reach_tolerance=0.05)
     target = ex.update(0.0, 0.0)
     assert target is not None and target.idx >= 1
     # walk the whole path: executor finishes sequentially
