@@ -58,6 +58,21 @@ class PathSample:
         self.y_points[idx] = y
         self.heading_points[idx] = heading
 
+    def set_points(self, x, y, pitch, idx_start: int):
+        """Sets a block of points from idx_start (reference
+        ``datatypes/path.py:101-124``; the upstream bound check rejects
+        blocks ending exactly at the sample end — `<` instead of `<=` —
+        fixed here)."""
+        idx_end = idx_start + len(x)
+        if idx_end > len(self.x_points) or idx_start < 0:
+            import logging
+
+            logging.error("Cannot set points for longer than the sample length")
+            return
+        self.x_points[idx_start:idx_end] = x
+        self.y_points[idx_start:idx_end] = y
+        self.heading_points[idx_start:idx_end] = pitch
+
     def __len__(self):
         return len(self.x_points)
 
@@ -87,6 +102,39 @@ class TrajectorySample(PathSample):
         (``datatypes/path.py:126-180``)."""
         return self.time_points
 
+    @time.setter
+    def time(self, values) -> None:
+        self.time_points = np.asarray(values, dtype=float)
+
+    @property
+    def path_sample(self) -> "PathSample":
+        """The reference composes a PathSample member
+        (``datatypes/path.py:139-143``); this SoA class IS its own path
+        sample, so the member view is self."""
+        return self
+
+    def set_traj_length(self, length: int):
+        """Re-init the sample arrays at a new length (reference
+        ``datatypes/path.py:145-153``)."""
+        TrajectorySample.__init__(self, length, self.frame_id)
+
+    def set_traj(self, x_points, y_points, heading_points, time_points):
+        """Set the whole trajectory at once (reference
+        ``datatypes/path.py:155-176``)."""
+        self.set_path(x_points, y_points, heading_points)
+        self.time_points = np.asarray(time_points, dtype=float)
+
+    def set_traj_from_path(self, path_sample: PathSample, time) -> None:
+        """Adopt a path sample + time vector (reference
+        ``datatypes/path.py:178-181``)."""
+        self.set_traj(
+            path_sample.x_points,
+            path_sample.y_points,
+            path_sample.heading_points,
+            time,
+        )
+        self.frame_id = path_sample.frame_id
+
     def set_traj_point(
         self, x: float, y: float, heading: float, time: float, idx: int
     ):
@@ -94,6 +142,14 @@ class TrajectorySample(PathSample):
         ``datatypes/path.py:183-199``)."""
         self.set_point(idx, x, y, heading)
         self.time_points[idx] = time
+
+    def set_traj_points(self, x, y, heading, time, idx_start: int):
+        """Sets a block of trajectory points (reference
+        ``datatypes/path.py:201-226``)."""
+        self.set_points(x, y, heading, idx_start)
+        idx_end = idx_start + len(time)
+        if 0 <= idx_start and idx_end <= len(self.time_points):
+            self.time_points[idx_start:idx_end] = time
 
 
 class MotionSample(TrajectorySample):
@@ -114,6 +170,140 @@ class MotionSample(TrajectorySample):
     def __init__(self, length: int, frame_id: str = "map"):
         super().__init__(length, frame_id)
         self.speed_points = np.zeros(length, dtype=float)
+        self.length = length
+
+    @property
+    def control(self) -> np.ndarray:
+        """The reference's [N, 3] control matrix view
+        (``datatypes/path.py:248``): columns are the vx/vy/omega control
+        SoA arrays. Read-only snapshot — write through set_control*."""
+        return np.stack(
+            [self.vx_points, self.vy_points, self.omega_points], axis=1
+        )
+
+    def set_length(self, length: int):
+        """Re-init with a new length (reference
+        ``datatypes/path.py:249-259``)."""
+        self.set_traj_length(length)
+        self.speed_points = np.zeros(length, dtype=float)
+        self.length = length
+
+    def set_control(
+        self, linear_control_x, linear_control_y, angular_control
+    ):
+        """Set the whole control sequence (reference
+        ``datatypes/path.py:261-280``)."""
+        self.set_control_points(
+            list(linear_control_x),
+            list(linear_control_y),
+            list(angular_control),
+            idx_start=0,
+        )
+
+    def set_control_points(
+        self,
+        linear_control_x,
+        linear_control_y,
+        angular_control,
+        idx_start: int,
+    ):
+        """Set a block of control commands (reference
+        ``datatypes/path.py:281-306``)."""
+        idx_end = idx_start + len(linear_control_x)
+        if idx_start < 0 or idx_end > len(self.vx_points):
+            import logging
+
+            logging.error(
+                f"Given control indices should be in [0, {self.length}]"
+            )
+            return
+        self.vx_points[idx_start:idx_end] = linear_control_x
+        self.vy_points[idx_start:idx_end] = linear_control_y
+        self.omega_points[idx_start:idx_end] = angular_control
+
+    def set_motion_point(
+        self,
+        x: float,
+        y: float,
+        heading: float,
+        time: float,
+        linear_control_x: float,
+        linear_control_y: float,
+        angular_control: float,
+        idx: int,
+    ):
+        """Set pose + timestamp + control at one index (reference
+        ``datatypes/path.py:334-360``)."""
+        self.set_traj_point(x, y, heading, time, idx)
+        self.set_control_point(
+            linear_control_x, linear_control_y, angular_control, idx
+        )
+
+    def set_motion_points(
+        self,
+        x,
+        y,
+        heading,
+        time,
+        linear_control_x,
+        linear_control_y,
+        angular_control,
+        idx_start: int,
+    ):
+        """Set a block of motion points (reference
+        ``datatypes/path.py:362-399``)."""
+        self.set_traj_points(x, y, heading, time, idx_start)
+        self.set_control_points(
+            linear_control_x, linear_control_y, angular_control, idx_start
+        )
+
+    def get_from_csv(self, file_location: str, file_name: str) -> bool:
+        """Load a motion sample from a csv written by :meth:`save_to_csv`
+        (role of reference ``datatypes/path.py:455-527``; this engine's
+        csv schema is the one its own writer emits — time/x/y/heading/
+        speed/linear_control_x/linear_control_y/angular_control — the
+        reference's reader expects a frame_id column its writer also
+        emits)."""
+        import csv
+        import logging
+        import os
+
+        if not os.path.exists(file_location):
+            logging.error(f"No such folder {file_location}")
+            return False
+        _, extension = os.path.splitext(file_name)
+        if extension == "":
+            file_name += ".csv"
+        elif extension.lower() != ".csv":
+            logging.error("Given file must be a csv file")
+            raise ValueError("Given file must be a csv file")
+        with open(os.path.join(file_location, file_name), newline="") as f:
+            reader = csv.DictReader(f)
+            rows = list(reader)
+        if not rows or not all(
+            name in rows[0] for name in self.CSV_NAMES
+        ):
+            logging.error(
+                "Please provide a valid csv file containing MotionSample"
+                " data"
+            )
+            raise AssertionError("invalid MotionSample csv")
+        self.set_length(len(rows))
+        for name, arr in zip(
+            self.CSV_NAMES,
+            (
+                self.time_points,
+                self.x_points,
+                self.y_points,
+                self.heading_points,
+                self.speed_points,
+                self.vx_points,
+                self.vy_points,
+                self.omega_points,
+            ),
+        ):
+            arr[:] = [float(row[name]) for row in rows]
+        return True
 
     def set_control_point(
         self,

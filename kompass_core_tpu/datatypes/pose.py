@@ -31,8 +31,52 @@ class PoseData:
         self.qz = math.sin(yaw / 2.0)
         self.qw = math.cos(yaw / 2.0)
 
+    def set_orientation(self, qw: float, qx: float, qy: float, qz: float):
+        """Set the quaternion components (reference
+        ``datatypes/pose.py:72-88``)."""
+        self.qw, self.qx, self.qy, self.qz = (
+            float(qw),
+            float(qx),
+            float(qy),
+            float(qz),
+        )
+
+    def set_pose(
+        self,
+        x: float,
+        y: float,
+        z: float,
+        qw: float,
+        qx: float,
+        qy: float,
+        qz: float,
+    ):
+        """Set position + orientation together (reference
+        ``datatypes/pose.py:90-112``)."""
+        self.set_position(x, y, z)
+        self.set_orientation(qw, qx, qy, qz)
+
     def get_position(self) -> np.ndarray:
         return np.array([self.x, self.y, self.z])
+
+    def get_orientation(self) -> np.ndarray:
+        """Quaternion as [qw, qx, qy, qz] (reference
+        ``datatypes/pose.py:132-139``)."""
+        return np.array([self.qw, self.qx, self.qy, self.qz])
+
+    def check_approximate_equivalence(
+        self, other: "PoseData", absolute_tolerance: float = 0.01
+    ) -> bool:
+        """Approximate position + orientation equality (reference
+        ``datatypes/pose.py:176-201``); quaternions compare up to sign."""
+        pos_ok = np.allclose(
+            self.get_position(), other.get_position(), atol=absolute_tolerance
+        )
+        q1, q2 = self.get_orientation(), other.get_orientation()
+        quat_ok = np.allclose(q1, q2, atol=absolute_tolerance) or np.allclose(
+            q1, -q2, atol=absolute_tolerance
+        )
+        return bool(pos_ok and quat_ok)
 
     def get_yaw(self) -> float:
         return math.atan2(

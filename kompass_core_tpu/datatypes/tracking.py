@@ -40,6 +40,11 @@ class PointsOfInterest:
             raise ValueError("Invalid image size")
         self.img_size = size
 
+    def set_vel(self, vel):
+        """Set the tracked velocity (reference
+        ``bindings_types.cpp:201``)."""
+        self.vel = np.asarray(vel)
+
 
 @define
 class Bbox2D:

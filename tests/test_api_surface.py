@@ -748,3 +748,67 @@ def test_motion_evaluation_compute_motion_cost():
     total = ev.compute_motion_cost(res, ref_pts)
     assert total > 0.0  # constant 0.1 lateral offset accumulates
     assert ev.end_goal_cost.displacement.value > 0.0
+
+
+def test_sample_classes_reference_surface(tmp_path):
+    import numpy as np
+
+    from kompass_core_tpu.datatypes import (
+        MotionSample,
+        PathSample,
+        PoseData,
+        TrajectorySample,
+    )
+
+    # PathSample block setter with bounds guard
+    p = PathSample(5)
+    p.set_points([1.0, 2.0], [3.0, 4.0], [0.1, 0.2], idx_start=3)
+    assert p.x_points[4] == 2.0 and p.heading_points[3] == 0.1
+    p.set_points([9.0] * 4, [9.0] * 4, [0.0] * 4, idx_start=3)  # too long
+    assert p.x_points[4] == 2.0  # rejected, unchanged
+
+    # TrajectorySample: set_traj / from_path / block points / re-length
+    t = TrajectorySample(3)
+    t.set_traj([1, 2, 3], [0, 0, 0], [0, 0, 0], [0.0, 0.1, 0.2])
+    assert t.time[2] == pytest.approx(0.2)
+    assert t.path_sample is t  # SoA self-view
+    t2 = TrajectorySample(1)
+    t2.set_traj_from_path(p, np.arange(5.0))
+    assert len(t2.time) == 5 and t2.x_points[4] == 2.0
+    t2.set_traj_length(2)
+    assert len(t2.time) == 2
+    t.set_traj_points([7.0], [8.0], [0.5], [9.9], idx_start=1)
+    assert t.x_points[1] == 7.0 and t.time[1] == pytest.approx(9.9)
+
+    # MotionSample: control matrix + block/bulk setters + csv round trip
+    m = MotionSample(4)
+    m.set_control(
+        np.array([1.0, 2, 3, 4]), np.zeros(4), np.array([0.1, 0.2, 0.3, 0.4])
+    )
+    assert m.control.shape == (4, 3)
+    assert m.control[2, 0] == 3.0 and m.control[3, 2] == pytest.approx(0.4)
+    m.set_motion_point(1.0, 2.0, 0.3, 0.5, 9.0, 0.0, 1.5, idx=2)
+    assert m.x_points[2] == 1.0 and m.vx_points[2] == 9.0
+    m.set_motion_points(
+        [5.0], [6.0], [0.0], [1.0], [7.0], [0.0], [2.0], idx_start=0
+    )
+    assert m.x_points[0] == 5.0 and m.omega_points[0] == 2.0
+    assert m.save_to_csv(str(tmp_path), "m")
+    m2 = MotionSample(1)
+    assert m2.get_from_csv(str(tmp_path), "m")
+    np.testing.assert_allclose(m2.vx_points, m.vx_points)
+    np.testing.assert_allclose(m2.x_points, m.x_points)
+    m.set_length(2)
+    assert len(m.time) == 2 and m.control.shape == (2, 3)
+
+    # PoseData orientation surface
+    pose = PoseData()
+    pose.set_pose(1.0, 2.0, 0.0, 0.92, 0.0, 0.0, 0.38)
+    np.testing.assert_allclose(
+        pose.get_orientation(), [0.92, 0.0, 0.0, 0.38]
+    )
+    other = PoseData()
+    other.set_pose(1.005, 2.0, 0.0, -0.92, 0.0, 0.0, -0.38)  # sign-flipped
+    assert pose.check_approximate_equivalence(other, absolute_tolerance=0.01)
+    other.set_position(1.5, 2.0, 0.0)
+    assert not pose.check_approximate_equivalence(other)
