@@ -24,7 +24,10 @@ from .pcd import (  # noqa: F401
     read_pcd,
     read_pcd_to_occupancy_grid,
 )
-from .pointcloud import PointCloudData  # noqa: F401
+from .pointcloud import (  # noqa: F401
+    PointCloudData,
+    pointcloud_to_laserscan_from_raw,
+)
 from .pose import PoseData  # noqa: F401
 from .scan_model import ScanModelConfig  # noqa: F401
 from .tracking import (  # noqa: F401
