@@ -812,3 +812,35 @@ def test_sample_classes_reference_surface(tmp_path):
     assert pose.check_approximate_equivalence(other, absolute_tolerance=0.01)
     other.set_position(1.5, 2.0, 0.0)
     assert not pose.check_approximate_equivalence(other)
+
+
+def test_visualization_reference_surface(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from kompass_core_tpu.datatypes import OBSTACLE_TYPE, ObstaclesData
+    from kompass_core_tpu.datatypes.path_sample import PathPoint, PathSample
+    from kompass_core_tpu.utils import visualization as V
+
+    grid = np.full((10, 10), 0, np.int8)
+    grid[2:4, 2:4] = 100
+    grid[0, 0] = -1
+    img = V.visualize_grid(
+        grid, scale=2.0, save_file=str(tmp_path / "g.png")
+    )
+    assert img.shape == (20, 20, 3)
+    assert (tmp_path / "g.png").exists()
+    np.testing.assert_array_equal(img[0, 0], [51, 51, 51])  # unexplored
+    np.testing.assert_array_equal(img[4, 4], [0, 0, 0])  # occupied
+    assert V.get_color("red") == [255.0, 0.0, 0.0]
+    assert V.get_color("grey", normalized=True) == [0.5, 0.5, 0.5]
+
+    p = PathSample(3)
+    p.set_path([0, 1, 2], [0, 0, 0], [0, 0, 0])
+    V.plt_path_sample(p, color="not-a-color", marker="not-a-marker")
+    V.plt_path_points_list([PathPoint(0, 0.0, 0.0), PathPoint(1, 1.0, 1.0)])
+    obs = ObstaclesData()
+    obs.add_obstacle(OBSTACLE_TYPE.SCAN, 1.0, 0.5)
+    V.plt_map_obstacles(obs)
