@@ -844,3 +844,51 @@ def test_visualization_reference_surface(tmp_path):
     obs = ObstaclesData()
     obs.add_obstacle(OBSTACLE_TYPE.SCAN, 1.0, 0.5)
     V.plt_map_obstacles(obs)
+
+
+def test_laserscan_polar_tf_recorded_scan():
+    """90-degree polar scan transform on the recorded scan fixture
+    (mirrors reference ``test_laserscan_emergency_stop.py:40-96``)."""
+    import json
+    import os
+
+    from kompass_core_tpu.datatypes import LaserScanData
+    from kompass_core_tpu.utils.geometry import (
+        get_laserscan_transformed_polar_coordinates,
+    )
+
+    res = os.path.join(
+        os.path.dirname(__file__),
+        "resources",
+        "reference",
+        "mapping",
+        "laserscan_data.json",
+    )
+    d = json.load(open(res))
+    scan = LaserScanData(
+        angle_min=d["angle_min"],
+        angle_max=d["angle_max"],
+        angle_increment=d["angle_increment"],
+        time_increment=d["time_increment"],
+        scan_time=d["scan_time"],
+        ranges=np.array(d["ranges"]),
+        range_min=d["range_min"],
+        range_max=d["range_max"],
+    )
+    # 90 deg rotation around z, no planar translation
+    transformed = get_laserscan_transformed_polar_coordinates(
+        angle_min=scan.angle_min,
+        angle_max=scan.angle_max,
+        angle_increment=scan.angle_increment,
+        laser_scan_ranges=scan.ranges,
+        max_scan_range=scan.range_max,
+        translation=[0.0, 0.0, 0.173],
+        rotation=[0.0, 0.0, 0.7071068, 0.7071068],
+    )
+    old_range = scan.ranges[scan.angles == scan.angle_min]
+    new_range = transformed.ranges[
+        np.isclose(transformed.angles, scan.angle_min + np.pi / 2)
+    ]
+    # range_max-clipped original (inf values clip before transforming)
+    expected = min(float(old_range[0]), scan.range_max)
+    np.testing.assert_allclose(new_range, expected, rtol=1e-9)
