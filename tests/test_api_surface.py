@@ -892,3 +892,82 @@ def test_laserscan_polar_tf_recorded_scan():
     # range_max-clipped original (inf values clip before transforming)
     expected = min(float(old_range[0]), scan.range_max)
     np.testing.assert_allclose(new_range, expected, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [2, 9, 31])
+def test_rgb_servo_law_lockstep(seed):
+    """RGB follower servoing vs the independent transcription of
+    ``rgb_follower.cpp:151-223`` over random bboxes/configs."""
+    import numpy as np
+
+    from kompass_core_tpu.control.vision_followers import (
+        RGBFollowerCore,
+        VisionRGBFollowerConfig,
+    )
+    from kompass_core_tpu.datatypes import Bbox2D
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits,
+        LinearCtrlLimits,
+        RobotCtrlLimits,
+        RobotType,
+    )
+    from oracle.vision_impl import rgb_track_target
+
+    rng = np.random.default_rng(seed)
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(
+            max_vel=float(rng.uniform(0.5, 2.0)), max_acc=5.0, max_decel=5.0
+        ),
+        omega_limits=AngularCtrlLimits(
+            max_vel=float(rng.uniform(1.0, 3.0)),
+            max_acc=5.0,
+            max_decel=5.0,
+            max_steer=3.1,
+        ),
+    )
+    cfg = VisionRGBFollowerConfig(
+        target_distance=float(rng.uniform(0.05, 0.3)),
+        tolerance=float(rng.uniform(0.05, 0.2)),
+        rotation_gain=float(rng.uniform(0.3, 1.0)),
+        speed_gain=float(rng.uniform(0.3, 1.0)),
+        min_vel=float(rng.uniform(0.01, 0.1)),
+    )
+    core = RGBFollowerCore(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        ctrl_limits=limits,
+        config=cfg,
+    )
+    img_w, img_h = 640, 480
+    for _ in range(40):
+        w = int(rng.integers(10, 300))
+        h = int(rng.integers(10, 300))
+        x = int(rng.integers(0, img_w - w))
+        y = int(rng.integers(0, img_h - h))
+        box = Bbox2D(
+            top_left_corner=np.array([x, y]),
+            size=np.array([w, h]),
+            img_size=np.array([img_w, img_h]),
+        )
+        assert core.run(box)
+        got = core.get_ctrl()
+        center = box.get_center()
+        want, dist_err, ori_err = rgb_track_target(
+            box_center_x=center[0],
+            box_center_y=center[1],
+            box_size_x=w,
+            box_size_y=h,
+            img_size_x=img_w,
+            img_size_y=img_h,
+            target_distance=cfg.target_distance,
+            tolerance=cfg.tolerance,
+            k_omega=cfg.rotation_gain,
+            k_v=cfg.speed_gain,
+            min_vel=cfg.min_vel,
+            max_vel=limits.vx_limits.max_vel,
+            max_omega=limits.omega_limits.max_vel,
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(core.dist_error, dist_err, rtol=1e-6)
+        np.testing.assert_allclose(
+            core.orientation_error, ori_err, rtol=1e-6
+        )
