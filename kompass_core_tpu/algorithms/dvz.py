@@ -168,15 +168,24 @@ class DeformableVirtualZone:
             x=robot_state.x, y=robot_state.y, heading=robot_state.yaw, ax=fig_ax
         )
         fig_ax.set(aspect=1)
-        zone_x = robot_state.x - self.zone_center_shift_x
-        zone_y = robot_state.y + self.zone_center_shift_y
+        # divergence (corrected debug plot): the zone-center shift is a
+        # body-frame offset, rotated here by the robot yaw; the reference
+        # applies it in world axes and hands matplotlib radians where
+        # Ellipse(angle=...) expects degrees (``algorithms/dvz.py:529-543``)
         zone_angle = robot_state.yaw + self.zone_ori_shift
+        c, s = np.cos(robot_state.yaw), np.sin(robot_state.yaw)
+        zone_x = robot_state.x - (
+            c * self.zone_center_shift_x - s * self.zone_center_shift_y
+        )
+        zone_y = robot_state.y - (
+            s * self.zone_center_shift_x + c * self.zone_center_shift_y
+        )
         fig_ax.add_patch(
             Ellipse(
                 xy=(zone_x, zone_y),
                 width=self.zone_major_radius * 2,
                 height=self.zone_minor_radius * 2,
-                angle=zone_angle,
+                angle=float(np.degrees(zone_angle)),
                 color="red",
                 alpha=0.5,
                 fill=True,

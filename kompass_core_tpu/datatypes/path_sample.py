@@ -120,9 +120,18 @@ class TrajectorySample(PathSample):
 
     def set_traj(self, x_points, y_points, heading_points, time_points):
         """Set the whole trajectory at once (reference
-        ``datatypes/path.py:155-176``)."""
+        ``datatypes/path.py:155-176``); the control/velocity SoA arrays
+        are re-sized to match so the sample stays internally consistent."""
         self.set_path(x_points, y_points, heading_points)
         self.time_points = np.asarray(time_points, dtype=float)
+        n = len(self.x_points)
+        for name in ("vx_points", "vy_points", "omega_points"):
+            if len(getattr(self, name)) != n:
+                setattr(self, name, np.zeros(n, dtype=float))
+        if hasattr(self, "speed_points") and len(self.speed_points) != n:
+            self.speed_points = np.zeros(n, dtype=float)
+        if hasattr(self, "length"):
+            self.length = n
 
     def set_traj_from_path(self, path_sample: PathSample, time) -> None:
         """Adopt a path sample + time vector (reference
@@ -145,11 +154,24 @@ class TrajectorySample(PathSample):
 
     def set_traj_points(self, x, y, heading, time, idx_start: int):
         """Sets a block of trajectory points (reference
-        ``datatypes/path.py:201-226``)."""
-        self.set_points(x, y, heading, idx_start)
+        ``datatypes/path.py:201-226``). Both blocks are bounds-checked
+        BEFORE any write so poses and timestamps never update
+        inconsistently."""
         idx_end = idx_start + len(time)
-        if 0 <= idx_start and idx_end <= len(self.time_points):
-            self.time_points[idx_start:idx_end] = time
+        if (
+            idx_start < 0
+            or idx_end > len(self.time_points)
+            or idx_start + len(x) > len(self.x_points)
+            or len(x) != len(time)
+        ):
+            import logging
+
+            logging.error(
+                "Cannot set trajectory points beyond the sample length"
+            )
+            return
+        self.set_points(x, y, heading, idx_start)
+        self.time_points[idx_start:idx_end] = time
 
 
 class MotionSample(TrajectorySample):

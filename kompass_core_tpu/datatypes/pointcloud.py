@@ -146,9 +146,10 @@ def pointcloud_to_laserscan_from_raw(
     if isinstance(data, (bytes, bytearray, memoryview)):
         buf = np.frombuffer(data, np.uint8)
     else:
-        buf = np.frombuffer(
-            np.asarray(data, dtype=np.int8).tobytes(), np.uint8
-        )
+        # accept int8 arrays (the reference's std::vector<int8_t>) AND
+        # plain lists of 0..255 byte values (ROS message payloads) —
+        # astype wraps both signed and unsigned representations
+        buf = np.asarray(data).astype(np.uint8)
     ranges = np.full(n_bins, float(max_range))
     angles = np.arange(n_bins) * bin_width
 

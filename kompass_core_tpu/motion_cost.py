@@ -109,7 +109,9 @@ class StaticCollisionCost(CollisionCost):
     ) -> float:
         """Per-point static cost: count of obstacles within the collision
         radius (the reference's per-point ``__call__``,
-        ``motion_cost.py:106-132``)."""
+        ``motion_cost.py:106-132``). ``closest_distance`` holds the
+        minimum SQUARED distance — the reference stores ``min(dist_sqr)``
+        without a sqrt (``motion_cost.py:126``), kept for parity."""
         if len(local_map) == 0:
             self.closest_distance = float("inf")
             return 0.0
@@ -295,8 +297,10 @@ class ReferenceCost(MotionCost):
         return (displacement, float(heading_error))
 
     def update(self, path_sample: PathSample, idx: int, ref_path):
-        """Accumulate the per-index tracking cost and return the weighted
-        (displacement, heading) pair (reference ``motion_cost.py:334-360``)."""
+        """Per-index tracking cost: displacement ACCUMULATES (``+=``)
+        while the heading term holds only the LAST index's error (``=``)
+        — the reference's exact asymmetry (``motion_cost.py:357-359``).
+        Returns the weighted (displacement, heading) pair."""
         displacement, heading_error = self.point_cost(
             path_sample.x_points[idx],
             path_sample.y_points[idx],
@@ -346,13 +350,13 @@ class MotionCostsParams(BaseAttrs):
     collision_margin: float = field(
         default=0.3, validator=base_validators.in_range(0.0, 1e2)
     )
-    # reference field names (``motion_cost.py:362-382``); the *_margin pair
-    # defaults to the shared collision_margin when not set explicitly
+    # reference field names (``motion_cost.py:362-382``); consumed by
+    # build() — negative sentinel means "fall back to collision_margin"
     static_collision_margin: float = field(
-        default=0.1, validator=base_validators.in_range(0.0, 1e2)
+        default=-1.0, validator=base_validators.in_range(-1.0, 1e2)
     )
     dynamic_collision_margin: float = field(
-        default=0.1, validator=base_validators.in_range(0.0, 1e2)
+        default=-1.0, validator=base_validators.in_range(-1.0, 1e2)
     )
     goal_lat_err_weight: float = field(
         default=1.0, validator=base_validators.in_range(0.0, 1e3)
@@ -400,12 +404,28 @@ class MotionCostsParams(BaseAttrs):
         )
 
     def build(self, robot_radius: float):
+        static_margin = (
+            self.static_collision_margin
+            if self.static_collision_margin >= 0.0
+            else self.collision_margin
+        )
+        dynamic_margin = (
+            self.dynamic_collision_margin
+            if self.dynamic_collision_margin >= 0.0
+            else self.collision_margin
+        )
         return {
             "static_collision": StaticCollisionCost(
-                self.static_collision_weight, self.collision_margin, robot_radius
+                self.static_collision_weight, static_margin, robot_radius
             ),
             "dynamic_collision": DynamicCollisionProbabilityCost(
-                self.dynamic_collision_weight, self.collision_margin, robot_radius
+                self.dynamic_collision_weight, dynamic_margin, robot_radius
             ),
-            "reference": ReferenceCost(self.reference_weight),
+            # reference_weight scales the whole tracking cost; the
+            # reference's per-term weights multiply into displacement /
+            # heading (both default 1.0 / 0.1 as upstream)
+            "reference": ReferenceCost(
+                self.reference_weight * self.goal_lat_err_weight,
+                self.reference_weight * self.goal_heading_err_weight,
+            ),
         }

@@ -92,8 +92,10 @@ class Spline:
 
     def limit_check(self, x: float) -> bool:
         """True when x lies strictly inside the spline's point range
-        (reference ``interpolation.py:76-88``)."""
-        if self.x_points.any():
+        (reference ``interpolation.py:76-88``). Divergence: emptiness is
+        tested with ``.size`` — the reference's ``.any()`` reports an
+        all-zero knot vector as 'no points'."""
+        if self.x_points.size:
             return x > self.x_points.min() and x < self.x_points.max()
         return False
 
@@ -165,6 +167,10 @@ class SplineInterpolatedPath:
         sub_path = SplineInterpolatedPath(
             seg_len_init=self.seg_len_init, seg_len_max=s_max
         )
+        if n == 0:
+            # no knots below s_max: return the empty segment instead of
+            # crashing in the spline solve (upstream raises here)
+            return sub_path
         sub_path.spline_x.set_points(sub_s, self.spline_x.y_points[:n])
         sub_path.spline_y.set_points(sub_s, self.spline_y.y_points[:n])
         sub_path.length = float(np.max(sub_s))
@@ -199,7 +205,11 @@ class SplineInterpolatedPath:
                     dist = np.sqrt((pp_x - x) ** 2 + (pp_y - y) ** 2)
                     forward_dist = abs(pp_x - x)
                 s += s_incr
-            if pp_x and pp_y:
+            # divergence: explicit None check — the reference's
+            # `if pp_x and pp_y:` (interpolation.py:278,292) skips the
+            # update whenever the closest point sits on a coordinate
+            # axis (x or y exactly 0.0), corrupting the tracked point
+            if pp_x is not None and pp_y is not None:
                 tracked_point.x = pp_x
                 tracked_point.y = pp_y
             s_incr /= 2.0
@@ -213,7 +223,7 @@ class SplineInterpolatedPath:
                     dist = np.sqrt((pp_x - x) ** 2 + (pp_y - y) ** 2)
                     forward_dist = abs(pp_x - x)
                 s -= s_incr
-            if pp_x and pp_y:
+            if pp_x is not None and pp_y is not None:
                 tracked_point.x = pp_x
                 tracked_point.y = pp_y
             s_incr /= 2.0

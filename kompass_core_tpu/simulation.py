@@ -74,6 +74,10 @@ class RobotSim:
                 data = json.load(f)
         robot = data.get("robot", data)
         if "robot_model_type" in robot:
+            # keep the attached motion model across the rebuild — a
+            # calibrated model passed to the ctor (or via set_model) must
+            # survive re-initialization from a geometry config
+            model = self.robot.state.model
             self.robot = Robot(
                 robot_type=robot["robot_model_type"],
                 geometry_type=RobotGeometry.Type.from_str(
@@ -83,6 +87,7 @@ class RobotSim:
                     robot.get("robot_geometry_params", [0.2, 0.5]), float
                 ),
             )
+            self.robot.state.model = model
         self.set_robot_params(params_file)
 
     def reset_state(self, x=0.0, y=0.0, yaw=0.0, speed=0.0):

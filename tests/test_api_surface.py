@@ -971,3 +971,115 @@ def test_rgb_servo_law_lockstep(seed):
         np.testing.assert_allclose(
             core.orientation_error, ori_err, rtol=1e-6
         )
+
+
+# ------------------------------------------- review-fix regressions
+
+
+def test_spline_closest_point_on_axis_aligned_path():
+    """A path lying on the y-axis (every x == 0) must still produce the
+    true tracked point — regression for the falsy-zero coordinate check."""
+    from kompass_core_tpu.datatypes import InterpolationPoint
+    from kompass_core_tpu.py_path_tools import SplineInterpolatedPath
+
+    pts = [
+        InterpolationPoint(s=float(s), x=0.0, y=float(s), pitch=math.pi / 2)
+        for s in np.linspace(0.0, 4.0, 60)
+    ]
+    path = SplineInterpolatedPath(seg_len_init=0.05, seg_len_max=6.0)
+    path.set_path_points(pts, "map")
+    tp = path.get_closest_path_point(0.2, 1.0, yaw=math.pi / 2, speed=1.0)
+    assert tp is not None
+    assert tp.x == pytest.approx(0.0, abs=1e-6)
+    assert tp.y == pytest.approx(1.0, abs=0.06)
+    # robot is 0.2 m to the RIGHT of the upward path -> positive lat_dist
+    assert tp.lat_dist == pytest.approx(0.2, abs=0.02)
+    # degenerate sub-segment request returns an empty segment, no crash
+    empty = path.get_path_segment(0.0)
+    assert empty.length == 0.0 and empty.spline_x.get_points_len() == 0
+
+
+def test_motion_cost_params_margins_flow_into_build():
+    from kompass_core_tpu.motion_cost import MotionCostsParams
+
+    params = MotionCostsParams()
+    built = params.build(robot_radius=0.3)
+    # defaults: margins fall back to the shared collision_margin
+    assert built["static_collision"].margin == params.collision_margin
+    params.set(0.45, 5.0, 0.25, 2.0, 2.0, 0.3)
+    built = params.build(robot_radius=0.3)
+    assert built["static_collision"].margin == 0.45
+    assert built["static_collision"].weight == 5.0
+    assert built["dynamic_collision"].margin == 0.25
+    assert built["reference"].displacement.weight == pytest.approx(2.0)
+    assert built["reference"].heading_cost.weight == pytest.approx(0.3)
+
+
+def test_pointcloud_raw_accepts_uint8_int_list():
+    from kompass_core_tpu.datatypes import pointcloud_to_laserscan_from_raw
+
+    pts = np.zeros((1, 4), np.float32)
+    pts[0, :3] = [1.0, 0.0, 0.0]
+    byte_list = list(pts.tobytes())  # plain ints 0..255 (ROS payload style)
+    assert any(b > 127 for b in byte_list)
+    ranges = pointcloud_to_laserscan_from_raw(
+        data=byte_list,
+        point_step=16,
+        row_step=16,
+        height=1,
+        width=1,
+        x_offset=0,
+        y_offset=4,
+        z_offset=8,
+        max_range=10.0,
+        min_z=-1.0,
+        max_z=1.0,
+        num_bins=4,
+    )
+    assert ranges[0] == pytest.approx(1.0)
+
+
+def test_reference_cost_update_heading_is_last_index():
+    """Upstream asymmetry pinned: displacement accumulates, heading holds
+    only the last index's error (reference motion_cost.py:357-359)."""
+    from kompass_core_tpu.datatypes import PathPoint
+    from kompass_core_tpu.datatypes.path_sample import PathSample
+    from kompass_core_tpu.motion_cost import ReferenceCost
+
+    ref_pts = [PathPoint(idx=i, x=float(i), y=0.0) for i in range(4)]
+    path = PathSample(2)
+    path.set_path([0.0, 1.0], [0.2, 0.2], [0.8, 0.0])
+    cost = ReferenceCost(1.0, 1.0)
+    cost.update(path, 0, ref_pts)  # heading error 0.8
+    d_w, h_w = cost.update(path, 1, ref_pts)  # heading error 0.0
+    assert d_w == pytest.approx(0.2)  # 0.1 + 0.1 accumulated
+    assert h_w == pytest.approx(0.0)  # last index only
+
+
+def test_set_traj_points_all_or_nothing():
+    from kompass_core_tpu.datatypes import TrajectorySample
+
+    t = TrajectorySample(4)
+    before = t.x_points.copy()
+    # block runs past the end: nothing may be written
+    t.set_traj_points([9.0, 9.0], [9.0, 9.0], [0.0, 0.0], [1.0, 1.0], 3)
+    np.testing.assert_array_equal(t.x_points, before)
+    assert t.time_points[3] == 0.0
+    # set_traj at a new length keeps every SoA array consistent
+    t.set_traj([1, 2, 3, 4, 5], [0] * 5, [0] * 5, [0, 1, 2, 3, 4])
+    assert len(t.vx_points) == 5 and len(t.omega_points) == 5
+
+
+def test_init_robot_preserves_calibrated_model(tmp_path):
+    from kompass_core_tpu.models import MotionModel2D
+    from kompass_core_tpu.simulation import RobotSim
+
+    cfg = tmp_path / "r.yaml"
+    cfg.write_text(
+        "robot:\n  robot_model_type: DIFFERENTIAL_DRIVE\n"
+        "  robot_geometry_type: CYLINDER\n"
+        "  robot_geometry_params: [0.2, 0.4]\n"
+    )
+    sim = RobotSim(model=MotionModel2D(x_dot_prop_vx=0.85))
+    sim.init_robot(str(cfg))
+    assert sim.robot.state.model.x_dot_prop_vx == 0.85
