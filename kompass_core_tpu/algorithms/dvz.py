@@ -13,7 +13,6 @@ formulas, ~100x fewer interpreter iterations.
 """
 
 import math
-from typing import Optional
 
 import numpy as np
 from attrs import define, field

@@ -17,7 +17,6 @@ import math
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
-import numpy as np
 from attrs import define, field
 
 from ..datatypes.path import InterpolationType, ReferencePath

@@ -6,7 +6,6 @@ state, and the planar tracked pose. NumPy storage.
 """
 
 import math
-from typing import Optional
 
 import numpy as np
 from attrs import Factory, define, field

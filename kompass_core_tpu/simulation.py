@@ -12,7 +12,7 @@ from typing import Optional
 import numpy as np
 
 from .datatypes.path_sample import MotionSample, PathSample
-from .models import MotionModel2D, Robot, RobotGeometry, RobotState
+from .models import MotionModel2D, Robot, RobotGeometry
 
 
 class RobotSim:
