@@ -107,3 +107,47 @@ def test_random_config_one_step(
     # the winner must carry a finite rollout
     assert np.all(np.isfinite(result.trajectory.path_x))
     assert np.all(np.isfinite(result.trajectory.path_y))
+
+
+MAPPER_CASES = [
+    # (width, height, resolution, n_rays, bayesian, range_val)
+    (3.0, 3.0, 0.05, 48, False, 1.0),
+    (6.0, 4.0, 0.1, 72, True, 1.8),
+    (2.0, 5.0, 0.2, 36, False, 0.9),
+    (8.0, 8.0, 0.25, 180, True, 3.5),
+]
+
+
+@pytest.mark.parametrize(
+    "width,height,resolution,n_rays,bayesian,range_val", MAPPER_CASES
+)
+def test_mapper_config_fuzz(
+    width, height, resolution, n_rays, bayesian, range_val
+):
+    """Mapper compile-space sweep: asymmetric grids, coarse/fine
+    resolutions, small/large scans, plain + Bayesian — every config must
+    stamp an occupied ring at the scan radius and free space inside it."""
+    from kompass_core_tpu.datatypes.pose import PoseData
+    from kompass_core_tpu.datatypes.scan_model import ScanModelConfig
+    from kompass_core_tpu.mapping import LocalMapper, MapConfig
+    from kompass_core_tpu.mapping.local_mapper import EMPTY, OCCUPIED
+
+    config = MapConfig(
+        width=width,
+        height=height,
+        resolution=resolution,
+        baysian_update=bayesian,
+    )
+    mapper = LocalMapper(config, ScanModelConfig(p_prior=0.5))
+    angles = np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
+    scan = LaserScanData(ranges=np.full(n_rays, range_val), angles=angles)
+    mapper.update_from_scan(PoseData(), scan)
+    occ = (
+        mapper.probabilistic_occupancy if bayesian else mapper.occupancy
+    )
+    assert occ.shape == mapper.occupancy.shape
+    assert np.sum(occ == OCCUPIED) > 0, "scan ring must stamp occupied"
+    assert np.sum(occ == EMPTY) > 0, "interior must be free"
+    # the robot cell itself is free space
+    ci, cj = mapper._spec.central_point
+    assert occ[ci, cj] == EMPTY
