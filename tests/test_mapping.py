@@ -342,3 +342,54 @@ def test_bayesian_grid_shift_follows_robot_motion():
         mapper._prev_prob[si + 14 : si + 16, sj].max()
         >= warped[si + 14 : si + 16, sj].max()
     )
+
+
+def test_local_mapper_pointcloud_z_filter_above_ceiling():
+    """Points above the scan model's height ceiling leave the grid
+    unexplored at their cells (mirrors reference
+    ``test_local_mapper_pytest.py:327-360``)."""
+    config = MapConfig(width=6.0, height=6.0, resolution=0.1)
+    mapper = LocalMapper(
+        config,
+        ScanModelConfig(
+            p_prior=0.5,
+            angle_step=2 * np.pi / 72,
+            max_height=1.0,
+            min_height=-1.0,
+        ),
+    )
+    theta = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    pts = np.stack(
+        [
+            2.0 * np.cos(theta),
+            2.0 * np.sin(theta),
+            np.full_like(theta, 5.0),  # all above max_height
+        ],
+        axis=1,
+    ).astype(np.float32)
+    mapper.update_from_scan(PoseData(), PointCloudData(points=pts))
+    assert np.sum(mapper.occupancy == OCCUPIED) == 0
+
+
+def test_local_mapper_pointcloud_origin_only_points_filtered():
+    """Near-origin points carry no direction information and must be
+    dropped (mirrors reference ``test_local_mapper_pytest.py:362-395``)."""
+    config = MapConfig(width=6.0, height=6.0, resolution=0.1)
+    mapper = LocalMapper(
+        config, ScanModelConfig(p_prior=0.5, angle_step=2 * np.pi / 72)
+    )
+    pts = np.zeros((300, 3), np.float32)
+    mapper.update_from_scan(PoseData(), PointCloudData(points=pts))
+    assert np.sum(mapper.occupancy == OCCUPIED) == 0
+
+
+def test_local_mapper_pointcloud_empty_cloud():
+    """An empty cloud must not crash and leaves no occupied cells."""
+    config = MapConfig(width=6.0, height=6.0, resolution=0.1)
+    mapper = LocalMapper(
+        config, ScanModelConfig(p_prior=0.5, angle_step=2 * np.pi / 72)
+    )
+    mapper.update_from_scan(
+        PoseData(), PointCloudData(points=np.zeros((0, 3), np.float32))
+    )
+    assert np.sum(mapper.occupancy == OCCUPIED) == 0
