@@ -299,11 +299,51 @@ def bench_closed_loop_latency(log, ticks_per_chain=50, chains=20):
     return {"p50_ms": round(float(p50), 3), "p99_ms": round(float(p99), 3)}
 
 
+def _probe_backend(timeout_s: float = 240.0):
+    """Initialize the JAX backend in a watchdog thread.
+
+    The remote axon tunnel can be down; ``jax.devices()`` then blocks
+    indefinitely inside backend setup. Probing from a daemon thread lets
+    the bench fail FAST with an honest machine-readable error line
+    instead of hanging the driver (observed outage 2026-08-18)."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return result["devices"]
+    err = result.get(
+        "error", f"backend init did not return within {timeout_s:.0f}s"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "dwa_solves_per_s_per_chip_2025x30",
+                "value": None,
+                "unit": "solves/s",
+                "vs_baseline": None,
+                "error": f"TPU backend unavailable: {err}",
+            }
+        ),
+        flush=True,
+    )
+    sys.exit(1)
+
+
 def main():
     enable_persistent_compilation_cache()
-    import jax
-
-    dev = jax.devices()[0]
+    dev = _probe_backend()[0]
     log(f"device: {dev}")
     spec = build_spec()
     rng = np.random.default_rng(0)
