@@ -300,32 +300,16 @@ def bench_closed_loop_latency(log, ticks_per_chain=50, chains=20):
 
 
 def _probe_backend(timeout_s: float = 240.0):
-    """Initialize the JAX backend in a watchdog thread.
+    """Fail FAST with an honest machine-readable error line when the
+    remote tunnel is down instead of hanging the driver (observed outage
+    2026-08-18). Probe logic shared with the dryrun entry
+    (utils/runtime.probe_backend)."""
+    from kompass_core_tpu.utils.runtime import probe_backend
 
-    The remote axon tunnel can be down; ``jax.devices()`` then blocks
-    indefinitely inside backend setup. Probing from a daemon thread lets
-    the bench fail FAST with an honest machine-readable error line
-    instead of hanging the driver (observed outage 2026-08-18)."""
-    import threading
-
-    result = {}
-
-    def probe():
-        try:
-            import jax
-
-            result["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001 — report, don't hang
-            result["error"] = repr(e)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" in result:
-        return result["devices"]
-    err = result.get(
-        "error", f"backend init did not return within {timeout_s:.0f}s"
-    )
+    devices = probe_backend(timeout_s)
+    if devices is not None:
+        return devices
+    err = getattr(probe_backend, "last_error", "backend unavailable")
     print(
         json.dumps(
             {
@@ -344,6 +328,8 @@ def _probe_backend(timeout_s: float = 240.0):
 def main():
     enable_persistent_compilation_cache()
     dev = _probe_backend()[0]
+    import jax  # backend proven reachable; normal imports from here on
+
     log(f"device: {dev}")
     spec = build_spec()
     rng = np.random.default_rng(0)

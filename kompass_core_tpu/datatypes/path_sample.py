@@ -64,10 +64,17 @@ class PathSample:
         blocks ending exactly at the sample end — `<` instead of `<=` —
         fixed here)."""
         idx_end = idx_start + len(x)
-        if idx_end > len(self.x_points) or idx_start < 0:
+        if (
+            idx_end > len(self.x_points)
+            or idx_start < 0
+            or not (len(x) == len(y) == len(pitch))
+        ):
             import logging
 
-            logging.error("Cannot set points for longer than the sample length")
+            logging.error(
+                "Cannot set points: block out of bounds or mismatched"
+                " block lengths"
+            )
             return
         self.x_points[idx_start:idx_end] = x
         self.y_points[idx_start:idx_end] = y
@@ -120,11 +127,21 @@ class TrajectorySample(PathSample):
 
     def set_traj(self, x_points, y_points, heading_points, time_points):
         """Set the whole trajectory at once (reference
-        ``datatypes/path.py:155-176``); the control/velocity SoA arrays
-        are re-sized to match so the sample stays internally consistent."""
+        ``datatypes/path.py:155-176``); all blocks must share one length
+        and every SoA array is re-sized to it so the sample stays
+        internally consistent."""
+        n = len(x_points)
+        if not (len(y_points) == len(heading_points) == len(time_points) == n):
+            import logging
+
+            logging.error(
+                "set_traj blocks must share one length; got "
+                f"x={n}, y={len(y_points)}, heading={len(heading_points)},"
+                f" time={len(time_points)}"
+            )
+            return
         self.set_path(x_points, y_points, heading_points)
         self.time_points = np.asarray(time_points, dtype=float)
-        n = len(self.x_points)
         for name in ("vx_points", "vy_points", "omega_points"):
             if len(getattr(self, name)) != n:
                 setattr(self, name, np.zeros(n, dtype=float))
@@ -162,12 +179,13 @@ class TrajectorySample(PathSample):
             idx_start < 0
             or idx_end > len(self.time_points)
             or idx_start + len(x) > len(self.x_points)
-            or len(x) != len(time)
+            or not (len(x) == len(y) == len(heading) == len(time))
         ):
             import logging
 
             logging.error(
-                "Cannot set trajectory points beyond the sample length"
+                "Cannot set trajectory points: block out of bounds or"
+                " mismatched block lengths"
             )
             return
         self.set_points(x, y, heading, idx_start)

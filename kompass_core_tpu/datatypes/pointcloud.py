@@ -148,8 +148,9 @@ def pointcloud_to_laserscan_from_raw(
     else:
         # accept int8 arrays (the reference's std::vector<int8_t>) AND
         # plain lists of 0..255 byte values (ROS message payloads) —
-        # astype wraps both signed and unsigned representations
-        buf = np.asarray(data).astype(np.uint8)
+        # astype wraps both signed and unsigned representations;
+        # copy=False keeps already-uint8 multi-MB clouds zero-copy
+        buf = np.asarray(data).astype(np.uint8, copy=False).ravel()
     ranges = np.full(n_bins, float(max_range))
     angles = np.arange(n_bins) * bin_width
 

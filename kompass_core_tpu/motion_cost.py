@@ -10,6 +10,7 @@ import math
 from typing import Optional
 
 import numpy as np
+import attrs
 from attrs import define, field
 
 from .datatypes.path_sample import ObstaclesData, PathSample
@@ -351,12 +352,19 @@ class MotionCostsParams(BaseAttrs):
         default=0.3, validator=base_validators.in_range(0.0, 1e2)
     )
     # reference field names (``motion_cost.py:362-382``); consumed by
-    # build() — negative sentinel means "fall back to collision_margin"
-    static_collision_margin: float = field(
-        default=-1.0, validator=base_validators.in_range(-1.0, 1e2)
+    # build() — None means "fall back to the shared collision_margin";
+    # explicit values validate like any margin (negatives still rejected)
+    static_collision_margin: Optional[float] = field(
+        default=None,
+        validator=attrs.validators.optional(
+            base_validators.in_range(0.0, 1e2)
+        ),
     )
-    dynamic_collision_margin: float = field(
-        default=-1.0, validator=base_validators.in_range(-1.0, 1e2)
+    dynamic_collision_margin: Optional[float] = field(
+        default=None,
+        validator=attrs.validators.optional(
+            base_validators.in_range(0.0, 1e2)
+        ),
     )
     goal_lat_err_weight: float = field(
         default=1.0, validator=base_validators.in_range(0.0, 1e3)
@@ -406,12 +414,12 @@ class MotionCostsParams(BaseAttrs):
     def build(self, robot_radius: float):
         static_margin = (
             self.static_collision_margin
-            if self.static_collision_margin >= 0.0
+            if self.static_collision_margin is not None
             else self.collision_margin
         )
         dynamic_margin = (
             self.dynamic_collision_margin
-            if self.dynamic_collision_margin >= 0.0
+            if self.dynamic_collision_margin is not None
             else self.collision_margin
         )
         return {

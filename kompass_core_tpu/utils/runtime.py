@@ -31,3 +31,34 @@ def enable_persistent_compilation_cache(path: str = None) -> None:
         _cache_enabled = True
     except Exception:  # cache is an optimization; never fail the caller
         pass
+
+
+def probe_backend(timeout_s: float = 240.0):
+    """Initialize the JAX backend from a watchdog thread.
+
+    The remote-tunnel backend can block indefinitely inside init when the
+    tunnel is down; probing from a daemon thread lets callers fail fast.
+    Returns the device list, or None when init raised or did not return
+    within ``timeout_s``.
+    """
+    import threading
+
+    result = {}
+
+    def _probe():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return result["devices"]
+    probe_backend.last_error = result.get(
+        "error", f"backend init did not return within {timeout_s:.0f}s"
+    )
+    return None

@@ -1083,3 +1083,33 @@ def test_init_robot_preserves_calibrated_model(tmp_path):
     sim = RobotSim(model=MotionModel2D(x_dot_prop_vx=0.85))
     sim.init_robot(str(cfg))
     assert sim.robot.state.model.x_dot_prop_vx == 0.85
+
+
+def test_sample_block_setters_reject_mismatched_lengths():
+    """Torn-update guard: mismatched block lengths leave the sample
+    completely unchanged (review-fix regression)."""
+    from kompass_core_tpu.datatypes import MotionSample, TrajectorySample
+
+    t = TrajectorySample(4)
+    before_x = t.x_points.copy()
+    t.set_traj_points([1.0, 2.0], [9.0], [0, 0], [0.1, 0.2], 0)  # bad y
+    np.testing.assert_array_equal(t.x_points, before_x)
+    t.set_points([1.0, 2.0], [9.0], [0.0, 0.0], 0)  # bad y again
+    np.testing.assert_array_equal(t.x_points, before_x)
+    # mismatched set_traj is rejected wholesale
+    m = MotionSample(3)
+    m.set_traj([1, 2, 3, 4, 5], [0] * 5, [0] * 5, [0, 1, 2])  # bad time
+    assert len(m.x_points) == 3 and len(m.time_points) == 3
+
+
+def test_motion_cost_params_rejects_negative_margins():
+    import pytest as _pytest
+
+    from kompass_core_tpu.motion_cost import MotionCostsParams
+
+    with _pytest.raises(ValueError):
+        MotionCostsParams(static_collision_margin=-0.5)
+    # None (unset) still falls back to the shared collision_margin
+    params = MotionCostsParams()
+    built = params.build(0.3)
+    assert built["static_collision"].margin == params.collision_margin
