@@ -251,3 +251,76 @@ def test_dwa_empty_scan(robot, ctrl_limits):
     res = dwa.compute_velocity_commands((0.3, 0.0, 0.0), laser_scan=scan)
     assert res.is_found
     assert res.trajectory.vx[0] > 0.0
+
+
+@pytest.mark.parametrize(
+    "robot_type",
+    [RobotType.ACKERMANN, RobotType.DIFFERENTIAL_DRIVE, RobotType.OMNI],
+)
+@pytest.mark.parametrize("with_obstacles", [False, True])
+def test_dwa_scenario_matrix_reaches_goal(
+    robot_type, with_obstacles, ctrl_limits
+):
+    """The reference's closed-loop scenario matrix {robot types x
+    obstacle on/off}, goal reached within the step budget (mirrors
+    ``dwa_test.cpp:113-161``; its budget is 150 steps)."""
+    test_robot = Robot(
+        robot_type=robot_type,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.1, 0.4]),
+    )
+    control_time_step = 0.1
+    config = DWAConfig(
+        max_linear_samples=5,
+        max_angular_samples=5,
+        octree_resolution=0.1,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0,
+            goal_distance_weight=1.0,
+            obstacles_distance_weight=1.0 if with_obstacles else 0.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=control_time_step,
+    )
+    dwa = DWA(robot=test_robot, ctrl_limits=ctrl_limits, config=config)
+
+    if with_obstacles:
+        # lateral clutter well off the path corridor: present in every
+        # solve (obstacle cost active) but not blocking
+        angles = np.linspace(np.pi * 0.6, np.pi * 0.9, 15)
+        scan = LaserScanData(
+            ranges=np.full(15, 1.2), angles=angles
+        )
+    else:
+        scan = LaserScanData()
+
+    controller = dwa
+    controller.set_path(make_global_path())
+    test_robot.state.x = -0.5
+    test_robot.state.y = 0.0
+    test_robot.state.yaw = np.pi / 2
+    end_reached = False
+    i = 0
+    while not end_reached and i < 150:
+        ok = controller.loop_step(
+            current_state=test_robot.state, laser_scan=scan
+        )
+        if not ok:
+            end_reached = controller.reached_end()
+            break
+        for vx, vy, omega in zip(
+            controller.linear_x_control,
+            controller.linear_y_control,
+            controller.angular_control,
+        ):
+            test_robot.set_control(velocity_x=vx, velocity_y=vy, omega=omega)
+            test_robot.get_state(dt=control_time_step)
+            i += 1
+            end_reached = controller.reached_end()
+    assert end_reached, (
+        f"{robot_type} obstacles={with_obstacles}: goal not reached in {i}"
+        " steps"
+    )
