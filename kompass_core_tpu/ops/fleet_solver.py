@@ -357,6 +357,14 @@ def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots")
     spec = fleet_spec.solver
 
     def tick(paths, cfg, carry, angles, inputs):
+        if spec.dynamic_box and cfg.collision_box2 is None:
+            # None is an empty pytree — vmap would pass it through and the
+            # solver would silently fall back to the circle model with the
+            # radius double-counted (it is folded into collision_margin
+            # under the dynamic-box convention)
+            raise ValueError(
+                "dynamic_box fleet spec requires FleetConfig.collision_box2"
+            )
         states = inputs[:, 0:4]
         vels = inputs[:, 4:7]
         ranges = inputs[:, 7:]

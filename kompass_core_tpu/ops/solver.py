@@ -169,6 +169,12 @@ def _device_window(spec: SolverSpec, current_vel, limits, time_step):
     dt = time_step
 
     def axis(v0, vmax, acc, dec, n):
+        # clamp the reported velocity into the limit band first: in a
+        # mixed fleet a non-omni robot carries zeroed vy limits, and an
+        # odometry-noise vy0 of +1e-6 would otherwise give lo > hi and an
+        # ALL-invalid axis (losing its vy=0 straight samples entirely —
+        # the host walk never does, ops/window.py non-omni branch)
+        v0 = jnp.clip(v0, -vmax, vmax)
         hi = jnp.minimum(vmax, v0 + acc * dt)
         lo = jnp.maximum(-vmax, v0 - dec * dt)
         res = jnp.maximum((hi - lo) / jnp.maximum(n - 1, 1), 0.001)
@@ -418,8 +424,12 @@ def _apply_truncation(px, py, vels, truncate_ok, i_col, last_free, T):
     t_idx = jnp.arange(T)[None, :]
     j_idx = jnp.arange(T - 1)[None, :]
 
-    lf_x = jnp.take_along_axis(px, last_free[:, None], axis=1)
-    lf_y = jnp.take_along_axis(py, last_free[:, None], axis=1)
+    # per-row pick as a one-hot masked sum: take_along_axis lowers to a
+    # serialized per-row gather under the fleet vmap (the banned pattern —
+    # see CLAUDE.md); at T<=~64 the [S, T] multiply-add is effectively free
+    lf_sel = t_idx == last_free[:, None]
+    lf_x = jnp.sum(jnp.where(lf_sel, px, 0.0), axis=1, keepdims=True)
+    lf_y = jnp.sum(jnp.where(lf_sel, py, 0.0), axis=1, keepdims=True)
     freeze = truncate_ok[:, None] & (t_idx > i_col[:, None])
     px = jnp.where(freeze, lf_x, px)
     py = jnp.where(freeze, lf_y, py)
@@ -649,15 +659,24 @@ def dwa_solve(
             px, py, vels, truncate_ok, i_col, last_free, spec.max_points
         )
         # truncation freezes path points at path[last_free]; their obstacle
-        # distance equals d2_obs[:, last_free] — adjust without re-sweeping
-        d2_lf = jnp.take_along_axis(d2_obs, last_free[:, None], axis=1)
+        # distance equals d2_obs[:, last_free] — adjust without re-sweeping.
+        # one-hot masked sums instead of take_along_axis: the per-row
+        # gather serializes under the fleet vmap (banned pattern)
+        lf_sel = t_idx[None, :] == last_free[:, None]
+        # where-select before the sum: a bare multiply would turn any
+        # inf in unselected slots into NaN (inf * 0)
+        d2_lf = jnp.sum(
+            jnp.where(lf_sel, d2_obs, 0.0), axis=1, keepdims=True
+        )
         frozen = truncate_ok[:, None] & (t_idx[None, :] > i_col[:, None])
         d2_obs = jnp.where(frozen, d2_lf, d2_obs)
         if d2_seg is not None:
             # same freeze for the pallas-precomputed segment sweep — the
             # XLA path recomputes from the truncated px/py inside
             # _path_cost, so only the fused-kernel field needs the patch
-            d2s_lf = jnp.take_along_axis(d2_seg, last_free[:, None], axis=1)
+            d2s_lf = jnp.sum(
+                jnp.where(lf_sel, d2_seg, 0.0), axis=1, keepdims=True
+            )
             d2_seg = jnp.where(frozen, d2s_lf, d2_seg)
 
     acc_limits = (params.acc_limit_vx, params.acc_limit_vy, params.acc_limit_omega)
@@ -1036,6 +1055,17 @@ def unpack_solver_output(spec: SolverSpec, out):
 def make_packed_dwa_solver(spec: SolverSpec, custom_costs: Sequence = ()):
     """Jit-compiled single-buffer solver: f32[packed_input_size] ->
     f32[4 + 3*(T-1) + 2*T]. One transfer each way per control tick."""
+    if spec.dynamic_box:
+        # the packed buffer carries no per-robot half-extents; silently
+        # solving with the circle fallback would double-count a radius
+        # folded into collision_margin (fleet_v2 convention). Mixed-shape
+        # fleets go through ops/fleet_solver, which threads
+        # collision_box_dyn explicitly.
+        raise ValueError(
+            "dynamic_box specs are not supported by the packed"
+            " single-buffer interface; use the fleet tick"
+            " (ops/fleet_solver) or a static spec.collision_box"
+        )
     solve = partial(_unpack_and_solve, spec, custom_costs=custom_costs)
     return jax.jit(solve)
 
@@ -1065,15 +1095,24 @@ def dwa_sample_debug(spec: SolverSpec, buf, custom_costs=()):
     params = SolverParams(*[p[i] for i in range(12)])
     o = _HDR
     nx, ny, nw = spec.n_vx, spec.n_vy, spec.n_omega
-    window = VelocityWindow(
-        buf[o : o + nx],
-        buf[o + nx : o + 2 * nx] > 0.5,
-        buf[o + 2 * nx : o + 2 * nx + ny],
-        buf[o + 2 * nx + ny : o + 2 * nx + 2 * ny] > 0.5,
-        buf[o + 2 * nx + 2 * ny : o + 2 * nx + 2 * ny + nw],
-        buf[o + 2 * nx + 2 * ny + nw : o + 2 * nx + 2 * ny + 2 * nw] > 0.5,
-    )
-    o += 2 * (nx + ny + nw)
+    # window-block parsing MUST mirror _unpack_and_solve: device-window
+    # buffers carry (current_vel[3], limits[9]) in a block of
+    # _window_block_size floats, not the host grid layout
+    if spec.device_window:
+        window = _device_window(
+            spec, buf[o : o + 3], buf[o + 3 : o + 12], params.time_step
+        )
+    else:
+        window = VelocityWindow(
+            buf[o : o + nx],
+            buf[o + nx : o + 2 * nx] > 0.5,
+            buf[o + 2 * nx : o + 2 * nx + ny],
+            buf[o + 2 * nx + ny : o + 2 * nx + 2 * ny] > 0.5,
+            buf[o + 2 * nx + 2 * ny : o + 2 * nx + 2 * ny + nw],
+            buf[o + 2 * nx + 2 * ny + nw : o + 2 * nx + 2 * ny + 2 * nw]
+            > 0.5,
+        )
+    o += _window_block_size(spec)
     r = spec.scan_size
     obs_xy = jnp.stack([buf[o : o + r], buf[o + r : o + 2 * r]], axis=1)
     o += 2 * r

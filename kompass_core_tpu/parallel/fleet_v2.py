@@ -52,6 +52,7 @@ class DeviceFleet:
         mesh=None,
         sensor_poses=None,  # [num_robots, 3] (x, y, yaw) in body, or None
         dispatch_chunk: int = 64,
+        sensor_max_range: float = 10.0,
     ):
         enable_persistent_compilation_cache()
         self.num_robots = len(robots)
@@ -174,7 +175,10 @@ class DeviceFleet:
                 row[1],
                 row[4],
                 row[7],
-                10.0 / 3.0,
+                # maxObstaclesDist = sensor range / 3 — the same rule the
+                # single-robot controller applies via set_sensor_max_range
+                # (control/dwa.py, cost_evaluator.h:174-193)
+                float(sensor_max_range) / 3.0,
             )
         rotate = np.array(
             [r.robot_type != RobotType.ACKERMANN for r in robots]
@@ -207,6 +211,7 @@ class DeviceFleet:
             ),
             collision_box2=jnp.asarray(box2),
         )
+        self._cfg = self._put(self._cfg)
         self._paths: Optional[FleetPaths] = None
         self._carry: Optional[FleetCarry] = None
         self._angles = None  # device-resident per-robot scan angles
@@ -224,6 +229,19 @@ class DeviceFleet:
             for i in range(0, self._n, C)
         ]
 
+    def _put(self, tree):
+        """Upload a per-robot pytree ONCE with the tick function's
+        sharding. Without this, jit reshards the (large, static) path and
+        config tables from single-device placement on EVERY dispatch."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(self.mesh, PartitionSpec("robots"))
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), tree
+        )
+
     def set_scan_angles(self, angles: np.ndarray):
         """Upload the (usually static) scan angle grid once."""
         ang = np.asarray(angles, np.float32)
@@ -234,7 +252,7 @@ class DeviceFleet:
             a2 = np.zeros((self._n, self._scan_rays), np.float32)
             a2[: len(ang)] = ang
             ang = a2
-        self._angles = jnp.asarray(ang)
+        self._angles = self._put(jnp.asarray(ang))
         if self._chunk:
             self._angles_chunks = self._split_chunks(self._angles)
 
@@ -287,7 +305,7 @@ class DeviceFleet:
                 if ref.size() <= P
                 else float(ref.arc_lengths[n - 1])
             )
-        self._paths = FleetPaths(
+        self._paths = self._put(FleetPaths(
             x=jnp.asarray(x),
             y=jnp.asarray(y),
             arc=jnp.asarray(arc),
@@ -296,7 +314,7 @@ class DeviceFleet:
             seg_starts=jnp.asarray(seg_starts),
             n_segs=jnp.asarray(n_segs),
             total_len=jnp.asarray(total),
-        )
+        ))
         self._carry = FleetCarry(
             closest_idx=jnp.zeros(N, jnp.int32),
             seg_idx=jnp.zeros(N, jnp.int32),

@@ -638,3 +638,25 @@ def test_lockstep_with_obstacles_randomized():
             )
     if "num_admissible" in out_dev:
         assert any_dropped, "clutter never dropped a sample — weak scenario"
+
+
+def test_sensor_max_range_flows_into_obstacle_cost_params():
+    """DeviceFleet exposes the sensor range; max_obstacles_dist = range/3
+    (the single-robot set_sensor_max_range rule; review-fix regression:
+    previously hardcoded 10/3)."""
+    robots, fleet_default = _make(2)
+    from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
+
+    fleet = DeviceFleet(
+        robots,
+        _limits(),
+        fleet_default.config,
+        scan_rays=N_RAYS,
+        path_capacity=512,
+        max_segments=16,
+        sensor_max_range=30.0,
+    )
+    params = np.asarray(fleet._cfg.params12)
+    np.testing.assert_allclose(params[:, 11], 30.0 / 3.0, rtol=1e-6)
+    params_d = np.asarray(fleet_default._cfg.params12)
+    np.testing.assert_allclose(params_d[:, 11], 10.0 / 3.0, rtol=1e-6)

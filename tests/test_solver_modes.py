@@ -443,3 +443,103 @@ def test_dwa_empty_local_map_plans_obstacle_free():
         (0.3, 0.0, 0.0), map_points_world=np.array([])
     )
     assert res.is_found
+
+
+def test_debug_solver_parses_device_window_buffers():
+    """dwa_sample_debug must parse device-window packed buffers with the
+    same layout as the production solver (review-fix regression: it
+    previously read the host grid layout and mis-offset the obstacle and
+    segment regions)."""
+    import jax.numpy as jnp
+
+    from kompass_core_tpu.ops.solver import (
+        SolverSpec,
+        _HDR,
+        _window_block_size,
+        dwa_sample_debug,
+        get_packed_dwa_solver,
+        packed_input_size,
+        unpack_solver_output,
+    )
+
+    spec = SolverSpec(
+        is_omni=False,
+        n_vx=3,
+        n_vy=1,
+        n_omega=3,  # 2*(3+1+3)=14 >= 12, exercises the shared offset
+        max_points=6,
+        num_ctrl_points=2,
+        scan_size=64,
+        seg_size=64,
+        drop_samples=True,
+        device_window=True,
+    )
+    buf = np.zeros(packed_input_size(spec), np.float32)
+    buf[0:3] = (0.0, 0.0, 0.0)  # state
+    buf[3] = 4  # obs_count
+    buf[4] = 32  # seg_count
+    buf[5] = 1.0  # seg_total_len
+    buf[6] = 2.0  # ref_total_len
+    buf[7] = spec.max_points
+    buf[8:20] = (0.1, 0.2, 0.05, 2.0, 1.0, 1.0, 0.0, 0.0, 3.0, 0.0, 3.0, 3.0)
+    o = _HDR
+    buf[o : o + 3] = (0.3, 0.0, 0.0)  # current vel
+    buf[o + 3 : o + 12] = (1.0, 5.0, 10.0, 0.0, 0.0, 0.0, 2.0, 3.0, 3.0)
+    o += _window_block_size(spec)
+    r = spec.scan_size
+    buf[o : o + 2 * r] = 1e8  # no obstacles nearby
+    buf[o : o + 4] = (5.0, 5.1, 5.2, 5.3)  # 4 obstacle xs far off-path
+    buf[o + r : o + r + 4] = (5.0, 5.0, 5.0, 5.0)
+    o += 2 * r
+    g = spec.seg_size
+    s = 0.05 * np.arange(32, dtype=np.float32)
+    buf[o : o + g] = 1e8
+    buf[o : o + 32] = s  # seg_x straight ahead
+    buf[o + g : o + 2 * g] = 1e8
+    buf[o + g : o + g + 32] = 0.0
+    buf[o + 2 * g : o + 2 * g + 32] = s
+
+    out = np.asarray(get_packed_dwa_solver(spec)(buf))
+    found, cost, best, _n, *_ = unpack_solver_output(spec, out)
+    assert found
+    px, py, costs, admissible = dwa_sample_debug(spec, jnp.asarray(buf))
+    costs = np.asarray(costs)
+    # the debug view must agree with the production solve on the same buffer
+    assert int(np.argmin(costs)) == int(best)
+    np.testing.assert_allclose(float(np.min(costs)), cost, rtol=1e-6)
+    assert np.asarray(admissible).any()
+
+
+def test_packed_solver_rejects_dynamic_box():
+    from kompass_core_tpu.ops.solver import SolverSpec, make_packed_dwa_solver
+
+    spec = SolverSpec(
+        is_omni=False, n_vx=3, n_vy=1, n_omega=3, max_points=6,
+        num_ctrl_points=2, scan_size=64, seg_size=64, dynamic_box=True,
+    )
+    with pytest.raises(ValueError):
+        make_packed_dwa_solver(spec)
+
+
+def test_device_window_zero_axis_survives_velocity_noise():
+    """A zeroed vy axis (non-omni robot in a mixed fleet) must keep its
+    vy=0 slot valid even when odometry reports a tiny nonzero vy
+    (review-fix regression: lo > hi emptied the whole axis)."""
+    import jax.numpy as jnp
+
+    from kompass_core_tpu.ops.solver import SolverSpec, _device_window
+
+    spec = SolverSpec(
+        is_omni=True, n_vx=3, n_vy=3, n_omega=3, max_points=6,
+        num_ctrl_points=2, scan_size=64, seg_size=64, device_window=True,
+    )
+    limits = jnp.asarray(
+        [1.0, 5.0, 10.0, 0.0, 0.0, 0.0, 2.0, 3.0, 3.0], jnp.float32
+    )
+    window = _device_window(
+        spec, jnp.asarray([0.3, 1e-6, 0.0]), limits, jnp.float32(0.1)
+    )
+    vy_mask = np.asarray(window.vy_mask)
+    vy_vals = np.asarray(window.vy_vals)
+    assert vy_mask[0], "vy=0 slot must stay valid under velocity noise"
+    assert abs(float(vy_vals[0])) < 1e-6
