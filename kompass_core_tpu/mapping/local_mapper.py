@@ -29,6 +29,7 @@ from ..ops.mapping import (
     UNEXPLORED,
     MapperSpec,
     get_pointcloud_to_scan,
+    pad_cloud_to_bucket,
     get_scan_to_grid,
     get_scan_to_grid_bayesian_warped,
     get_warp_previous_grid,
@@ -249,7 +250,9 @@ class LocalMapper:
         if self.is_pointcloud:
             ranges = np.asarray(
                 get_pointcloud_to_scan(self._spec.num_bins)(
-                    scan.points,
+                    # bucket-pad: per-frame point counts vary and a raw
+                    # shape would recompile the kernel per distinct N
+                    pad_cloud_to_bucket(scan.points),
                     np.float32(self.scan_model.range_max),
                     np.float32(self.scan_model.min_height),
                     np.float32(self.scan_model.max_height),

@@ -136,6 +136,33 @@ def get_critical_zone_checker(spec: CriticalZoneSpec):
     return jax.jit(partial(critical_zone_check, spec))
 
 
+def _require_uniform_zero_start(spec: CriticalZoneSpec) -> None:
+    """The cloud path bins points onto a uniform [0, 2pi) grid
+    (``pointcloud_to_scan``); the spec's per-beam trig/cone masks index by
+    that bin id, so the spec MUST have been preset with angles k*2pi/N
+    starting at 0. A spec built from e.g. a [-pi, pi) scan grid would
+    evaluate the forward cone against beams rotated by pi — an obstacle
+    dead ahead checked against the backward mask."""
+    n = len(spec.cos_angles)
+    bin_width = 2.0 * np.pi / n
+    got = np.mod(
+        np.arctan2(np.asarray(spec.sin_angles), np.asarray(spec.cos_angles)),
+        2.0 * np.pi,
+    )
+    expected = np.arange(n) * bin_width
+    # each preset beam must sit within half a bin of the uniform grid the
+    # cloud is binned onto (arange(0, 2pi, step) grids with a step that
+    # does not divide 2pi exactly drift by < one bin — acceptable; a
+    # [-pi, pi) grid is off by pi — rejected)
+    err = np.abs(normalize_to_minus_pi_pi(got - expected))
+    if np.max(err) > 0.51 * bin_width:
+        raise ValueError(
+            "critical_zone_check_cloud requires a spec preset with uniform"
+            " angles arange(0, 2*pi, 2*pi/N) — rebuild the zone with that"
+            " grid for pointcloud mode (utils/emergency_stop.py does)"
+        )
+
+
 def critical_zone_check_cloud(
     spec: CriticalZoneSpec, points, forward, range_max, min_z, max_z
 ):
@@ -148,4 +175,5 @@ def critical_zone_check_cloud(
 
 @lru_cache(maxsize=32)
 def get_critical_zone_checker_cloud(spec: CriticalZoneSpec):
+    _require_uniform_zero_start(spec)
     return jax.jit(partial(critical_zone_check_cloud, spec))

@@ -103,7 +103,23 @@ def _beam_endpoint_cells(spec: MapperSpec, ranges, angle_offset):
     return e_i, e_j
 
 
-def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2):
+def _sanitize_beams(ranges):
+    """Beam validity convention for the ops-level kernels: a beam is real
+    when its range is finite and > 0. Invalid beams (NaN dropouts, inf
+    passed unclipped, resample-filled blind-sector bins) contribute NOTHING
+    — without this, one inf range poisons the one-hot matmul lookup
+    (0 * inf = NaN) grid-wide, and an invented max-range beam would stamp
+    EMPTY through terrain the sensor never observed. The front-end clips
+    real no-echo returns to the filter limit BEFORE this (reference
+    semantics, ``local_mapper.py:296-306``); this guard covers raw users
+    of the public kernels."""
+    ranges = jnp.asarray(ranges, jnp.float32)
+    valid = jnp.isfinite(ranges) & (ranges > 0.0)
+    return jnp.where(valid, ranges, 0.0), valid
+
+
+def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
+                      valid=None):
     """Per-cell lookup of the candidate beams' endpoint cells and ranges,
     computed as a one-hot x shifted-tables matmul on the MXU.
 
@@ -125,12 +141,18 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2):
     e_if = jnp.clip(e_i + bias, 0, (1 << 15) - 1).astype(jnp.float32)
     e_jf = jnp.clip(e_j + bias, 0, (1 << 15) - 1).astype(jnp.float32)
     rf = jnp.asarray(ranges, jnp.float32)
+    vf = (
+        jnp.ones_like(rf)
+        if valid is None
+        else jnp.asarray(valid, jnp.float32)
+    )
     tabs = jnp.stack(
         [jnp.roll(e_if, n_side - k) for k in range(C)]
         + [jnp.roll(e_jf, n_side - k) for k in range(C)]
-        + [jnp.roll(rf, n_side - k) for k in range(C)],
+        + [jnp.roll(rf, n_side - k) for k in range(C)]
+        + [jnp.roll(vf, n_side - k) for k in range(C)],
         axis=1,
-    )  # [B, 3C]
+    )  # [B, 4C]
 
     flat = base.reshape(-1)
     n = flat.shape[0]
@@ -148,16 +170,17 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2):
     pad = (-n) % chunk
     padded = jnp.pad(flat, (0, pad))
     g = jax.lax.map(lookup, padded.reshape(-1, chunk))
-    g = g.reshape(n + pad, 3 * C)[:n].reshape(
-        spec.grid_height, spec.grid_width, 3 * C
+    g = g.reshape(n + pad, 4 * C)[:n].reshape(
+        spec.grid_height, spec.grid_width, 4 * C
     )
     e_i_c = jnp.round(g[..., :C]).astype(jnp.int32) - bias
     e_j_c = jnp.round(g[..., C : 2 * C]).astype(jnp.int32) - bias
-    r_c = g[..., 2 * C :]
-    return e_i_c, e_j_c, r_c
+    r_c = g[..., 2 * C : 3 * C]
+    v_c = g[..., 3 * C :] > 0.5
+    return e_i_c, e_j_c, r_c, v_c
 
 
-def _endpoint_occupancy(spec: MapperSpec, ranges, angle_offset):
+def _endpoint_occupancy(spec: MapperSpec, ranges, angle_offset, valid=None):
     """Exact OCCUPIED layer: scatter each beam's endpoint cell into the
     grid (reference ``scanToGrid`` stamps the endpoint per beam,
     ``local_mapper.cpp:127-159``).
@@ -172,6 +195,8 @@ def _endpoint_occupancy(spec: MapperSpec, ranges, angle_offset):
     e_i, e_j = _beam_endpoint_cells(spec, ranges, angle_offset)
     H, W = spec.grid_height, spec.grid_width
     in_grid = (e_i >= 0) & (e_i < H) & (e_j >= 0) & (e_j < W)
+    if valid is not None:
+        in_grid = in_grid & valid
     flat = jnp.where(in_grid, e_i * W + e_j, H * W)  # slot H*W = dump
     hist = jnp.zeros(H * W + 1, jnp.int32).at[flat].add(1)
     return (hist[: H * W] > 0).reshape(H, W)
@@ -215,13 +240,16 @@ def scan_to_grid(spec: MapperSpec, ranges, angle_offset=0.0):
     {UNEXPLORED, EMPTY, OCCUPIED} (reference ``scanToGrid``,
     ``local_mapper.cpp:204-220``).
     """
-    ranges = jnp.asarray(ranges, jnp.float32)
+    ranges, beam_valid = _sanitize_beams(ranges)
     di, dj, d, theta = _cell_geometry(spec)
     base = _base_bin(spec, theta, angle_offset)
-    e_i_c, e_j_c, _r_c = _candidate_lookup(spec, base, ranges, angle_offset)
+    e_i_c, e_j_c, _r_c, v_c = _candidate_lookup(
+        spec, base, ranges, angle_offset, valid=beam_valid
+    )
     on_line, _is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
+    on_line = on_line & v_c
 
-    occupied = _endpoint_occupancy(spec, ranges, angle_offset)
+    occupied = _endpoint_occupancy(spec, ranges, angle_offset, beam_valid)
     empty = jnp.any(on_line, axis=-1)
     grid = jnp.where(
         occupied, OCCUPIED, jnp.where(empty, EMPTY, UNEXPLORED)
@@ -270,14 +298,17 @@ def scan_to_grid_bayesian(
     beam win on multi-covered cells, this kernel deterministically uses the
     angularly nearest covering beam.
     """
-    ranges = jnp.asarray(ranges, jnp.float32)
+    ranges, beam_valid = _sanitize_beams(ranges)
     previous_prob_grid = jnp.asarray(previous_prob_grid, jnp.float32)
     di, dj, d, theta = _cell_geometry(spec)
     base = _base_bin(spec, theta, angle_offset)
-    e_i_c, e_j_c, r_c = _candidate_lookup(spec, base, ranges, angle_offset)
+    e_i_c, e_j_c, r_c, v_c = _candidate_lookup(
+        spec, base, ranges, angle_offset, valid=beam_valid
+    )
     on_line, _is_endpoint, _t = _line_membership(spec, di, dj, e_i_c, e_j_c)
+    on_line = on_line & v_c
 
-    occupied = _endpoint_occupancy(spec, ranges, angle_offset)
+    occupied = _endpoint_occupancy(spec, ranges, angle_offset, beam_valid)
     empty = jnp.any(on_line, axis=-1)
     occ_grid = jnp.where(
         occupied, OCCUPIED, jnp.where(empty, EMPTY, UNEXPLORED)
@@ -411,8 +442,13 @@ def resample_scan_uniform(angles, ranges, num_bins, range_max):
     ranges = np.asarray(ranges, np.float64)
     step = 2 * np.pi / num_bins
     bins = np.minimum((angles / step).astype(np.int64), num_bins - 1)
-    out = np.full(num_bins, np.float64(range_max))
+    # real no-echo beams clip to range_max (reference semantics); bins NO
+    # real beam maps into (a partial-FOV lidar's blind sector) stay 0.0 =
+    # invalid under the kernels' beam-validity convention — inventing a
+    # max-range beam there would stamp EMPTY through unobserved space
+    out = np.full(num_bins, np.inf)
     np.minimum.at(out, bins, np.where(np.isfinite(ranges), ranges, range_max))
+    out = np.where(np.isfinite(out), out, 0.0)
     return out.astype(np.float32)
 
 
@@ -434,6 +470,22 @@ def get_warp_previous_grid(spec: MapperSpec):
 @lru_cache(maxsize=32)
 def get_scan_to_grid_bayesian_warped(spec: MapperSpec):
     return jax.jit(partial(scan_to_grid_bayesian_warped, spec))
+
+
+def pad_cloud_to_bucket(points, bucket: int = 4096):
+    """Pad an [N, 3] cloud with zero rows to the next multiple of
+    ``bucket`` (host side). Real sensor clouds vary N per frame; jitting
+    directly over the raw shape recompiles per distinct N — minutes per
+    novel shape through a remote tunnel. Zero rows are origin points,
+    which every cloud consumer filters (r^2 < 1e-6)."""
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    pad = (-points.shape[0]) % bucket
+    if pad == 0 and points.shape[0] > 0:
+        return points
+    return np.concatenate(
+        [points, np.zeros((max(pad, bucket if points.shape[0] == 0 else pad), 3), np.float32)],
+        axis=0,
+    )
 
 
 @lru_cache(maxsize=32)

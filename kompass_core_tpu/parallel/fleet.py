@@ -57,9 +57,21 @@ def make_fleet_solver(
     chained sub-batch dispatches pipeline on-device at zero cost. Pass
     ``chunk_size=None`` for one monolithic dispatch.
     """
+    if spec.dynamic_box:
+        # same contract as make_packed_dwa_solver: the packed buffer has
+        # no per-robot half-extents, so the solve would silently fall back
+        # to the circle model with the radius double-counted
+        raise ValueError(
+            "dynamic_box specs are not supported by the packed fleet"
+            " solver; use the fleet tick (ops/fleet_solver) instead"
+        )
     solve_one = partial(_unpack_and_solve, spec, custom_costs=custom_costs)
     batched = jax.vmap(solve_one)
     if mesh is not None:
+        # NOTE: chunk_size is not applied under a mesh — each chip runs
+        # its local batch as one program. On per-chip batches well above
+        # 64 this crosses the measured XLA tiling optimum (CLAUDE.md);
+        # chunking inside a sharded program is an open lead.
         sharding = NamedSharding(mesh, P(axis_name))
         return jax.jit(batched, in_shardings=sharding, out_shardings=sharding)
     jitted = jax.jit(batched)
@@ -68,6 +80,9 @@ def make_fleet_solver(
 
     def chunked(bufs):
         n = bufs.shape[0]
+        # ONE upload for the whole fleet buffer: slicing a host numpy
+        # array per chunk would pay one tunnel transfer per 64 robots
+        bufs = jnp.asarray(bufs)
         if n <= chunk_size:
             return jitted(bufs)
         # pad the tail to a full chunk: an uneven tail shape would compile
@@ -102,6 +117,11 @@ def make_sample_parallel_solver(
     Returns a function f32[n_chips, packed_input_size] -> packed output of
     the globally winning chip.
     """
+    if spec.dynamic_box:
+        raise ValueError(
+            "dynamic_box specs are not supported by the packed"
+            " sample-parallel solver; use the fleet tick instead"
+        )
 
     def _local_then_combine(bufs):
         def per_chip(buf):

@@ -24,7 +24,6 @@ import numpy as np
 from ..control.dwa import DWA
 from ..models import Robot, RobotCtrlLimits, RobotState
 from ..ops.solver import pack_solver_input, unpack_solver_output
-from ..ops.window import sample_velocity_window
 from .fleet import make_fleet_solver
 
 
@@ -88,6 +87,22 @@ class FleetRuntime:
             DWA(robot=r, ctrl_limits=lim, config=config)
             for r, lim in zip(robots, limits_list)
         ]
+        # every robot must compile to ONE shared solver program (this
+        # host-follower runtime dispatches the whole fleet through robot
+        # 0's spec): identical sample grid, kinematics class and collision
+        # shape — only seg_size (lookahead capacity) may differ, it is
+        # maxed below. Mixed-shape/kinematics fleets belong in DeviceFleet
+        # (parallel/fleet_v2), which is per-robot-configured.
+        protos = [
+            {k: v for k, v in c._spec_proto.items() if k != "seg_size"}
+            for c in self.controllers
+        ]
+        if any(pr != protos[0] for pr in protos[1:]):
+            raise ValueError(
+                "FleetRuntime requires all robots to share one solver spec"
+                " (kinematic class, sample counts, collision shape);"
+                " per-robot shapes are supported by DeviceFleet instead"
+            )
         self.num_robots = len(robots)
         self.mesh = mesh
         self._solver = None

@@ -18,6 +18,7 @@ from ..ops.critical_zone import (
     build_critical_zone,
     get_critical_zone_checker,
     get_critical_zone_checker_cloud,
+
 )
 
 
@@ -62,7 +63,12 @@ class EmergencyChecker:
     def _init_checker(self, scan: Union[LaserScanData, PointCloudData]):
         self._is_pointcloud = isinstance(scan, PointCloudData)
         if self._is_pointcloud:
-            angles = np.arange(0.0, 2 * np.pi, self._scan_model.angle_step)
+            # EXACTLY uniform k*2pi/N grid (N from the configured step):
+            # the cloud is binned onto 2pi/N-wide bins, and an
+            # arange(0, 2pi, step) grid with a non-divisor step drifts by
+            # up to a bin at the wrap, misaligning the cone masks
+            n_bins = max(int(round(2 * np.pi / self._scan_model.angle_step)), 4)
+            angles = np.arange(n_bins) * (2 * np.pi / n_bins)
         else:
             angles = scan.angles
         self._spec_angles = np.array(angles, np.float64, copy=True)
@@ -98,10 +104,12 @@ class EmergencyChecker:
             # silently evaluate against the wrong per-beam cone masks
             self._init_checker(scan)
         if self._is_pointcloud:
+            from ..ops.mapping import pad_cloud_to_bucket
+
             fn = get_critical_zone_checker_cloud(self._spec)
             return float(
                 fn(
-                    scan.points,
+                    pad_cloud_to_bucket(scan.points),
                     forward,
                     np.float32(self._scan_model.range_max),
                     np.float32(-self._robot_height),

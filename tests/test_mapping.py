@@ -393,3 +393,62 @@ def test_local_mapper_pointcloud_empty_cloud():
         PoseData(), PointCloudData(points=np.zeros((0, 3), np.float32))
     )
     assert np.sum(mapper.occupancy == OCCUPIED) == 0
+
+
+def test_scan_to_grid_nonfinite_ranges_do_not_poison_grid():
+    """A single inf/NaN range in the raw kernels must not poison the
+    one-hot lookup (0*inf=NaN) — invalid beams contribute nothing
+    (review-fix regression, reproduced grid-wide NaN before)."""
+    from kompass_core_tpu.ops.mapping import (
+        MapperSpec,
+        scan_to_grid,
+        scan_to_grid_bayesian,
+    )
+
+    spec = MapperSpec(
+        grid_height=40, grid_width=40, num_bins=64, resolution=0.1
+    )
+    clean = np.full(64, 1.5, np.float32)
+    dirty = clean.copy()
+    dirty[10] = np.inf
+    dirty[20] = np.nan
+
+    g_clean = np.asarray(scan_to_grid(spec, clean))
+    g_dirty = np.asarray(scan_to_grid(spec, dirty))
+    # away from the two dropped beams the grids agree
+    agree = (g_clean == g_dirty).mean()
+    assert agree > 0.9
+    # and the dirty grid still has occupied + empty structure
+    assert (g_dirty == OCCUPIED).sum() > 0 and (g_dirty == EMPTY).sum() > 0
+
+    prev = np.full((40, 40), 0.5, np.float32)
+    _occ, prob = scan_to_grid_bayesian(
+        spec, dirty, prev, 0.5, 0.3, 0.9, 1.0, 5.0, 0.1
+    )
+    prob = np.asarray(prob)
+    assert np.all(np.isfinite(prob)), "Bayesian probs must stay finite"
+
+
+def test_partial_fov_blind_sector_stays_unexplored():
+    """A 270-degree lidar's uncovered quadrant must stay UNEXPLORED —
+    resampling previously invented max-range beams there and stamped the
+    blind sector EMPTY (review-fix regression, reproduced)."""
+    config = MapConfig(width=6.0, height=6.0, resolution=0.1)
+    mapper = LocalMapper(config, ScanModelConfig(p_prior=0.5))
+    n = 270
+    angles = np.linspace(0, 1.5 * np.pi, n, endpoint=False)  # 270 deg
+    scan = LaserScanData(
+        ranges=np.full(n, 2.0), angles=angles,
+        angle_min=0.0, angle_max=1.5 * np.pi,
+    )
+    mapper.update_from_scan(PoseData(), scan)
+    occ = mapper.occupancy
+    si, sj = mapper._spec.start_cell
+    # covered direction (+x) is swept EMPTY with an occupied ring hit
+    assert occ[si + 10, sj] == EMPTY
+    # blind sector: bearing ~ -45 deg (i.e. +x, -y quadrant center)
+    bi = si + int(10 * np.cos(-np.pi / 4))
+    bj = sj + int(10 * np.sin(-np.pi / 4))
+    assert occ[bi, bj] == UNEXPLORED, (
+        "blind sector must not be stamped EMPTY"
+    )
