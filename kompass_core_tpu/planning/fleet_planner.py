@@ -118,17 +118,24 @@ def solve_fleet_prm(
     deadline = time.monotonic() + max(cfg.planning_timeout, 0.0)
 
     paths: List[Optional[np.ndarray]] = [None] * N
+    trivial = [False] * N
     for i in range(N):
         if float(np.hypot(*(goals[i] - starts[i]))) < 1e-6:
             paths[i] = np.stack([starts[i], goals[i]])
+            trivial[i] = True
 
+    # path COSTS (polyline length) so later deliberate rounds can refine:
+    # each round samples a fresh roadmap, and a robot first solved through
+    # a bad detour should adopt a cheaper later solution (mirrors
+    # GlobalPlanner.solve's keep-the-cheapest rule)
+    costs = [0.0 if trivial[i] else np.inf for i in range(N)]
     round_i = 0
     while True:
-        if all(p is not None for p in paths):
+        all_solved = all(p is not None for p in paths)
+        deliberate = round_i < max(1, cfg.optimize_rounds)
+        if all_solved and not deliberate:
             break
-        if round_i >= max(1, cfg.optimize_rounds + 1) and (
-            time.monotonic() >= deadline
-        ):
+        if not deliberate and time.monotonic() >= deadline:
             break
         key = jax.random.PRNGKey(base_seed + round_i)
         samples = jax.random.uniform(
@@ -152,10 +159,10 @@ def solve_fleet_prm(
         dists = np.asarray(dists)
         preds = np.asarray(preds)
         for i in range(N):
-            if paths[i] is not None:
-                continue
             if not np.isfinite(dists[i, N + i]):
                 continue
+            if dists[i, N + i] >= costs[i]:
+                continue  # no improvement over the kept solution
             raw = _trace_fleet_path(nodes, preds[i], i, N + i)
             if raw is None:
                 continue
@@ -167,5 +174,6 @@ def solve_fleet_prm(
                     relax_iters, i, len(raw),
                 )
             paths[i] = planner._shortcut(raw) if cfg.simplify else raw
+            costs[i] = float(dists[i, N + i])
         round_i += 1
     return paths

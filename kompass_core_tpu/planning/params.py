@@ -42,10 +42,10 @@ _REWIRE = ("Rewire factor", _D, [1.0, 0.01, 3.0], 1.1)
 
 PLANNER_PARAMS: Dict[str, Dict[str, tuple]] = {
     "PRM": {
-        "max_nearest_neighbors": ("Max nearest neighbors", _I, [4, 1, 1000], 16),
+        "max_nearest_neighbors": ("Max nearest neighbors (0 = uncapped)", _I, [0, 1, 1000], 16),
     },
     "LazyPRM": {
-        "max_nearest_neighbors": ("Max nearest neighbors", _I, [4, 1, 1000], 16),
+        "max_nearest_neighbors": ("Max nearest neighbors (0 = uncapped)", _I, [0, 1, 1000], 16),
         "range": _RANGE,
     },
     "PRMstar": {
@@ -226,8 +226,17 @@ def create_config_class(name: str, conf: Dict[str, tuple]) -> type:
     (reference ``config.py:161-184``)."""
     if name not in _class_cache:
         fields = {key: create_field(val) for key, val in conf.items()}
+        from attrs import setters
+
+        # validate on setattr too: configure()/from_file load params via
+        # plain attribute assignment, which make_class classes (unlike
+        # @define) do not validate by default — an out-of-range yaml value
+        # (e.g. goal_bias: 5.0) would silently degenerate the planner
         _class_cache[name] = make_class(
-            name + "Config", fields, bases=(BaseAttrs,)
+            name + "Config",
+            fields,
+            bases=(BaseAttrs,),
+            on_setattr=[setters.convert, setters.validate],
         )
     return _class_cache[name]
 

@@ -532,8 +532,32 @@ class GlobalPlanner:
         enable_persistent_compilation_cache()
         self._robot = robot
         self._config = config or GlobalPlannerConfig()
+        self._defer_config_file = None
         if config_file:
-            self._config.from_file(config_file)
+            # accept BOTH file schemas: flat keys at the top level, and
+            # the configure() format with the config under an 'ompl' root
+            # (+ per-planner param sections) — a configure-format file
+            # passed here previously no-op'd silently (its only top-level
+            # key, 'ompl', is unknown to update_from_dict)
+            import json as _json
+
+            if config_file.endswith((".yaml", ".yml")):
+                import yaml as _yaml
+
+                with open(config_file) as f:
+                    data = _yaml.safe_load(f) or {}
+            elif config_file.endswith(".toml"):
+                import tomllib as _toml
+
+                with open(config_file, "rb") as f:
+                    data = _toml.load(f)
+            else:
+                with open(config_file) as f:
+                    data = _json.load(f)
+            if isinstance(data, dict) and "ompl" in data:
+                self._defer_config_file = config_file  # configure() format
+            else:
+                self._config.from_file(config_file)
         # accept reference-style "ompl.geometric.X" ids (planner.py:34)
         self._config.planner_id = normalize_planner_id(
             self._config.planner_id
@@ -551,6 +575,9 @@ class GlobalPlanner:
         self.solution: Optional[np.ndarray] = None
         self._blocked = None
         self._problem = None
+        if self._defer_config_file:
+            # configure() needs _planner_params in place first
+            self.configure(self._defer_config_file)
 
     def configure(
         self,
@@ -656,6 +683,26 @@ class GlobalPlanner:
         radius = RobotGeometry.get_radius(
             self._robot.geometry_type, self._robot.geometry_params
         )
+        # edge-check density must cover the LONGEST edge any planner can
+        # create (connection_radius / step_size) at map resolution — a
+        # fixed count sized for short edges lets long edges sample wider
+        # than a wall and tunnel through it. Raised in place (the config
+        # field is a minimum); validator cap 512 bounds kernel cost.
+        needed = int(
+            np.ceil(
+                max(self._config.connection_radius, self._config.step_size)
+                / max(res, 1e-9)
+            )
+        ) + 1
+        if needed > self._config.edge_check_points:
+            self._config.edge_check_points = min(needed, 512)
+            if needed > 512:
+                logger.warning(
+                    "edge_check_points clipped to 512 (%d needed for"
+                    " connection_radius %.2f at resolution %.3f); long"
+                    " edges may under-sample thin obstacles",
+                    needed, self._config.connection_radius, res,
+                )
         obstacles = (
             np.asarray(map_3d, np.float64)
             if (map_3d is not None and self._use_fcl)
@@ -737,7 +784,21 @@ class GlobalPlanner:
     # --- helpers ---
 
     def _segment_free_host(self, a, b) -> bool:
-        n = self._config.edge_check_points
+        # sample count scales with segment length: shortcut candidates can
+        # join vertices tens of metres apart, and the configured fixed
+        # count (sized for step-length planner edges) would space samples
+        # wider than a wall — declaring a through-the-wall segment free
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        res = float(self._problem["resolution"])
+        length = float(np.hypot(*(b - a)))
+        n = max(
+            int(self._config.edge_check_points),
+            int(np.ceil(length / max(res, 1e-9))) + 1,
+        )
+        # quantize to the next power of two: bounds the number of distinct
+        # eager-op shapes this host-side check produces
+        n = 1 << (n - 1).bit_length()
         return bool(
             segment_free(
                 self._blocked,

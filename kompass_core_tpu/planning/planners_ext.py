@@ -57,6 +57,20 @@ def _mu_free(blocked, res: float) -> float:
     return max(float((~np.asarray(blocked)).sum()) * res * res, 1e-6)
 
 
+def _edge_checks_for_radius(cfg, res: float, radius: float) -> int:
+    """Edge-check count covering a given connection radius at map
+    resolution: the RGG radius of the batch planners can exceed
+    cfg.connection_radius (which sizes the default count), letting long
+    edges sample wider than a wall. Pow2-quantized to bound the number
+    of distinct compiled kernels; capped at the validator max (512)."""
+    import math as _math
+
+    needed = int(_math.ceil(radius / max(res, 1e-9))) + 1
+    n = max(int(cfg.edge_check_points), needed)
+    n = 1 << (n - 1).bit_length()
+    return min(n, 512)
+
+
 def _rgg_radius(mu_free: float, res: float, n: int, rewire: float) -> float:
     """PRM*/BIT* shrinking RGG connection radius for n samples."""
     gamma = rewire * 2.0 * np.sqrt(1.5) * np.sqrt(mu_free / np.pi)
@@ -629,7 +643,7 @@ def solve_bitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
             prob["resolution"],
             jnp.asarray(pts),
             jnp.float32(r_n),
-            edge_check_points=cfg.edge_check_points,
+            edge_check_points=_edge_checks_for_radius(cfg, res, r_n),
             num_relax_iters=min(K_total, 128),
             knn_cap=0,
         )

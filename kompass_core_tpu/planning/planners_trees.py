@@ -53,6 +53,7 @@ from .planners_ext import (
     _gumbel_pick,
     _informed_batch,
     _mu_free,
+    _edge_checks_for_radius,
     _rgg_radius,
     _trace_tree,
     _tree_args,
@@ -881,7 +882,7 @@ def solve_abitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
             prob["resolution"],
             jnp.asarray(pts),
             jnp.float32(r_n),
-            edge_check_points=cfg.edge_check_points,
+            edge_check_points=_edge_checks_for_radius(cfg, res, r_n),
             num_relax_iters=min(K_total, 128),
             knn_cap=0,
         )
@@ -936,7 +937,7 @@ def solve_aitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
         h_dist, _ = _graph_shortest_path(
             planner._blocked, prob["origin"], prob["resolution"],
             jnp.asarray(pts_rev), jnp.float32(r_n),
-            edge_check_points=cfg.edge_check_points,
+            edge_check_points=_edge_checks_for_radius(cfg, res, r_n),
             num_relax_iters=min(K_total, 128), knn_cap=0,
         )
         h = np.asarray(h_dist).copy()
@@ -952,7 +953,7 @@ def solve_aitstar(planner, prob, seed=0) -> Optional[np.ndarray]:
         dist, pred = _graph_shortest_path(
             planner._blocked, prob["origin"], prob["resolution"],
             jnp.asarray(pts_fwd), jnp.float32(r_n),
-            edge_check_points=cfg.edge_check_points,
+            edge_check_points=_edge_checks_for_radius(cfg, res, r_n),
             num_relax_iters=min(K_total, 128), knn_cap=0,
         )
         path = _trace_prm_path(np.asarray(pts_fwd), np.asarray(dist),

@@ -456,3 +456,65 @@ def test_use_fcl_false_skips_collision(robot):
     assert path is not None
     # without collision checking the straight line through the wall wins
     assert planner.path_cost == pytest.approx(6.0, rel=0.1)
+
+
+def test_shortcut_cannot_tunnel_thin_wall(robot):
+    """Shortcut segments are checked at resolution-scaled density — a
+    fixed 32-sample check let long shortcuts step clean over a thin wall
+    (review-fix regression)."""
+    meta = {
+        "resolution": 0.1,
+        "width": 400,
+        "height": 400,
+        "origin_x": 0.0,
+        "origin_y": 0.0,
+    }
+    xs = np.arange(0.0, 36.0, 0.05)  # thin wall y=20, gap x>36
+    wall = np.stack([xs, np.full_like(xs, 20.0), np.zeros_like(xs)], axis=1)
+    cfg = GlobalPlannerConfig(planner_id="PRM", num_samples=128, seed=3)
+    planner = GlobalPlanner(robot, config=cfg)
+    planner.setup_problem(
+        meta.copy(), 2.0, 2.0, 0.0, 2.2, 38.0, 0.0, wall
+    )
+    a = np.array([2.0, 2.0], np.float32)
+    b = np.array([2.2, 38.0], np.float32)
+    assert not planner._segment_free_host(a, b)
+    shortened = planner._shortcut(
+        np.array([[2.0, 2.0], [37.0, 19.0], [37.0, 21.0], [2.2, 38.0]])
+    )
+    assert len(shortened) > 2  # must keep routing around the wall
+
+
+def test_ctor_accepts_configure_format_file(robot, tmp_path):
+    """A configure()-format file (config under 'ompl' + per-planner
+    sections) passed as config_file= must load instead of silently
+    no-op'ing (review-fix regression)."""
+    import yaml
+
+    cfg_file = tmp_path / "planner.yaml"
+    cfg_file.write_text(
+        yaml.safe_dump(
+            {"ompl": {"planner_id": "RRT", "num_samples": 128,
+                      "RRT": {"goal_bias": 0.3}}}
+        )
+    )
+    planner = GlobalPlanner(robot, config_file=str(cfg_file))
+    assert planner._config.planner_id == "RRT"
+    assert planner._config.num_samples == 128
+    assert planner._planner_params.goal_bias == pytest.approx(0.3)
+    flat = tmp_path / "flat.yaml"
+    flat.write_text(yaml.safe_dump({"planner_id": "PRM"}))
+    planner2 = GlobalPlanner(robot, config_file=str(flat))
+    assert planner2._config.planner_id == "PRM"
+
+
+def test_planner_params_validate_on_setattr(robot):
+    """Out-of-range per-planner params are rejected at assignment, not
+    just construction (review-fix regression: configure()/from_file set
+    via plain setattr)."""
+    cfg = GlobalPlannerConfig(planner_id="RRT")
+    planner = GlobalPlanner(robot, config=cfg)
+    with pytest.raises(ValueError):
+        planner._planner_params.goal_bias = 5.0
+    planner._planner_params.goal_bias = 0.2
+    assert planner._planner_params.goal_bias == pytest.approx(0.2)
