@@ -15,7 +15,7 @@ are *steps* and multiplied by control_time_step before use
 import dataclasses
 import logging
 import math
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Union
 
 import numpy as np
 from attrs import Factory, define, field
@@ -44,7 +44,7 @@ from ..ops.window import (
     num_angular_slots,
     sample_velocity_window,
 )
-from ..utils.config import BaseAttrs, base_validators
+from ..utils.config import base_validators
 from .follower import Follower, FollowerConfig
 from .trajectory_costs import TrajectoryCostsWeights
 
@@ -380,6 +380,27 @@ class DWA(Follower):
         wy = sy * bx + cy * by + self.current_state.y
         return np.stack([wx, wy], axis=1).astype(np.float32)
 
+    def _gather_obstacles(
+        self, laser_scan, point_cloud, map_points_world
+    ) -> np.ndarray:
+        """World-frame [N, 2] obstacle points from whichever input was
+        given, with non-finite points DROPPED: one NaN point would
+        otherwise defeat every collision comparison (NaN < r^2 is false —
+        nothing ever drops) and poison the obstacle cost, so the solver
+        would return found=True with cost=nan and an arbitrary winner."""
+        if map_points_world is not None:
+            obs = np.atleast_2d(np.asarray(map_points_world, np.float32))
+            # an empty local map means obstacle-free planning, not a crash
+            obs = (
+                np.zeros((0, 2), np.float32) if obs.size == 0 else obs[:, :2]
+            )
+        else:
+            obs = self._obstacle_points_world(laser_scan, point_cloud)
+        finite = np.isfinite(obs).all(axis=1)
+        if not finite.all():
+            obs = obs[finite]
+        return obs
+
     def _rotate_in_place_result(self, heading_error: float) -> SamplingControlResult:
         """Pure-rotation shortcut for large heading error
         (``dwa.h:195-205`` + ``trajectory_sampler.cpp:409-445`` with vx=0).
@@ -440,14 +461,9 @@ class DWA(Follower):
 
         self._adapt_prediction_horizon()
 
-        if map_points_world is not None:
-            obs = np.asarray(map_points_world, np.float32)
-            # an empty local map means obstacle-free planning, not a crash
-            obs = (
-                np.zeros((0, 2), np.float32) if obs.size == 0 else obs[:, :2]
-            )
-        else:
-            obs = self._obstacle_points_world(laser_scan, point_cloud)
+        obs = self._gather_obstacles(
+            laser_scan, point_cloud, map_points_world
+        )
         obs_count = len(obs)
         bucket = max(256, _round_up(obs_count, 256))
         obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
@@ -585,11 +601,14 @@ class DWA(Follower):
         return self._result.is_found
 
     def debug_velocity_search(
-        self, current_vel, laser_scan=None, point_cloud=None, drop_samples=None
+        self, current_vel, laser_scan=None, point_cloud=None,
+        drop_samples=None, map_points_world=None,
     ):
         """Return every rollout + its cost/admissibility for visualization
         (role of ``DWA::debugVelocitySearch``/``getDebuggingSamples``,
-        ``dwa.h:141-163``).
+        ``dwa.h:141-163``). Accepts the same obstacle inputs as
+        ``compute_velocity_commands`` (incl. ``map_points_world``) so the
+        debug view ranks against the same scene the executed command saw.
 
         Returns (paths_x [S, T], paths_y [S, T], costs [S], admissible [S]).
         """
@@ -599,11 +618,13 @@ class DWA(Follower):
             raise ValueError("Global path not set")
         self.determine_target()
         self._adapt_prediction_horizon()
-        obs = self._obstacle_points_world(laser_scan, point_cloud)
+        obs = self._gather_obstacles(
+            laser_scan, point_cloud, map_points_world
+        )
         obs_count = len(obs)
         bucket = max(256, _round_up(obs_count, 256))
         obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
-        obs_padded[:obs_count] = obs[:bucket]
+        obs_padded[:obs_count] = obs
         spec, _solver, buf = self._solver_for(bucket)
         if drop_samples is not None and bool(drop_samples) != spec.drop_samples:
             # honor the override: debug the requested admissibility mode

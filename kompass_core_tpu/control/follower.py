@@ -112,7 +112,6 @@ class Follower:
         self._path_processing = False
         self._reached_goal = True
         self._goal_distance = float("inf")
-        self._goal_orientation = 0.0
         # Ackermann bases cannot rotate in place (follower.cpp:41-46)
         self.rotate_in_place = not is_ackermann
 
@@ -165,7 +164,6 @@ class Follower:
         self._current_segment_index = 0
         self._closest = PathPosition()
         self._goal_distance = float("inf")
-        self._goal_orientation = self._path.end_orientation()
         self._reached_goal = False
 
     def has_path(self) -> bool:
@@ -224,6 +222,10 @@ class Follower:
         """Binary-search-like descent over segment start points
         (follower.cpp:155-183). Delegates to the native host library when
         built (numpy fallback has identical semantics)."""
+        # the only in-repo call uses the full range and takes the native
+        # path below; the inline loop is the general-range fallback —
+        # keep its quirks (the <= tie rule, mid==left/right early return)
+        # in lockstep with native/__init__.py + kompass_host.cpp
         if left == 0 and right == self._max_segment_index:
             return find_closest_segment(
                 self._path.xs,
@@ -325,7 +327,12 @@ class Follower:
         seg1_start, seg1_orientation, seg2_start, seg2_orientation
     ) -> bool:
         """Whether segment 2 continues forward from segment 1
-        (follower.cpp:306-317)."""
+        (follower.cpp:306-317). Faithful port INCLUDING the reference's
+        quirky angle math: ``abs(normalizeTo02Pi(x))`` maps small negative
+        differences to ~2*pi, so the test is asymmetric for clockwise
+        bends and the right-hand side can go negative. Unexercised
+        upstream (no callers in the reference either) — kept verbatim as
+        parity surface, not as a recommended primitive."""
         angle_between = math.atan2(
             seg2_start[1] - seg1_start[1], seg2_start[0] - seg1_start[0]
         )

@@ -324,3 +324,103 @@ def test_dwa_scenario_matrix_reaches_goal(
         f"{robot_type} obstacles={with_obstacles}: goal not reached in {i}"
         " steps"
     )
+
+
+def test_nan_pointcloud_does_not_disable_collision(robot, ctrl_limits):
+    """One NaN point in a cloud must not defeat collision admissibility
+    or poison costs (review-fix regression, reproduced: found=True,
+    cost=nan, wall ignored)."""
+    from kompass_core_tpu.datatypes import PointCloudData
+
+    control_time_step = 0.1
+    config = DWAConfig(
+        max_linear_samples=6,
+        max_angular_samples=6,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=2.0,
+            goal_distance_weight=1.0,
+            obstacles_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=control_time_step,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [0.0, 3.0]]))
+    robot.state.x, robot.state.y, robot.state.yaw = 0.0, 0.0, np.pi / 2
+    dwa.set_current_state(0.0, 0.0, np.pi / 2)
+
+    # wall of points directly ahead + one NaN dropout in the cloud
+    ys = np.full(21, 0.45)
+    xs = np.linspace(-0.5, 0.5, 21)
+    pts = np.stack([ys, -xs, np.zeros(21)], axis=1).astype(np.float32)
+    # sensor frame: x forward -> wall at x=0.45 ahead of a +pi/2-facing
+    # robot in world frame
+    pts = np.concatenate(
+        [pts, np.array([[np.nan, np.nan, 0.0]], np.float32)]
+    )
+    result = dwa.compute_velocity_commands(
+        (0.0, 0.0, 0.0), point_cloud=PointCloudData(points=pts)
+    )
+    assert result.is_found
+    assert np.isfinite(result.cost), "NaN point poisoned the costs"
+    clearance = 0.45 - np.max(result.trajectory.path_y)
+    assert clearance > robot.radius, (
+        f"NaN point disabled collision (clearance {clearance:.3f})"
+    )
+
+
+def test_map_points_world_accepts_single_point(robot, ctrl_limits):
+    """A 1-D [x, y] local-map input must not crash into a swallowed
+    IndexError (review-fix regression)."""
+    config = DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        prediction_horizon=8,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    from kompass_core_tpu.models import RobotState
+
+    dwa.set_path(np.array([[0.0, 0.0], [2.0, 0.0]]))
+    ok = dwa.loop_step(
+        current_state=RobotState(x=0.0, y=0.0, yaw=0.0),
+        local_map=np.array([5.0, 5.0]),
+    )
+    assert ok
+
+
+def test_debug_velocity_search_sees_local_map(robot, ctrl_limits):
+    """debug_velocity_search accepts map_points_world so debug rankings
+    match the executed command's scene (review-fix regression: the debug
+    solve previously ran obstacle-free for local-map users)."""
+    config = DWAConfig(
+        max_linear_samples=6,
+        max_angular_samples=6,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=2.0,
+            goal_distance_weight=1.0,
+            obstacles_distance_weight=1.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+    dwa = DWA(robot=robot, ctrl_limits=ctrl_limits, config=config)
+    dwa.set_path(np.array([[0.0, 0.0], [0.0, 3.0]]))
+    dwa.set_current_state(0.0, 0.0, np.pi / 2)
+    wall = np.stack(
+        [np.linspace(-0.5, 0.5, 21), np.full(21, 0.45)], axis=1
+    )
+    _px, py, costs, adm = dwa.debug_velocity_search(
+        (0.0, 0.0, 0.0), map_points_world=wall
+    )
+    # with the wall in view, some samples must be inadmissible
+    assert not np.asarray(adm).all()
+    _px2, _py2, costs_free, adm_free = dwa.debug_velocity_search(
+        (0.0, 0.0, 0.0)
+    )
+    assert np.asarray(adm_free).sum() > np.asarray(adm).sum()
