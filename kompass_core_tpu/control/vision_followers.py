@@ -56,10 +56,18 @@ class VisionRGBFollowerConfig(BaseAttrs):
         default=0.1, validator=base_validators.in_range(0.0, 1.0)
     )
     target_distance: Optional[float] = field(default=None)
-    target_wait_timeout: float = field(default=30.0)
-    target_search_timeout: float = field(default=30.0)
-    target_search_pause: float = field(default=1.0)
-    target_search_radius: float = field(default=0.5)
+    target_wait_timeout: float = field(
+        default=30.0, validator=base_validators.in_range(1e-3, 1e6)
+    )
+    target_search_timeout: float = field(
+        default=30.0, validator=base_validators.in_range(1e-3, 1e6)
+    )
+    target_search_pause: float = field(
+        default=1.0, validator=base_validators.in_range(0.0, 1e6)
+    )
+    target_search_radius: float = field(
+        default=0.5, validator=base_validators.in_range(1e-3, 1e3)
+    )
     rotation_gain: float = field(
         default=1.0, validator=base_validators.in_range(1e-2, 10.0)
     )
@@ -81,8 +89,10 @@ class VisionRGBDFollowerConfig(VisionRGBFollowerConfig):
     """(reference ``control/rgbd_follower.py:22-258`` +
     ``rgbd_follower.h:23-88``)"""
 
+    # >= 2: a 1-step horizon yields an empty velocity profile — the
+    # follower would report success while never moving
     prediction_horizon: int = field(
-        default=10, validator=base_validators.in_range(1, 1000)
+        default=10, validator=base_validators.in_range(2, 1000)
     )
     distance_tolerance: float = field(default=0.1)
     angle_tolerance: float = field(default=0.1)
@@ -193,6 +203,11 @@ class RGBFollowerCore:
 
     def run(self, target: Optional[Bbox2D]) -> bool:
         if target is not None:
+            # reference quirks kept verbatim (rgb_follower.cpp:101-117):
+            # reacquiring a target resets the clocks but does NOT clear a
+            # half-consumed search queue (a later loss resumes the stale
+            # sweep), and after a give-up get_ctrl returns the last
+            # tracking command (callers must treat run()==False as stop)
             self._recorded_wait_time = 0.0
             self._recorded_search_time = 0.0
             self._last_tracking = target
@@ -230,6 +245,10 @@ class RGBFollowerCore:
         )
         if self._target_distance is None:
             self._target_distance = current_dist
+        # a degenerate (zero-area) reference box would divide by zero
+        # below — C++ float division degrades to inf, Python raises;
+        # floor the reference ratio instead
+        self._target_distance = max(self._target_distance, 1e-6)
         self.dist_error = self._target_distance - current_dist
         distance_tolerance = self.config.tolerance * self._target_distance
         center = target.get_center()
@@ -439,13 +458,18 @@ class RGBDFollowerCore(RGBFollowerCore):
         return [(0.0, 0.0, 0.0)] * max(n - 1, 1)
 
     def _pop_search_result(self):
+        """Pop up to (control_horizon - 1) search commands. A PARTIAL
+        batch is still returned when the queue drains mid-pop — returning
+        None there would discard already-popped commands and spuriously
+        give up before the search timeout, then restart a fresh search
+        forever (the give-up path resets the search clock)."""
         cmds = []
         for _ in range(max(self.config.control_horizon - 1, 1)):
             if not self._search_queue:
-                return None
+                break
             cmds.append(self._search_queue.popleft())
             self._recorded_search_time += self.config.control_time_step
-        return cmds
+        return cmds or None
 
     def _try_wait(self):
         # reference quirk kept verbatim (rgbd_follower.cpp:258-269): the
@@ -563,10 +587,13 @@ class RGBDFollowerCore(RGBFollowerCore):
         return self._dispatch(tracked_pose)
 
     def get_tracking_ctrl_3d(self, detected_boxes: List[Bbox3D], current_vel):
+        # consistent with the 2D entry: a never-initialized follower must
+        # raise rather than silently enter the wait/search state machine
+        # on an empty detection list
+        if not self.tracker.tracker_initialized():
+            raise RuntimeError("Tracker not initialized")
         tracked_pose = None
         if detected_boxes:
-            if not self.tracker.tracker_initialized():
-                raise RuntimeError("Tracker not initialized")
             if self.tracker.update_tracking(detected_boxes):
                 tracked_pose = self.tracker.get_filtered_tracked_pose_2d()
                 self._refresh_target_geometry()

@@ -96,6 +96,8 @@ class DepthDetector:
         """2D box -> 3D box (``depth_detector.cpp:84-151``)."""
         xl = box2d.get_x_limits()
         yl = box2d.get_y_limits()
+        if depth_img.ndim == 3 and depth_img.shape[-1] == 1:
+            depth_img = depth_img[..., 0]  # (H, W, 1) from cv_bridge etc.
         h, w = depth_img.shape
         # clamp BOTH slice ends to >= 0: a box fully outside the frame
         # would otherwise produce a negative end index, which Python

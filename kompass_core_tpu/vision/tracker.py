@@ -147,6 +147,20 @@ class FeatureBasedBboxTracker:
         if max_score > self.min_accepted_similarity:
             dt = found.timestamp - self._tracked.box.timestamp
             number_steps = max(int(dt / self.time_step), 1)
+            # a timestamp-origin mismatch (e.g. epoch-stamped detections
+            # against a zero-stamped initial box) would request billions
+            # of predict iterations and hang the control loop — cap the
+            # covariance extrapolation (the state predict saturates long
+            # before this anyway)
+            if number_steps > 1000:
+                import logging
+
+                logging.getLogger("kompass_core_tpu").warning(
+                    "tracker dt %.3g s spans %d filter steps; capping at"
+                    " 1000 (check detection timestamp origin)",
+                    dt, number_steps,
+                )
+                number_steps = 1000
             self._tracked.update_from_new_detection(found)
             self._update_state(number_steps)
             return True

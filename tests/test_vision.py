@@ -365,3 +365,80 @@ def test_depth_detector_rejects_out_of_frame_box():
     )
     det.update_boxes(img, [above, left])
     assert det.get_3d_detections() == []
+
+
+def test_rgb_degenerate_target_box_does_not_crash(robot, limits):
+    """A zero-area reference box floors the distance ratio instead of
+    dividing by zero (review-fix regression; C++ float-div degrades, the
+    Python port raised)."""
+    from kompass_core_tpu.control.vision_followers import (
+        RGBFollowerCore,
+        VisionRGBFollowerConfig,
+    )
+
+    core = RGBFollowerCore(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        ctrl_limits=limits,
+        config=VisionRGBFollowerConfig(),
+    )
+    degenerate = Bbox2D(
+        top_left_corner=np.array([10, 10]),
+        size=np.array([0, 20]),
+        img_size=np.array([640, 480]),
+    )
+    core.reset_target(degenerate)
+    normal = Bbox2D(
+        top_left_corner=np.array([100, 100]),
+        size=np.array([40, 40]),
+        img_size=np.array([640, 480]),
+    )
+    assert core.run(normal)
+    v, vy, w = core.get_ctrl()
+    assert np.isfinite(v) and np.isfinite(w)
+
+
+def test_tracker_caps_runaway_timestamp_gap():
+    """Epoch-stamped detections against a zero-stamped initial box must
+    not hang the Kalman predict loop (review-fix regression)."""
+    import time as _time
+
+    from kompass_core_tpu.vision.tracker import FeatureBasedBboxTracker
+
+    tracker = FeatureBasedBboxTracker(0.1, 0.05, 0.05, 0.05)
+    box = Bbox3D(
+        center=np.array([1.0, 0.0, 0.0], np.float32),
+        size=np.array([0.4, 0.4, 1.0], np.float32),
+        timestamp=0.0,
+        label="person",
+    )
+    tracker.set_initial_tracking_box(box)
+    later = Bbox3D(
+        center=np.array([1.1, 0.0, 0.0], np.float32),
+        size=np.array([0.4, 0.4, 1.0], np.float32),
+        timestamp=float(_time.time()),  # epoch seconds
+        label="person",
+    )
+    t0 = _time.perf_counter()
+    assert tracker.update_tracking([later])
+    assert _time.perf_counter() - t0 < 5.0, "predict loop must be capped"
+
+
+def test_depth_detector_accepts_trailing_channel_axis():
+    from kompass_core_tpu.vision.depth_detector import DepthDetector
+
+    det = DepthDetector(
+        depth_range=[0.3, 5.0],
+        camera_in_body_translation=[0.0, 0.0, 0.0],
+        camera_in_body_rotation=[0.0, 0.0, 0.0, 1.0],
+        focal_length=[500.0, 500.0],
+        principal_point=[320.0, 240.0],
+    )
+    img = np.full((480, 640, 1), 1500, np.uint16)  # (H, W, 1)
+    box = Bbox2D(
+        top_left_corner=np.array([300, 220]),
+        size=np.array([40, 40]),
+        img_size=np.array([640, 480]),
+    )
+    det.update_boxes(img, [box])
+    out = det.get_3d_detections()
+    assert len(out) == 1 and np.isfinite(out[0].center).all()
