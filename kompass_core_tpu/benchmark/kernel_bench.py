@@ -23,11 +23,20 @@ def log(msg):
 
 
 def slope_time(fn, variants, probe, n_lo=10, n_hi=40):
-    """Marginal seconds per call over a chain of distinct inputs."""
+    """Marginal seconds per call over chains of distinct inputs — one
+    variant per dispatch across warmup + both chains (``k % len`` reuse
+    would let identical (executable, input) pairs repeat, the deflation
+    mode CLAUDE.md's protocol forbids)."""
+    needed = 5 + n_lo + n_hi
+    assert len(variants) >= needed, (
+        f"need {needed} distinct inputs, got {len(variants)}"
+    )
+    it = iter(variants)
 
     def chain(n):
+        vs = [next(it) for _ in range(n)]
         t0 = time.time()
-        outs = [fn(variants[k % len(variants)]) for k in range(n)]
+        outs = [fn(v) for v in vs]
         probe(outs[-1])
         return time.time() - t0
 
@@ -58,8 +67,10 @@ def bench_sweeps(B=64, S=2025, T=30, O=512, G=384):
             jax.random.uniform(ks[4], (B, G), minval=-5, maxval=5),
         )
 
+    # one distinct input per dispatch; shorter chains (5+5+20) keep the
+    # resident variant set ~1 GB at these [B,S,T] shapes
     variants = []
-    for k in range(8):
+    for k in range(5 + 5 + 20):
         v = gen(k)
         float(np.asarray(v[0][0, 0, 0]))  # force materialized
         variants.append(v)
@@ -79,7 +90,7 @@ def bench_sweeps(B=64, S=2025, T=30, O=512, G=384):
     xla_jit(*variants[0])
     log(f"xla compile {time.time()-t0:.1f}s")
     results["xla_two_sweeps_ms"] = (
-        slope_time(lambda v: xla_jit(*v), variants, probe) * 1e3
+        slope_time(lambda v: xla_jit(*v), variants, probe, n_lo=5, n_hi=20) * 1e3
     )
 
     for variant in ("mxu", "vpu"):
@@ -101,7 +112,8 @@ def bench_sweeps(B=64, S=2025, T=30, O=512, G=384):
                 np.asarray(r), np.asarray(g), rtol=2e-4, atol=1e-4
             )
         results[f"pallas_{variant}_two_sweeps_ms"] = (
-            slope_time(lambda v, _f=fn: _f(*v), variants, probe) * 1e3
+            slope_time(lambda v, _f=fn: _f(*v), variants, probe, n_lo=5, n_hi=20)
+            * 1e3
         )
     return results
 
@@ -111,7 +123,13 @@ def bench_full_solve(backends=("xla", "pallas", "pallas_vpu"), B=64):
 
     import jax
 
-    sys.path.insert(0, ".")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        )))
+    )
     from bench import build_scenario, build_spec
     from kompass_core_tpu.parallel.fleet import make_fleet_solver
 
@@ -119,7 +137,7 @@ def bench_full_solve(backends=("xla", "pallas", "pallas_vpu"), B=64):
     spec0 = build_spec()
     base = np.stack([build_scenario(spec0, rng, i) for i in range(B)])
     variants_np = []
-    for k in range(40):
+    for k in range(1 + 5 + 10 + 40):  # compile + warm + both chains
         v = base.copy()
         v[:, 0] += 1e-4 * k
         variants_np.append(v)
@@ -133,6 +151,7 @@ def bench_full_solve(backends=("xla", "pallas", "pallas_vpu"), B=64):
             float(np.asarray(v[0, 0]))
         t0 = time.time()
         out = solver(variants[0])
+        variants = variants[1:]  # compile consumed its own variant
         row = np.asarray(out[0])
         log(
             f"{backend}: compile {time.time()-t0:.1f}s "

@@ -101,7 +101,11 @@ def main(out_path="PLANNERS_BENCH.json"):
         "planners_total": len(results),
         "planners_solved": len(solved),
         "planners_ref_solved": sum(r["ref_solved"] for r in results),
-        "median_len_ratio_vs_ref": round(float(np.median(ratios)), 3),
+        # None (JSON null) when no solved planner has a reference
+        # counterpart — np.median([]) is NaN, which is invalid JSON
+        "median_len_ratio_vs_ref": (
+            round(float(np.median(ratios)), 3) if len(ratios) else None
+        ),
         "results": results,
     }
     with open(out_path, "w") as f:

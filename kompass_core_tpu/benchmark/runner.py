@@ -51,6 +51,13 @@ def measure_performance(
     }
 
 
+def slope_variants_needed(n_lo: int = 10, n_hi: int = 30) -> int:
+    """Distinct inputs measure_throughput_slope consumes: one per
+    dispatch across warmup (1), the cache-settling chain (min(5, n_lo)),
+    and both timed chains (n_lo + n_hi)."""
+    return 1 + min(5, n_lo) + n_lo + n_hi
+
+
 def measure_throughput_slope(
     name: str,
     dispatch: Callable,
@@ -69,15 +76,28 @@ def measure_throughput_slope(
     with a value ``fetch`` from the final output — the method bench.py
     uses for every published number.
 
-    ``variants``: >= ``n_hi`` distinct device-resident inputs.
-    ``dispatch(v) -> out``; ``fetch(out)`` must pull a value to host.
+    EVERY dispatch — warmup and both timed chains — consumes its own
+    distinct variant via one running iterator: restarting each chain at
+    variants[0] would re-dispatch identical (executable, input) pairs,
+    which this runtime may serve from a cache, silently deflating the
+    slope (the exact failure mode CLAUDE.md's protocol forbids).
+
+    ``variants``: >= ``slope_variants_needed(n_lo, n_hi)`` distinct
+    device-resident inputs. ``dispatch(v) -> out``; ``fetch(out)`` must
+    pull a value to host.
     """
-    assert len(variants) >= n_hi, "need n_hi distinct inputs"
-    fetch(dispatch(variants[0]))  # warm/compile
+    needed = slope_variants_needed(n_lo, n_hi)
+    assert len(variants) >= needed, (
+        f"need {needed} distinct inputs (one per dispatch across warmup"
+        f" + both chains), got {len(variants)}"
+    )
+    it = iter(variants)
+    fetch(dispatch(next(it)))  # warm/compile
 
     def chain(n):
+        vs = [next(it) for _ in range(n)]
         t0 = time.perf_counter()
-        outs = [dispatch(variants[k]) for k in range(n)]
+        outs = [dispatch(v) for v in vs]
         fetch(outs[-1])
         return time.perf_counter() - t0
 
@@ -130,7 +150,10 @@ class BenchmarkRunner:
             n_vy=1,
             n_omega=n_omega,
             max_points=max_points,
-            num_ctrl_points=2,
+            # control horizon matches the BASELINE flagship spec
+            # (benchmark/baseline.py num_ctrl_points=6) so DWA_2025x30
+            # measures the SAME compiled program bench.py headlines
+            num_ctrl_points=6,
             scan_size=scan,
             seg_size=seg,
             drop_samples=True,
@@ -168,11 +191,11 @@ class BenchmarkRunner:
             seg_x, seg_y, seg_arc, n_seg, float(s[-1]), 10.0, max_points,
         )
         solver = get_packed_dwa_solver(spec)
-        # 30 DISTINCT resident inputs (state x perturbed): identical
-        # re-dispatches may be cache-served on remote runtimes, so every
-        # workload here is slope-timed over distinct variants
+        # one DISTINCT resident input per dispatch (state x perturbed):
+        # identical re-dispatches may be cache-served on remote runtimes,
+        # so every workload here is slope-timed over distinct variants
         variants = []
-        for k in range(30):
+        for k in range(slope_variants_needed()):
             v = buf.copy()
             v[0] += 1e-4 * k
             variants.append(jax.device_put(v))
@@ -262,7 +285,8 @@ class BenchmarkRunner:
         # blocking round-trip through the dev tunnel adds ~30 ms of pure
         # RTT and would swamp the device time
         variants = [
-            jax.device_put(np.float32(10.0 + 1e-4 * k)) for k in range(30)
+            jax.device_put(np.float32(10.0 + 1e-4 * k))
+            for k in range(slope_variants_needed())
         ]
         self.results.append(
             measure_throughput_slope(
@@ -305,7 +329,7 @@ class BenchmarkRunner:
         solver = make_fleet_solver(spec)
         base = np.stack([build_scenario(spec, rng, i) for i in range(batch)])
         variants = []
-        for k in range(30):
+        for k in range(slope_variants_needed()):
             v = base.copy()
             v[:, 0] += 1e-4 * k
             variants.append(jax.device_put(v))
@@ -335,7 +359,7 @@ class BenchmarkRunner:
         fn = get_scan_to_grid(spec)
         variants = [
             jax.device_put(rng.uniform(0.5, 9.9, 3600).astype(np.float32))
-            for _ in range(30)
+            for _ in range(slope_variants_needed())
         ]
         for v in variants:
             float(np.asarray(v[0]))
@@ -379,7 +403,10 @@ class BenchmarkRunner:
         # distinct variants built ON DEVICE (30 x 1.2 MB host uploads
         # through a remote tunnel would dominate setup)
         shift = jax.jit(lambda p, c: p + c)
-        variants = [shift(pts_dev, np.float32(1e-5 * k)) for k in range(30)]
+        variants = [
+            shift(pts_dev, np.float32(1e-5 * k))
+            for k in range(slope_variants_needed())
+        ]
         for v in variants:
             float(np.asarray(v[0, 0]))
         self.results.append(
@@ -415,7 +442,10 @@ class BenchmarkRunner:
         fn = get_critical_zone_checker_cloud(spec)
         pts_dev = jax.device_put(pts)
         shift = jax.jit(lambda p, c: p + c)
-        variants = [shift(pts_dev, np.float32(1e-5 * k)) for k in range(30)]
+        variants = [
+            shift(pts_dev, np.float32(1e-5 * k))
+            for k in range(slope_variants_needed())
+        ]
         for v in variants:
             float(np.asarray(v[0, 0]))
         self.results.append(
@@ -449,7 +479,7 @@ class BenchmarkRunner:
         fn = get_critical_zone_checker(spec)
         variants = [
             jax.device_put(rng.uniform(0.81, 1.11, 3600).astype(np.float32))
-            for _ in range(30)
+            for _ in range(slope_variants_needed())
         ]
         for v in variants:
             float(np.asarray(v[0]))

@@ -38,21 +38,34 @@ def measure_fleet_scaling(
             n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)
         ]
     if spec is None:
+        # deliberately SMALLER than the BASELINE flagship spec
+        # (benchmark/baseline.py): this harness's virtual-mesh runs
+        # compile per mesh size on CPU, where full 2025x30 programs take
+        # minutes each; structure validation does not need them. Pass
+        # spec=baseline_solver_spec() explicitly on real hardware.
         spec = SolverSpec(
             is_omni=False,
-            n_vx=45,
+            n_vx=15,
             n_vy=1,
-            n_omega=45,
-            max_points=30,
-            num_ctrl_points=6,
-            scan_size=512,
-            seg_size=384,
+            n_omega=15,
+            max_points=15,
+            num_ctrl_points=4,
+            scan_size=256,
+            seg_size=128,
             drop_samples=True,
         )
 
+    import os
     import sys
 
-    sys.path.insert(0, ".")
+    # repo root from __file__ — a bare '.' made the bench import (and its
+    # fallback) crash when run from any other working directory
+    sys.path.insert(
+        0,
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+    )
     try:
         from bench import build_scenario
     except ImportError:  # fall back to the graft entry scenario builder

@@ -210,6 +210,11 @@ class ReferencePath:
         self.arc_lengths = sq.astype(np.float32)
         self._total_length = total
         self.interpolated = True
+        # resampling invalidates any prior segmentation: stale
+        # segment_starts would index the OLD point array (possibly past
+        # the new end) — callers re-segment after interpolating, as the
+        # follower does (set_current_path)
+        self.segment_starts = np.array([0], dtype=np.int64)
         self._compute_curvature()
 
     def _compute_curvature(self) -> None:

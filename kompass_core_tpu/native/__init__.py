@@ -129,6 +129,10 @@ def find_closest_segment(xs, ys, seg_starts, px: float, py: float) -> int:
 def closest_point_on_segment(xs, ys, start: int, end: int, px: float, py: float):
     lib = get_lib()
     if lib is None:
+        if end < start:
+            # match the native kernel's empty-segment sentinel (the numpy
+            # reduction would raise on a zero-size array instead)
+            return start, 1e300
         seg = np.arange(start, end + 1)
         # float64 like the native kernel — a float32 d2 could round
         # near-ties differently and pick a different `<=` winner index

@@ -230,7 +230,10 @@ def get_laserscan_transformed_polar_coordinates(
     """Transform a laser scan into a translated+rotated sensor frame using
     the polar-coordinates shortcut (reference
     ``utils/geometry.py:406-484``). ``rotation`` is an [x, y, z, w]
-    quaternion; only its yaw component is used."""
+    quaternion. Kept quirk: the rotation angle is recovered as
+    ``2*atan2(q.z, q.w)`` exactly like the reference (``:473``) — correct
+    ONLY for pure-yaw quaternions; a roll/pitch-mounted sensor needs
+    :func:`yaw_from_quaternion` semantics the reference does not apply."""
     from ..datatypes.laserscan import LaserScanData
 
     angles = np.arange(angle_min, angle_max + angle_increment, angle_increment)

@@ -51,9 +51,22 @@ def test_measure_throughput_slope_schema():
         _time.sleep(0.001)
         return v
 
+    from kompass_core_tpu.benchmark.runner import slope_variants_needed
+
+    n = slope_variants_needed(10, 30)
     r = measure_throughput_slope(
-        "T", dispatch, list(range(30)), fetch=lambda o: float(o),
+        "T", dispatch, list(range(n)), fetch=lambda o: float(o),
         n_lo=10, n_hi=30,
     )
     assert r["method"] == "slope"
     assert 0.5 < r["mean_ms"] < 5.0  # ~1 ms per dispatch
+    # one variant per dispatch across warmup + both chains: no reuse
+    assert len(calls) == len(set(calls)) == n
+    # undersized variant lists are rejected, not silently reused
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        measure_throughput_slope(
+            "T", dispatch, list(range(30)), fetch=lambda o: float(o),
+            n_lo=10, n_hi=30,
+        )
