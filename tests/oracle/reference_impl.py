@@ -90,6 +90,9 @@ def reachable_velocity_range(
     (vx_max, vx_acc, vx_dec, vy_max, vy_acc, vy_dec, w_max, w_acc, w_dec) = (
         float(v) for v in limits
     )
+    # NOTE: each axis is returned in (max, min, res) order — mirroring the
+    # C++ out-parameter order, NOT the Window field order build_window
+    # re-packs into
     dt = float(time_step)
     max_vx_ = min(vx_max, vx0 + vx_acc * dt)
     min_vx_ = max(-vx_max, vx0 - vx_dec * dt)
@@ -345,9 +348,14 @@ def goal_cost(
 
 def obstacles_cost(path_x, path_y, obs_xy, max_obstacles_dist) -> float:
     """cost_evaluator.cpp:179-184 + trajectory.h:218-235 minDist2D (min over
-    ALL path points incl. the start)."""
+    ALL path points incl. the start). FUNCTION-level fidelity: an empty
+    obstacle set yields the MAXIMAL cost 1.0 — minDist2D returns 0.0f for
+    size <= 0 (trajectory.h:221-222), so the C++ formula evaluates to
+    max(maxDist - 0, 0)/maxDist = 1.0. The composition never reaches this
+    (both the reference and evaluate_tick gate the term on a non-empty
+    scan, cost_evaluator.cpp:76-81)."""
     if obs_xy.shape[0] <= 0:
-        return 0.0
+        return 1.0
     min_d2 = float("inf")
     for k in range(obs_xy.shape[0]):
         for j in range(len(path_x)):
@@ -519,10 +527,14 @@ def evaluate_tick(
 
 
 def adaptive_horizon(
-    base_horizon, v_max, interp_dist, curvature, closest_index, tol
+    base_horizon, v_max, interp_dist, curvature, closest_index, tol,
+    time_step=0.0,
 ):
     """adaptPredictionHorizonToCurvature (dwa.cpp:157-206): sagitta bound
-    T <= sqrt(8*tol/kappa_max)/v_max over the peek window."""
+    T <= sqrt(8*tol/kappa_max)/v_max over the peek window. When
+    ``time_step`` > 0 the result is floored at ``2 * time_step`` — the
+    clamp setPredictionHorizon applies when the new horizon lands
+    (trajectory_sampler.cpp:316-326, invoked from dwa.cpp:204)."""
     if v_max < 1e-3 or interp_dist <= 0.0:
         return base_horizon
     n = len(curvature)
@@ -535,6 +547,8 @@ def adaptive_horizon(
     horizon = base_horizon
     if kappa_max > tol:
         horizon = min(base_horizon, math.sqrt(8.0 * tol / kappa_max) / v_max)
+    if time_step > 0.0:
+        horizon = max(horizon, 2.0 * time_step)
     return horizon
 
 
