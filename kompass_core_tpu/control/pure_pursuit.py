@@ -22,7 +22,7 @@ from ..ops.solver import COLLISION_MARGIN_FACTOR
 from ..models.robot import restrict_velocity_to_limits
 from ..utils.angles import normalize_to_minus_pi_pi
 from ..utils.config import base_validators
-from .follower import Follower, FollowerConfig
+from .follower import Follower, FollowerConfig, FollowingTarget
 from .result import FollowingResult, FollowingStatus, VelocityCommand
 
 logger = logging.getLogger("kompass_core_tpu")
@@ -153,8 +153,12 @@ class PurePursuit(Follower):
                 self._last_found_index = path.size() - 1
                 return np.array([xs[-1], ys[-1]])
             return self.find_lookahead_point(1.1 * radius)
-        if self._target is not None:
-            self._target.movement = RobotState(x=target[0], y=target[1], yaw=0.0)
+        # reference: currentTrackedTarget_->movement is set unconditionally
+        # to the lookahead point (pure_pursuit.cpp:270) — PP's tracked state
+        # is the lookahead target, not the closest path point
+        if self._target is None:
+            self._target = FollowingTarget()
+        self._target.movement = RobotState(x=target[0], y=target[1], yaw=0.0)
         return target
 
     # --- collision gate (pure_pursuit.cpp:150-212) ---
@@ -206,9 +210,12 @@ class PurePursuit(Follower):
             )
             return FollowingResult(status=status)
 
-        if self._target is None:
-            self.determine_target()
-
+        # Reference quirk kept (pure_pursuit.cpp:43-141): execute() never
+        # calls determineTarget(), so closestPosition stays at its
+        # default-constructed index 0 (path.h:302) for the whole run and
+        # calculateExponentialSpeedFactor (follower.cpp:329) always
+        # integrates curvature from the PATH START, not from the robot's
+        # current position. We mirror that by never advancing _closest here.
         vx0, vy0, w0 = self._current_vel
         lookahead = max(
             math.hypot(vx0, vy0) * self._config.lookahead_gain_forward,
@@ -315,7 +322,6 @@ class PurePursuit(Follower):
             current_state.vy,
             current_state.omega,
         )
-        self.determine_target()
         if laser_scan is not None or point_cloud is not None:
             self._update_obstacles(laser_scan, point_cloud)
             self._result = self.execute_with_sensor(self._control_time_step)

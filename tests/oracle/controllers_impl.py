@@ -126,7 +126,6 @@ class PurePursuitOracle:
         # (lookahead, k_curv, k_rot, min_factor) for the speed factor
         self.speed_reg = speed_reg
         self.last_found_index = 0
-        self._has_target = False
 
     def find_lookahead_point(self, state, radius: float):
         xs, ys = self.follower.xs, self.follower.ys
@@ -167,9 +166,10 @@ class PurePursuitOracle:
     def step(self, state, current_vel, time_step: float):
         """One execute() tick; current_vel = (vx, vy, omega). Returns
         (vx, vy, omega, goal_reached)."""
-        if not self._has_target:
-            self.follower.determine_target(state)
-            self._has_target = True
+        # Reference quirk (pure_pursuit.cpp:43-141): execute() never calls
+        # determineTarget(), so closestPosition keeps its default index 0
+        # (path.h:302) and the speed factor (follower.cpp:329) integrates
+        # curvature from the path start on every tick.
         vx0, vy0, w0 = current_vel
         lookahead_val = max(
             math.hypot(vx0, vy0) * self.lookahead_gain_forward,

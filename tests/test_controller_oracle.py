@@ -169,3 +169,49 @@ def test_pure_pursuit_law_lockstep(seed, robot_type):
         # feed the emitted command back as the next tick's velocity so the
         # accel limiter and speed-scaled lookahead both stay exercised
         vel = (float(cmd.vx), float(cmd.vy), float(cmd.omega))
+
+
+def test_pure_pursuit_speed_factor_integrates_from_path_start():
+    """Reference quirk pin (pure_pursuit.cpp:43-141 + follower.cpp:329):
+    execute() never calls determineTarget(), so the exponential speed
+    factor always integrates |curvature| from the default closestPosition
+    index 0 — the PATH START — even when the robot is far along the path.
+    A hairpin at the start must therefore still throttle the command when
+    the robot sits on the straight tail."""
+    limits = _limits()
+    cfg = PurePursuitConfig(
+        # lookahead covers the interpolated hairpin (corner lands at arc
+        # ~0.85 m after spline resampling)
+        lookahead_distance=1.2,
+        lookahead_gain_forward=0.8,
+        goal_dist_tolerance=0.05,
+        speed_regulation_curvature=1.0,
+        speed_regulation_angular=0.001,
+    )
+    # hairpin at the start, then a long straight run in +x
+    bend = [
+        (0.0, 0.0),
+        (0.3, 0.3),
+        (0.0, 0.6),
+        (0.3, 0.9),
+        (0.6, 0.9),
+    ]
+    straight = [(0.6 + 0.5 * i, 0.9) for i in range(1, 14)]
+    ctrl = PurePursuit(robot=_robot(), ctrl_limits=limits, config=cfg)
+    ctrl.set_path(bend + straight)
+
+    # robot mid-way down the straight segment, aligned with it
+    ctrl.set_current_state(4.0, 0.9, 0.0)
+    ctrl._current_vel = (0.5, 0.0, 0.0)
+    factor = ctrl.exponential_speed_factor(0.0)
+    # local curvature here is ~0; only start-of-path integration explains
+    # a throttled factor
+    assert factor < 0.9, factor
+
+    result = ctrl.execute(0.1)
+    assert result.status == FollowingStatus.COMMAND_FOUND
+    assert result.velocity_command.vx <= factor * limits.vx_limits.max_vel + 1e-9
+
+    # the closest position must never advance through the public loop
+    ctrl.loop_step(current_state=RobotState(x=4.5, y=0.9, yaw=0.0, vx=0.5))
+    assert ctrl._closest.index == 0
