@@ -25,9 +25,16 @@ class FeatureBasedBboxTracker:
         e_pos: float,
         e_vel: float,
         e_acc: float,
-        min_accepted_similarity: float = 0.3,
+        min_accepted_similarity: float = 0.0,
     ):
         self.time_step = float(time_step)
+        # default 0.0 matches the reference (tracker.h:41,
+        # minAcceptedSimilarityScore_ = 0.0, never overridden): with
+        # exp(-|err|^2) > 0 always, association picks the best-scoring box
+        # and NEVER declares the target lost on a multi-box frame; a
+        # stricter gate here silently drops the follower into its
+        # wait/search state mid-run (observed in the closed-loop RGBD
+        # scenario) where the reference keeps tracking
         self.min_accepted_similarity = min_accepted_similarity
         dt = self.time_step
         # constant-acceleration transition per state triplet
