@@ -62,8 +62,11 @@ class VisionRGBFollowerConfig(BaseAttrs):
     target_search_timeout: float = field(
         default=30.0, validator=base_validators.in_range(1e-3, 1e6)
     )
+    # search pause / gain defaults mirror the reference FRONT-END
+    # (control/rgb_follower.py:56-66: pause 2.0, rotation 1.0, speed 0.7),
+    # which overrides the C++ Parameter defaults (rgb_follower.h:32-35)
     target_search_pause: float = field(
-        default=1.0, validator=base_validators.in_range(0.0, 1e6)
+        default=2.0, validator=base_validators.in_range(0.0, 1e6)
     )
     target_search_radius: float = field(
         default=0.5, validator=base_validators.in_range(1e-3, 1e3)
@@ -72,7 +75,7 @@ class VisionRGBFollowerConfig(BaseAttrs):
         default=1.0, validator=base_validators.in_range(1e-2, 10.0)
     )
     speed_gain: float = field(
-        default=1.0, validator=base_validators.in_range(1e-2, 10.0)
+        default=0.7, validator=base_validators.in_range(1e-2, 10.0)
     )
     min_vel: float = field(default=0.1)
     enable_search: bool = field(default=True)
@@ -94,8 +97,16 @@ class VisionRGBDFollowerConfig(VisionRGBFollowerConfig):
     prediction_horizon: int = field(
         default=10, validator=base_validators.in_range(2, 1000)
     )
-    distance_tolerance: float = field(default=0.1)
+    # RGBD front-end re-defaults (control/rgbd_follower.py:170-258):
+    # tighter distance tolerance, softer rotation gain, full speed gain
+    distance_tolerance: float = field(default=0.05)
     angle_tolerance: float = field(default=0.1)
+    rotation_gain: float = field(
+        default=0.5, validator=base_validators.in_range(1e-2, 10.0)
+    )
+    speed_gain: float = field(
+        default=1.0, validator=base_validators.in_range(1e-2, 10.0)
+    )
     target_orientation: float = field(default=0.0)
     use_local_coordinates: bool = field(default=True)
     error_pose: float = field(default=0.05)

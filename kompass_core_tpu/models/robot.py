@@ -403,7 +403,13 @@ class RobotCtrlLimits(BaseAttrs):
 
     vx_limits: LinearCtrlLimits = field(default=Factory(LinearCtrlLimits))
     omega_limits: AngularCtrlLimits = field(default=Factory(AngularCtrlLimits))
-    vy_limits: LinearCtrlLimits = field(default=Factory(LinearCtrlLimits))
+    # reference default (models.py:1223-1232): lateral limits ZERO — an
+    # Ackermann/diff-drive assumption; omni robots must opt in to vy
+    vy_limits: LinearCtrlLimits = field(
+        default=Factory(
+            lambda: LinearCtrlLimits(max_vel=0.0, max_acc=0.0, max_decel=0.0)
+        )
+    )
 
     def to_array(self) -> np.ndarray:
         """Flat float32 array consumed by the device solver:
