@@ -3,5 +3,6 @@ from .planner import (  # noqa: F401
     GlobalPlanner,
     GlobalPlannerConfig,
     OMPLGeometric,
+    OMPLGeometricConfig,
     planner_registry,
 )

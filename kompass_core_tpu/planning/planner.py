@@ -92,6 +92,39 @@ class GlobalPlannerConfig(BaseAttrs):
     simplify: bool = field(default=True)
     max_iterations: int = field(default=2048)  # RRT-family expansions
     step_size: float = field(default=0.5)  # extension step fallback
+    # reference-surface knobs (third_party/ompl/planner.py:19-41), honored:
+    # final waypoint must land within goal_tolerance of the goal (our
+    # planners connect to the exact goal, so any solution satisfies it —
+    # validated anyway so a drifting planner cannot silently pass)
+    goal_tolerance: float = field(
+        default=1e-3, validator=base_validators.in_range(1e-9, 1e3)
+    )
+    # wall-time budget for the shortcut simplification pass
+    simplification_timeout: float = field(
+        default=1.0, validator=base_validators.in_range(1e-6, 1e6)
+    )
+    # round-selection objective: "length" (PathLengthOptimizationObjective),
+    # "max_min_clearance" (MaximizeMinClearanceObjective, scored on the
+    # inflated-grid EDT), "mechanical_work" (MechanicalWorkOptimization-
+    # Objective — no elevation term in SE2, reduces to path length)
+    optimization_objective: str = field(
+        default="length",
+        validator=base_validators.in_(
+            [
+                "length",
+                "PathLengthOptimizationObjective",
+                "max_min_clearance",
+                "MaximizeMinClearanceObjective",
+                "mechanical_work",
+                "MechanicalWorkOptimizationObjective",
+            ]
+        ),
+    )
+    # stop refinement rounds once the objective is at least this good
+    # (OMPL's ProblemDefinition objective threshold)
+    optimization_objective_threshold: float = field(
+        default=1.0, validator=base_validators.in_range(1e-9, 1e3)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -575,6 +608,7 @@ class GlobalPlanner:
         self.solution: Optional[np.ndarray] = None
         self._blocked = None
         self._problem = None
+        self._clearance_field = None  # lazy EDT for clearance objective
         if self._defer_config_file:
             # configure() needs _planner_params in place first
             self.configure(self._defer_config_file)
@@ -723,6 +757,7 @@ class GlobalPlanner:
             goal_yaw=float(goal_yaw),
         )
         self.solution = None
+        self._clearance_field = None  # grid changed — EDT stale
 
     def solve(self) -> Optional[np.ndarray]:
         """Plan. Returns the path as an [N, 2] array (world frame) or None.
@@ -743,22 +778,81 @@ class GlobalPlanner:
             path = solver(self, self._problem, seed=cfg.seed + round_i)
             if path is not None and cfg.simplify:
                 path = self._shortcut(path)
-            if path is not None:
-                cost = float(
-                    np.hypot(*np.diff(np.asarray(path), axis=0).T).sum()
+            if path is not None and not self._goal_tolerance_ok(path):
+                # our planners connect to the exact goal, so this only
+                # fires if a planner drifts — treat as a failed round
+                logger.warning(
+                    "solution endpoint misses the goal by more than "
+                    "goal_tolerance=%g; round discarded", cfg.goal_tolerance,
                 )
+                path = None
+            if path is not None:
+                cost = self._objective_cost(path)
                 if cost < best_cost:
                     best, best_cost = path, cost
             round_i += 1
             if time.monotonic() >= deadline:
                 break  # planning_timeout strictly bounds wall time, even
                 # mid-optimize_rounds (OMPL's solve(timeout) semantics)
+            if best is not None and best_cost <= self._objective_stop_cost():
+                break  # objective threshold met — stop refining (OMPL's
+                # ProblemDefinition objective-threshold semantics)
             if round_i < cfg.optimize_rounds:
                 continue  # deliberate refinement rounds run within budget
             if best is not None:
                 break
         self.solution = best
         return best
+
+    def _goal_tolerance_ok(self, path) -> bool:
+        end = np.asarray(path)[-1]
+        goal = np.asarray(self._problem["goal"], np.float64)
+        return float(np.hypot(*(end - goal))) <= self._config.goal_tolerance
+
+    def _objective_cost(self, path) -> float:
+        """Round-selection score (lower = better) under the configured
+        optimization objective."""
+        obj = self._config.optimization_objective
+        if obj in ("max_min_clearance", "MaximizeMinClearanceObjective"):
+            return -self._min_clearance(path)
+        # length + mechanical_work (no elevation term in SE2) -> arc length
+        return float(np.hypot(*np.diff(np.asarray(path), axis=0).T).sum())
+
+    def _objective_stop_cost(self) -> float:
+        """Internal-cost value at which the objective threshold is met."""
+        thr = self._config.optimization_objective_threshold
+        obj = self._config.optimization_objective
+        if obj in ("max_min_clearance", "MaximizeMinClearanceObjective"):
+            return -thr  # cost = -clearance; met when clearance >= thr
+        return thr
+
+    def _min_clearance(self, path) -> float:
+        """Minimum obstacle clearance along the path, from the EDT of the
+        inflated occupancy grid (clearance to the INFLATED obstacle set —
+        add the robot radius + margin back for the physical distance)."""
+        from .planners_trees import clearance_edt
+
+        if self._clearance_field is None:
+            self._clearance_field = clearance_edt(
+                self._blocked, float(self._problem["resolution"])
+            )
+        res = float(self._problem["resolution"])
+        origin = np.asarray(self._problem["origin"], np.float64)
+        pts = np.asarray(path, np.float64)
+        # sample each segment at grid pitch so a wall-grazing segment
+        # cannot be missed between waypoints
+        dense = [pts[0]]
+        for a, b in zip(pts[:-1], pts[1:]):
+            n = max(int(np.ceil(np.hypot(*(b - a)) / max(res, 1e-9))), 1)
+            for t in range(1, n + 1):
+                dense.append(a + (b - a) * (t / n))
+        dense = np.asarray(dense)
+        ij = np.clip(
+            ((dense - origin) / res).astype(int),
+            0,
+            np.array(self._clearance_field.shape[::-1]) - 1,
+        )
+        return float(self._clearance_field[ij[:, 1], ij[:, 0]].min())
 
     def get_solution(self) -> Optional[np.ndarray]:
         return self.solution
@@ -812,11 +906,24 @@ class GlobalPlanner:
 
     def _shortcut(self, path: np.ndarray) -> np.ndarray:
         """Greedy path simplification: connect the farthest visible vertex
-        (role of OMPL's simplifySolution, ``ompl.cpp:56-67``)."""
+        (role of OMPL's simplifySolution, ``ompl.cpp:56-67``), bounded by
+        ``simplification_timeout`` wall time (OMPL hands that budget to
+        simplifySolution); on expiry the remaining tail is kept verbatim."""
         path = np.asarray(path)
+        deadline = time.monotonic() + max(
+            self._config.simplification_timeout, 0.0
+        )
         out = [path[0]]
         i = 0
         while i < len(path) - 1:
+            if time.monotonic() >= deadline:
+                out.extend(path[i + 1 :])
+                logger.warning(
+                    "simplification_timeout=%gs expired with %d vertices "
+                    "unsimplified",
+                    self._config.simplification_timeout, len(path) - 1 - i,
+                )
+                return np.asarray(out)
             j = len(path) - 1
             while j > i + 1 and not self._segment_free_host(path[i], path[j]):
                 j -= 1
@@ -1052,5 +1159,6 @@ def normalize_planner_id(planner_id: str) -> str:
     return planner_id.rsplit(".", 1)[-1]
 
 
-# reference-compatible alias
+# reference-compatible aliases
 OMPLGeometric = GlobalPlanner
+OMPLGeometricConfig = GlobalPlannerConfig

@@ -92,19 +92,24 @@ def _edt_numpy(free: np.ndarray, resolution: float) -> np.ndarray:
     return d * resolution
 
 
-def clearance_cost_field(blocked: np.ndarray, resolution: float) -> np.ndarray:
-    """State-cost field for TRRT: inverse obstacle clearance.
-
-    Exact Euclidean distance transform of the (already robot-inflated)
-    occupancy grid; cost = 1 / (resolution + clearance) so the field is
-    finite everywhere, highest at obstacle boundaries."""
+def clearance_edt(blocked: np.ndarray, resolution: float) -> np.ndarray:
+    """Exact Euclidean clearance [m] to the nearest occupied cell of the
+    (already robot-inflated) occupancy grid, for every cell."""
     free = ~np.asarray(blocked)
     try:
         from scipy.ndimage import distance_transform_edt
 
-        clearance = distance_transform_edt(free, sampling=resolution)
+        return distance_transform_edt(free, sampling=resolution)
     except ImportError:  # scipy is optional: exact numpy fallback
-        clearance = _edt_numpy(free, resolution)
+        return _edt_numpy(free, resolution)
+
+
+def clearance_cost_field(blocked: np.ndarray, resolution: float) -> np.ndarray:
+    """State-cost field for TRRT: inverse obstacle clearance.
+
+    cost = 1 / (resolution + clearance) so the field is finite everywhere,
+    highest at obstacle boundaries."""
+    clearance = clearance_edt(blocked, resolution)
     return (1.0 / (resolution + clearance)).astype(np.float32)
 
 

@@ -518,3 +518,93 @@ def test_planner_params_validate_on_setattr(robot):
         planner._planner_params.goal_bias = 5.0
     planner._planner_params.goal_bias = 0.2
     assert planner._planner_params.goal_bias == pytest.approx(0.2)
+
+
+def test_ompl_geometric_config_surface(robot):
+    """The reference OMPLGeometricConfig fields construct and are honored
+    (third_party/ompl/planner.py:19-41)."""
+    from kompass_core_tpu.planning import OMPLGeometricConfig
+
+    cfg = OMPLGeometricConfig(
+        planner_id="PRM",
+        planning_timeout=5.0,
+        simplification_timeout=1.0,
+        goal_tolerance=1e-3,
+        optimization_objective="PathLengthOptimizationObjective",
+        optimization_objective_threshold=1.0,
+        num_samples=256,
+        connection_radius=4.0,
+        seed=3,
+    )
+    meta, wall = make_wall_map()
+    planner = GlobalPlanner(robot, config=cfg)
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path = planner.solve()
+    assert path is not None
+    # goal_tolerance honored: the endpoint lands on the goal
+    assert np.hypot(*(np.asarray(path)[-1] - [2.0, 8.0])) <= 1e-3
+
+
+def test_objective_threshold_stops_refinement(robot):
+    """With a huge length threshold, multi-round refinement must stop
+    after the first successful round (OMPL objective-threshold
+    semantics); with a tiny one it runs all rounds."""
+    meta, wall = make_wall_map()
+    base = dict(
+        planner_id="RRT", num_samples=256, seed=3, connection_radius=4.0,
+        max_iterations=1024, step_size=0.8, optimize_rounds=4,
+    )
+    calls = []
+
+    def counting_solver(orig):
+        def run(planner, prob, seed=0):
+            calls.append(seed)
+            return orig(planner, prob, seed=seed)
+
+        return run
+
+    orig = planner_registry["RRT"]
+    planner_registry["RRT"] = counting_solver(orig)
+    try:
+        cfg = GlobalPlannerConfig(
+            **base, optimization_objective_threshold=1e3
+        )
+        p = GlobalPlanner(robot, config=cfg)
+        p.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+        assert p.solve() is not None
+        early = len(calls)
+        calls.clear()
+        cfg2 = GlobalPlannerConfig(
+            **base, optimization_objective_threshold=1e-6
+        )
+        p2 = GlobalPlanner(robot, config=cfg2)
+        p2.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+        assert p2.solve() is not None
+        assert early == 1
+        assert len(calls) == 4  # unreachable threshold -> all rounds run
+    finally:
+        planner_registry["RRT"] = orig
+
+
+def test_clearance_objective_prefers_wider_berth(robot):
+    """max_min_clearance round selection keeps the solution with the
+    larger minimum obstacle clearance, not the shorter one."""
+    meta, wall = make_wall_map()
+    base = dict(
+        planner_id="PRM", num_samples=256, connection_radius=4.0,
+        optimize_rounds=3, seed=3,
+    )
+    cfg_len = GlobalPlannerConfig(**base, optimization_objective="length")
+    cfg_clr = GlobalPlannerConfig(
+        **base,
+        optimization_objective="max_min_clearance",
+        optimization_objective_threshold=100.0,  # unattainable: all rounds
+    )
+    p_len = GlobalPlanner(robot, config=cfg_len)
+    p_len.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path_len = p_len.solve()
+    p_clr = GlobalPlanner(robot, config=cfg_clr)
+    p_clr.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    path_clr = p_clr.solve()
+    assert path_len is not None and path_clr is not None
+    assert p_clr._min_clearance(path_clr) >= p_clr._min_clearance(path_len)
