@@ -18,6 +18,7 @@ import numpy as np
 from attrs import Factory, define, field
 
 from ..models import Robot, RobotCtrlLimits, RobotState, RobotType
+from ..native import find_lookahead
 from ..ops.solver import COLLISION_MARGIN_FACTOR
 from ..models.robot import restrict_velocity_to_limits
 from ..utils.angles import normalize_to_minus_pi_pi
@@ -120,35 +121,21 @@ class PurePursuit(Follower):
         # reference semantics kept (pure_pursuit.cpp:219-254): the loop
         # scans ALL remaining segments with no early break, so the LAST
         # circle intersection wins (on a switchback both legs intersect
-        # and the far leg is chosen — upstream behavior)
+        # and the far leg is chosen — upstream behavior). The scan runs in
+        # the native host lib (kh_find_lookahead; arithmetic-identical
+        # serial fallback) — the per-tick O(path) Python loop was the
+        # host-side cost of this controller.
         path = self._path
-        xs, ys = path.xs.astype(np.float64), path.ys.astype(np.float64)
-        target = np.array([xs[-1], ys[-1]])
-        found = False
         cx, cy = self.current_state.x, self.current_state.y
-        for i in range(self._last_found_index, path.size() - 1):
-            dx = xs[i + 1] - xs[i]
-            dy = ys[i + 1] - ys[i]
-            fx = xs[i] - cx
-            fy = ys[i] - cy
-            a = dx * dx + dy * dy
-            b = 2.0 * (fx * dx + fy * dy)
-            c = fx * fx + fy * fy - radius * radius
-            disc = b * b - 4 * a * c
-            if disc >= 0 and a > 0:
-                sq = math.sqrt(disc)
-                t1 = (-b - sq) / (2 * a)
-                t2 = (-b + sq) / (2 * a)
-                if 0.0 <= t2 <= 1.0:
-                    target = np.array([xs[i] + t2 * dx, ys[i] + t2 * dy])
-                    self._last_found_index = i
-                    found = True
-                elif 0.0 <= t1 <= 1.0:
-                    target = np.array([xs[i] + t1 * dx, ys[i] + t1 * dy])
-                    self._last_found_index = i
-                    found = True
-        if not found:
-            dist_to_end = math.hypot(xs[-1] - cx, ys[-1] - cy)
+        found, tx, ty, idx = find_lookahead(
+            path.xs, path.ys, self._last_found_index, cx, cy, radius
+        )
+        if found:
+            target = np.array([tx, ty])
+            self._last_found_index = idx
+        else:
+            xs, ys = path.xs, path.ys
+            dist_to_end = math.hypot(float(xs[-1]) - cx, float(ys[-1]) - cy)
             if dist_to_end < radius:
                 self._last_found_index = path.size() - 1
                 return np.array([xs[-1], ys[-1]])

@@ -7,6 +7,7 @@ native path is the production fleet-host configuration.
 
 import ctypes
 import logging
+import math
 import os
 import subprocess
 from typing import Optional
@@ -80,6 +81,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.kh_segment_block.argtypes = [
         _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float, ctypes.c_int64, _f32p, _f32p, _f32p,
+    ]
+    lib.kh_find_lookahead.restype = ctypes.c_int
+    lib.kh_find_lookahead.argtypes = [
+        _f32p, _f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return _lib
@@ -232,3 +240,50 @@ def segment_block(xs, ys, arc, start: int, end: int, pad_value: float, seg_cap: 
         xs, ys, arc, start, end, pad_value, seg_cap, seg_x, seg_y, seg_arc
     )
     return seg_x, seg_y, seg_arc, float(total)
+
+
+def find_lookahead(xs, ys, last_found_index: int, cx: float, cy: float,
+                   radius: float):
+    """PurePursuit circle-line lookahead scan (reference
+    pure_pursuit.cpp:214-254 semantics: last intersection wins, t2
+    preferred). Returns (found, x, y, index); on found == False the
+    caller applies the end-of-path / radius-growth fallback.
+    Serial numpy fallback is arithmetic-identical (f32 coords widened to
+    f64 before the quadratic)."""
+    xs = np.ascontiguousarray(xs, np.float32)
+    ys = np.ascontiguousarray(ys, np.float32)
+    lib = get_lib()
+    if lib is None:
+        found, tx, ty, idx = False, 0.0, 0.0, last_found_index
+        x64 = xs.astype(np.float64)
+        y64 = ys.astype(np.float64)
+        for i in range(last_found_index, len(x64) - 1):
+            dx = x64[i + 1] - x64[i]
+            dy = y64[i + 1] - y64[i]
+            fx = x64[i] - cx
+            fy = y64[i] - cy
+            a = dx * dx + dy * dy
+            b = 2.0 * (fx * dx + fy * dy)
+            c = fx * fx + fy * fy - radius * radius
+            disc = b * b - 4.0 * a * c
+            if disc >= 0.0 and a > 0.0:
+                sq = math.sqrt(disc)
+                t1 = (-b - sq) / (2.0 * a)
+                t2 = (-b + sq) / (2.0 * a)
+                if 0.0 <= t2 <= 1.0:
+                    tx, ty = x64[i] + t2 * dx, y64[i] + t2 * dy
+                    idx, found = i, True
+                elif 0.0 <= t1 <= 1.0:
+                    tx, ty = x64[i] + t1 * dx, y64[i] + t1 * dy
+                    idx, found = i, True
+        return found, tx, ty, idx
+    out_x = ctypes.c_double()
+    out_y = ctypes.c_double()
+    out_i = ctypes.c_int64()
+    found = lib.kh_find_lookahead(
+        xs, ys, len(xs), last_found_index, cx, cy, radius,
+        ctypes.byref(out_x), ctypes.byref(out_y), ctypes.byref(out_i),
+    )
+    if not found:
+        return False, 0.0, 0.0, last_found_index
+    return True, float(out_x.value), float(out_y.value), int(out_i.value)

@@ -188,4 +188,45 @@ double kh_segment_block(const float* xs, const float* ys, const float* arc,
   return total;
 }
 
+// PurePursuit lookahead point: circle((cx, cy), radius) x path-segment
+// intersections, scanning segments [last_found_index, n-2] with NO early
+// break so the LAST intersection wins, t2 (far root) preferred per
+// segment — exact reference semantics (pure_pursuit.cpp:214-254 of the
+// upstream), incl. the a > 0 duplicate-point guard used by the Python
+// engine. Returns 1 and writes target/out_index when an intersection is
+// found; returns 0 (outputs untouched) otherwise — the caller handles the
+// end-of-path / radius-growth fallback.
+int kh_find_lookahead(const float* xs, const float* ys, int64_t n,
+                      int64_t last_found_index, double cx, double cy,
+                      double radius, double* out_x, double* out_y,
+                      int64_t* out_index) {
+  int found = 0;
+  for (int64_t i = last_found_index; i < n - 1; ++i) {
+    const double x1 = xs[i], y1 = ys[i];
+    const double dx = xs[i + 1] - x1, dy = ys[i + 1] - y1;
+    const double fx = x1 - cx, fy = y1 - cy;
+    const double a = dx * dx + dy * dy;
+    const double b = 2.0 * (fx * dx + fy * dy);
+    const double c = fx * fx + fy * fy - radius * radius;
+    const double disc = b * b - 4.0 * a * c;
+    if (disc >= 0.0 && a > 0.0) {
+      const double sq = std::sqrt(disc);
+      const double t1 = (-b - sq) / (2.0 * a);
+      const double t2 = (-b + sq) / (2.0 * a);
+      if (t2 >= 0.0 && t2 <= 1.0) {
+        *out_x = x1 + t2 * dx;
+        *out_y = y1 + t2 * dy;
+        *out_index = i;
+        found = 1;
+      } else if (t1 >= 0.0 && t1 <= 1.0) {
+        *out_x = x1 + t1 * dx;
+        *out_y = y1 + t1 * dy;
+        *out_index = i;
+        found = 1;
+      }
+    }
+  }
+  return found;
+}
+
 }  // extern "C"

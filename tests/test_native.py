@@ -107,3 +107,46 @@ def test_segment_block(lib):
     np.testing.assert_allclose(seg_x[:10], xs[10:20])
     assert np.all(seg_x[10:] == 1e8)
     assert np.all(seg_arc[10:] == 0.0)
+
+
+def test_find_lookahead_parity_and_quirks(lib):
+    """kh_find_lookahead vs the serial fallback on a switchback path:
+    identical (found, x, y, index), last-intersection-wins quirk, and the
+    not-found contract."""
+    import os
+
+    from kompass_core_tpu import native as N
+
+    rng = np.random.default_rng(11)
+    # switchback: out along +x, back along -x at y=0.3 — a circle around
+    # the robot intersects both legs; the LAST leg must win
+    xs = np.concatenate([np.linspace(0, 4, 60), np.linspace(4, 0, 60)])
+    ys = np.concatenate([np.zeros(60), np.full(60, 0.3)])
+    xs = xs.astype(np.float32) + rng.normal(0, 1e-3, 120).astype(np.float32)
+    ys = ys.astype(np.float32) + rng.normal(0, 1e-3, 120).astype(np.float32)
+
+    cases = [
+        (0, 2.0, 0.1, 1.0),   # circle spans both legs
+        (0, 2.0, 0.1, 0.05),  # tiny radius: near legs only
+        (30, 3.5, 0.0, 0.4),  # resume from a later index
+        (0, 10.0, 10.0, 0.5), # far away: no intersection
+        (119, 2.0, 0.1, 1.0), # start at last point: empty scan range
+    ]
+    lib_save = N._lib
+    for last_idx, cx, cy, radius in cases:
+        got_native = native.find_lookahead(xs, ys, last_idx, cx, cy, radius)
+        N._lib = None
+        try:
+            os.environ["KOMPASS_TPU_NO_NATIVE"] = "1"
+            got_py = native.find_lookahead(xs, ys, last_idx, cx, cy, radius)
+        finally:
+            N._lib = lib_save
+            os.environ.pop("KOMPASS_TPU_NO_NATIVE", None)
+        assert got_native[0] == got_py[0], (last_idx, cx, cy, radius)
+        assert got_native[3] == got_py[3]
+        np.testing.assert_allclose(got_native[1:3], got_py[1:3], rtol=1e-12)
+
+    # last-intersection-wins: with the circle covering both legs, the
+    # chosen segment must lie on the RETURN leg (index >= 60)
+    found, _x, _y, idx = native.find_lookahead(xs, ys, 0, 2.0, 0.1, 1.0)
+    assert found and idx >= 60
