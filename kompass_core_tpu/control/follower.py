@@ -21,7 +21,11 @@ from attrs import define, field
 
 from ..datatypes.path import InterpolationType, ReferencePath
 from ..models import RobotState
-from ..native import closest_point_on_segment, find_closest_segment
+from ..native import (
+    closest_point_on_segment,
+    find_closest_segment,
+    speed_factor,
+)
 from ..utils.angles import normalize_to_minus_pi_pi
 from ..utils.config import BaseAttrs, base_validators
 
@@ -348,21 +352,19 @@ class Follower:
 
     def exponential_speed_factor(self, current_angular_vel: float) -> float:
         """factor = max(exp(-(k_c * sum|kappa| + k_w * |omega|)), min_factor)
-        integrating curvature over the lookahead distance ahead."""
+        integrating curvature over the lookahead distance ahead. Runs in
+        the native host lib (kh_speed_factor; arithmetic-identical serial
+        fallback) — this walk runs every tick for every follower."""
         if self._path is None or not self._path_processing:
             return 1.0
-        curvature_sum = 0.0
-        dist = 0.0
-        idx = self._closest.index
-        xs, ys, k = self._path.xs, self._path.ys, self._path.curvature
-        while idx < self._path.size() - 1:
-            curvature_sum += abs(float(k[idx]))
-            dist += math.hypot(xs[idx + 1] - xs[idx], ys[idx + 1] - ys[idx])
-            if dist >= self.config.lookahead_distance:
-                break
-            idx += 1
-        exponent = (
-            self.config.speed_regulation_curvature * curvature_sum
-            + self.config.speed_regulation_angular * abs(current_angular_vel)
+        return speed_factor(
+            self._path.xs,
+            self._path.ys,
+            self._path.curvature,
+            self._closest.index,
+            self.config.lookahead_distance,
+            self.config.speed_regulation_curvature,
+            self.config.speed_regulation_angular,
+            current_angular_vel,
+            self.config.min_speed_regulation_factor,
         )
-        return max(math.exp(-exponent), self.config.min_speed_regulation_factor)

@@ -89,6 +89,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.kh_speed_factor.restype = ctypes.c_double
+    lib.kh_speed_factor.argtypes = [
+        _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double,
+    ]
     _lib = lib
     return _lib
 
@@ -287,3 +293,36 @@ def find_lookahead(xs, ys, last_found_index: int, cx: float, cy: float,
     if not found:
         return False, 0.0, 0.0, last_found_index
     return True, float(out_x.value), float(out_y.value), int(out_i.value)
+
+
+def speed_factor(xs, ys, curvature, start_idx: int, lookahead: float,
+                 k_curv: float, k_rot: float, omega: float,
+                 min_factor: float) -> float:
+    """Exponential speed-regulation factor (reference follower.cpp:319-353):
+    |curvature| integrated from start_idx over the lookahead distance.
+    Serial fallback is arithmetic-identical (f32 chord subtraction)."""
+    xs = np.ascontiguousarray(xs, np.float32)
+    ys = np.ascontiguousarray(ys, np.float32)
+    curvature = np.ascontiguousarray(curvature, np.float32)
+    lib = get_lib()
+    if lib is None:
+        curvature_sum = 0.0
+        dist = 0.0
+        idx = start_idx
+        n = len(xs)
+        while idx < n - 1:
+            curvature_sum += abs(float(curvature[idx]))
+            dist += math.hypot(
+                float(xs[idx + 1] - xs[idx]), float(ys[idx + 1] - ys[idx])
+            )
+            if dist >= lookahead:
+                break
+            idx += 1
+        exponent = k_curv * curvature_sum + k_rot * abs(omega)
+        return max(math.exp(-exponent), min_factor)
+    return float(
+        lib.kh_speed_factor(
+            xs, ys, curvature, len(xs), start_idx, lookahead,
+            k_curv, k_rot, omega, min_factor,
+        )
+    )

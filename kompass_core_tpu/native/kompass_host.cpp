@@ -188,6 +188,29 @@ double kh_segment_block(const float* xs, const float* ys, const float* arc,
   return total;
 }
 
+// Exponential speed-regulation factor (reference follower.cpp:319-353):
+// integrate |curvature| point-by-point from start_idx until the chord
+// distance reaches the lookahead, then
+//   factor = max(exp(-(k_curv * sum|k| + k_rot * |omega|)), min_factor).
+// Loop structure matches the Python engine exactly (curvature at idx is
+// accumulated BEFORE the distance break check).
+double kh_speed_factor(const float* xs, const float* ys, const float* curv,
+                       int64_t n, int64_t start_idx, double lookahead,
+                       double k_curv, double k_rot, double omega,
+                       double min_factor) {
+  double curvature_sum = 0.0, dist = 0.0;
+  for (int64_t i = start_idx; i < n - 1; ++i) {
+    curvature_sum += std::abs(static_cast<double>(curv[i]));
+    // subtract in float first: identical rounding to the numpy-f32 path
+    const double dx = static_cast<double>(xs[i + 1] - xs[i]);
+    const double dy = static_cast<double>(ys[i + 1] - ys[i]);
+    dist += std::hypot(dx, dy);
+    if (dist >= lookahead) break;
+  }
+  const double exponent = k_curv * curvature_sum + k_rot * std::abs(omega);
+  return std::max(std::exp(-exponent), min_factor);
+}
+
 // PurePursuit lookahead point: circle((cx, cy), radius) x path-segment
 // intersections, scanning segments [last_found_index, n-2] with NO early
 // break so the LAST intersection wins, t2 (far root) preferred per

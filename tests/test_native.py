@@ -150,3 +150,33 @@ def test_find_lookahead_parity_and_quirks(lib):
     # chosen segment must lie on the RETURN leg (index >= 60)
     found, _x, _y, idx = native.find_lookahead(xs, ys, 0, 2.0, 0.1, 1.0)
     assert found and idx >= 60
+
+
+def test_speed_factor_parity(lib):
+    """kh_speed_factor vs the serial fallback: identical factors across
+    start indices and lookaheads, incl. the accumulate-before-break
+    semantics at the boundary."""
+    import os
+
+    from kompass_core_tpu import native as N
+
+    rng = np.random.default_rng(5)
+    xs = np.cumsum(rng.uniform(0.005, 0.02, 500)).astype(np.float32)
+    ys = np.sin(xs * 2.0).astype(np.float32)
+    curv = rng.normal(0, 0.5, 500).astype(np.float32)
+    lib_save = N._lib
+    for start in (0, 7, 250, 498, 499):
+        for lk in (0.05, 0.5, 5.0, 100.0):
+            got_n = native.speed_factor(
+                xs, ys, curv, start, lk, 0.5, 0.5, 0.3, 0.1
+            )
+            N._lib = None
+            try:
+                os.environ["KOMPASS_TPU_NO_NATIVE"] = "1"
+                got_p = native.speed_factor(
+                    xs, ys, curv, start, lk, 0.5, 0.5, 0.3, 0.1
+                )
+            finally:
+                N._lib = lib_save
+                os.environ.pop("KOMPASS_TPU_NO_NATIVE", None)
+            assert got_n == got_p, (start, lk, got_n, got_p)
