@@ -23,6 +23,11 @@ from kompass_core_tpu.models import (
     RobotType,
 )
 from kompass_core_tpu.parallel import FleetRuntime, build_fleet_mesh
+from kompass_core_tpu.utils.runtime import require_backend_or_cpu
+
+# fall back to CPU when the pinned remote backend is down (env vars alone
+# cannot re-pin after the sitecustomize — see CLAUDE.md)
+require_backend_or_cpu()
 
 
 def main(n_robots: int = 100, host_mode: bool = False):

@@ -33,6 +33,12 @@ from kompass_core_tpu.models import (
 )
 from kompass_core_tpu.planning import GlobalPlanner, GlobalPlannerConfig
 from kompass_core_tpu.utils.emergency_stop import EmergencyChecker
+from kompass_core_tpu.utils.runtime import require_backend_or_cpu
+
+# run on whatever accelerator is reachable; fall back to CPU when the
+# pinned remote backend is down (env vars alone cannot re-pin — see
+# CLAUDE.md)
+require_backend_or_cpu()
 
 # --- world: 10x10 room with a wall at y=5 (gap at x in [7, 9]) -------------
 
@@ -92,7 +98,13 @@ def main():
         robot,
         config=GlobalPlannerConfig(
             planner_id="PRM", num_samples=512, seed=2, connection_radius=4.0,
-            margin=0.1,
+            # margin must exceed the e-stop's critical reach beyond the
+            # robot radius (emergency_distance 0.25 + radius 0.2 = 0.45 m
+            # from obstacle points): shortcut paths hug the inflated
+            # boundary, and a 0.1 m margin let the route graze a wall-gap
+            # corner inside the critical cone — the e-stop then (correctly)
+            # froze forward motion for good
+            margin=0.5,
         ),
     )
     meta = {"resolution": 0.1, "width": 100, "height": 100,

@@ -39,7 +39,10 @@ logger = logging.getLogger("kompass_core_tpu")
 # ---------------------------------------------------------------------------
 
 
-@define
+# kw_only: the RGBD subclass re-defaults two inherited fields, which attrs
+# relocates to the end of the generated __init__ — keyword-only
+# construction makes that reordering unobservable
+@define(kw_only=True)
 class VisionRGBFollowerConfig(BaseAttrs):
     """(reference ``control/rgb_follower.py:13-90``)"""
 
@@ -87,7 +90,7 @@ class VisionRGBFollowerConfig(BaseAttrs):
     )
 
 
-@define
+@define(kw_only=True)
 class VisionRGBDFollowerConfig(VisionRGBFollowerConfig):
     """(reference ``control/rgbd_follower.py:22-258`` +
     ``rgbd_follower.h:23-88``)"""

@@ -54,7 +54,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if not _build() and not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        _bind_symbols(lib)
+    except AttributeError as e:
+        # stale pre-built .so missing newer entry points and no compiler
+        # to rebuild: degrade to the numpy fallbacks rather than crash the
+        # first follower tick
+        logger.warning(
+            "native host library is stale and could not be rebuilt (%s); "
+            "using numpy fallbacks", e,
+        )
+        return None
+    _lib = lib
+    return _lib
 
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
     lib.kh_find_closest_segment.restype = ctypes.c_int
     lib.kh_find_closest_segment.argtypes = [
         _f32p, _f32p, _i64p, ctypes.c_int64,
@@ -95,8 +110,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double,
     ]
-    _lib = lib
-    return _lib
 
 
 def native_available() -> bool:

@@ -121,9 +121,14 @@ class GlobalPlannerConfig(BaseAttrs):
         ),
     )
     # stop refinement rounds once the objective is at least this good
-    # (OMPL's ProblemDefinition objective threshold)
-    optimization_objective_threshold: float = field(
-        default=1.0, validator=base_validators.in_range(1e-9, 1e3)
+    # (OMPL's ProblemDefinition objective threshold). Default None =
+    # never satisfied: the reference front-end declares this knob with
+    # default 1.0 but never passes it to OMPL (planner.py:36 reads it,
+    # nothing consumes it), so binding a 1.0 threshold by default would
+    # cancel requested optimize_rounds on sub-metre paths where the
+    # reference refines for the full budget.
+    optimization_objective_threshold: Optional[float] = field(
+        default=None, validator=base_validators.in_range(1e-9, 1e3)
     )
 
 
@@ -819,8 +824,11 @@ class GlobalPlanner:
         return float(np.hypot(*np.diff(np.asarray(path), axis=0).T).sum())
 
     def _objective_stop_cost(self) -> float:
-        """Internal-cost value at which the objective threshold is met."""
+        """Internal-cost value at which the objective threshold is met
+        (-inf when no threshold is set: never satisfied)."""
         thr = self._config.optimization_objective_threshold
+        if thr is None:
+            return float("-inf")
         obj = self._config.optimization_objective
         if obj in ("max_min_clearance", "MaximizeMinClearanceObjective"):
             return -thr  # cost = -clearance; met when clearance >= thr

@@ -7,7 +7,10 @@ construction ever compiles, every later run (tests, benchmarks, production
 restarts) deserializes in ~100 ms.
 """
 
+import logging
 import os
+
+logger = logging.getLogger("kompass_core_tpu")
 
 _cache_enabled = False
 
@@ -62,3 +65,36 @@ def probe_backend(timeout_s: float = 240.0):
         "error", f"backend init did not return within {timeout_s:.0f}s"
     )
     return None
+
+
+def require_backend_or_cpu(timeout_s: float = 240.0):
+    """Demo/tool helper: make SOME jax backend usable in this process.
+
+    Probes the configured backend in a SUBPROCESS (a hung tunnel init
+    holds jax's backend lock forever — isolating the probe keeps this
+    process's jax untouched), and re-pins this process to CPU before its
+    first backend init when the probe fails or times out. Must be called
+    before any other jax use in the process. Returns the device list."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        ok = r.returncode == 0
+        err = "" if ok else (r.stderr or b"").decode(errors="replace")[-300:]
+    except subprocess.TimeoutExpired:
+        ok = False
+        err = f"backend init did not return within {timeout_s:.0f}s"
+    import jax
+
+    if not ok:
+        # env vars cannot re-pin after the sitecustomize; config.update can
+        jax.config.update("jax_platforms", "cpu")
+        logger.warning(
+            "configured backend unreachable (%s); running on CPU", err
+        )
+    return jax.devices()

@@ -180,3 +180,23 @@ def test_speed_factor_parity(lib):
                 N._lib = lib_save
                 os.environ.pop("KOMPASS_TPU_NO_NATIVE", None)
             assert got_n == got_p, (start, lk, got_n, got_p)
+
+
+def test_stale_library_degrades_to_fallback(monkeypatch):
+    """A pre-built .so missing newer entry points (no compiler to rebuild)
+    must degrade to the numpy fallbacks, not crash the first native call."""
+    from kompass_core_tpu import native as N
+
+    monkeypatch.setattr(N, "_lib", None)
+    monkeypatch.setattr(N, "_build_attempted", False)
+
+    def boom(lib):
+        raise AttributeError("undefined symbol: kh_find_lookahead")
+
+    monkeypatch.setattr(N, "_bind_symbols", boom)
+    assert N.get_lib() is None
+    # fallback path still serves the API
+    xs = np.linspace(0, 1, 10).astype(np.float32)
+    ys = np.zeros(10, np.float32)
+    found, tx, ty, idx = N.find_lookahead(xs, ys, 0, 0.0, 0.0, 0.5)
+    assert found and abs(tx - 0.5) < 1e-6
