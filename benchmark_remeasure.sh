@@ -16,7 +16,7 @@ probe() {
 
 probe "runner suite"
 echo "== benchmark runner suite (reference-schema workloads) =="
-timeout 3000 python -m kompass_core_tpu.benchmark.runner BENCH_LOCAL.json \
+timeout 3000 python -m kompass_core_tpu.benchmark.runner BENCH_LOCAL.json 5 \
   || echo "runner suite FAILED"
 
 probe "kernel bench"

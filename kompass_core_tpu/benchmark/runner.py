@@ -310,6 +310,20 @@ class BenchmarkRunner:
             )
         )
 
+    def bench_dwa_large_batch(self):
+        """BASELINE config 4: large-batch sampling, 65,025 trajectories
+        (255 x 255 velocity grid) x 30 steps with on-device cost
+        reduction + argmin (GPU-benchmark-scale parity)."""
+        solver, variants = self._dwa_workload(
+            255, 255, 30, 512, 384, "large"
+        )
+        self.results.append(
+            measure_throughput_slope(
+                "DWA_LargeBatch_65k", solver, variants,
+                lambda o: float(np.asarray(o[1])),
+            )
+        )
+
     def bench_fleet(self, batch=64):
         import jax
 
@@ -416,6 +430,42 @@ class BenchmarkRunner:
             )
         )
 
+    def bench_mapper_bayesian(self):
+        """Bayesian 400x400 update (reference CPU-side
+        ``Mapper_Dense_400x400`` variant: Bayesian, 10 threads,
+        ``benchmark_runner.cpp:187-218``) — inverse sensor model +
+        previous-grid fusion, same 3600-ray scan."""
+        import jax
+
+        from ..ops.mapping import MapperSpec, get_scan_to_grid_bayesian
+
+        spec = MapperSpec(
+            grid_height=400, grid_width=400, num_bins=3600, resolution=0.05
+        )
+        rng = np.random.default_rng(0)
+        fn = get_scan_to_grid_bayesian(spec)
+        prev = jax.device_put(
+            np.full((400, 400), 0.5, np.float32)
+        )
+        scalars = tuple(
+            np.float32(v) for v in (0.5, 0.4, 0.6, 1.0, 20.0, 0.2)
+        )
+        variants = [
+            jax.device_put(rng.uniform(0.5, 9.9, 3600).astype(np.float32))
+            for _ in range(slope_variants_needed())
+        ]
+        for v in variants:
+            float(np.asarray(v[0]))
+        float(np.asarray(prev[0, 0]))
+        self.results.append(
+            measure_throughput_slope(
+                "Mapper_Bayesian_400x400",
+                lambda r: fn(r, prev, *scalars),
+                variants,
+                lambda o: float(np.asarray(o[1][0, 0])),
+            )
+        )
+
     def bench_critical_zone_cloud(self):
         """100k cloud safety factor (reference
         ``benchmark_runner.cpp:267-311``): cylinder r=0.51, 160 deg cone,
@@ -496,12 +546,47 @@ class BenchmarkRunner:
 
     def run_all(self):
         self.bench_dwa_baseline()
+        self.bench_dwa_large_batch()
         self.bench_fleet()
         self.bench_cost_evaluator_5k()
         self.bench_mapper_dense()
+        self.bench_mapper_bayesian()
         self.bench_mapper_pointcloud()
         self.bench_critical_zone_cloud()
         self.bench_critical_zone_dense()
+        return self.results
+
+    def run_repeated(self, repeats: int = 5):
+        """Run the suite ``repeats`` times and keep, per workload, the
+        MEDIAN slope estimate (plus every raw estimate under
+        ``estimates_ms``).
+
+        A single slope estimate through a remote-attached tunnel is
+        noisy for sub-millisecond dispatches, and the noise is
+        two-sided: interference landing in the LONG chain inflates the
+        slope, while interference landing in the SHORT chain deflates
+        it (observed: a 0.000 ms estimate for a real 0.2 ms workload).
+        The median is robust to outliers in either direction; min/max
+        are not. Heavy workloads (>4 ms) are stable within ~2% across
+        repeats either way."""
+        all_runs: List[List[Dict]] = []
+        for _ in range(max(1, repeats)):
+            self.results = []
+            self.run_all()
+            all_runs.append(self.results)
+        merged = []
+        for i in range(len(all_runs[0])):
+            ests = sorted(run[i]["p50_ms"] for run in all_runs)
+            med = ests[len(ests) // 2] if len(ests) % 2 else statistics.median(ests)
+            rec = dict(min(
+                (run[i] for run in all_runs),
+                key=lambda r: abs(r["p50_ms"] - med),
+            ))
+            rec["p50_ms"] = rec["mean_ms"] = med
+            rec["estimates_ms"] = [run[i]["p50_ms"] for run in all_runs]
+            rec["method"] = f"slope_median_of_{len(all_runs)}"
+            merged.append(rec)
+        self.results = merged
         return self.results
 
     def export(self, file_path: str):
@@ -545,7 +630,11 @@ if __name__ == "__main__":
     import sys
 
     runner = BenchmarkRunner()
-    runner.run_all()
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    if repeats > 1:
+        runner.run_repeated(repeats)
+    else:
+        runner.run_all()
     out = runner.export(
         sys.argv[1] if len(sys.argv) > 1 else "benchmark_results.json"
     )

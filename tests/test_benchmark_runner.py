@@ -37,6 +37,29 @@ def test_accelerator_enumeration():
     assert all(isinstance(a, str) for a in accs)
 
 
+def test_run_repeated_keeps_median_estimate():
+    """run_repeated merges N suite passes per workload by MEDIAN slope
+    estimate (tunnel interference is two-sided: it can inflate or
+    deflate a single slope) and records every raw estimate."""
+    runner = BenchmarkRunner()
+    vals = iter([3.0, 1.0, 2.0])
+
+    def fake_run_all():
+        v = next(vals)
+        runner.results = [
+            {"name": "W", "runs": 20, "mean_ms": v, "min_ms": v,
+             "p50_ms": v, "p99_ms": v, "method": "slope"}
+        ]
+        return runner.results
+
+    runner.run_all = fake_run_all
+    merged = runner.run_repeated(3)
+    assert len(merged) == 1
+    assert merged[0]["p50_ms"] == 2.0
+    assert merged[0]["estimates_ms"] == [3.0, 1.0, 2.0]
+    assert merged[0]["method"] == "slope_median_of_3"
+
+
 def test_measure_throughput_slope_schema():
     """Slope method: marginal per-dispatch time from chained distinct
     dispatches, with completion forced by a value fetch."""
