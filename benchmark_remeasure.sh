@@ -24,6 +24,11 @@ echo "== kernel shoot-out (xla vs pallas backends) =="
 timeout 3000 python -m kompass_core_tpu.benchmark.kernel_bench \
   | tee KERNEL_BENCH.json || echo "kernel bench FAILED"
 
+probe "device loop"
+echo "== device-loop cross-check (tunnel-immune single-solve time) =="
+timeout 2000 python -m kompass_core_tpu.benchmark.device_loop \
+  | tee DEVICE_LOOP.json || echo "device loop FAILED"
+
 probe "bench.py"
 echo "== bench.py headline =="
 timeout 3000 python bench.py || echo "bench.py FAILED"

@@ -1,0 +1,155 @@
+"""Device-loop timing: a tunnel-immune cross-check for the slope method.
+
+The slope method (``runner.measure_throughput_slope``) times chains of
+independent dispatches and relies on the host keeping the device queue
+full. Through a remote-attached tunnel that pipelining sometimes breaks,
+and the marginal time then includes a full host round-trip per dispatch —
+observed as a bimodal DWA_2025x30 estimate (~0.12 ms vs ~0.98 ms across
+repeats, the high mode being ≈ tunnel RTT).
+
+This harness removes the host from the measured region entirely: ONE
+jitted program runs the workload K times in a ``lax.scan`` whose carry
+feeds each iteration's input from the previous iteration's output (a
+data dependency, so iterations execute serially and XLA cannot CSE or
+hoist them). Wall time for a K-iteration dispatch is
+
+    T(K) = RTT + overhead + K * t_workload
+
+so ``t = (T(K2) - T(K1)) / (K2 - K1)`` cancels RTT, dispatch overhead,
+and the output fetch exactly. Each timed dispatch still gets a DISTINCT
+resident input buffer (measurement-integrity rule: identical
+(executable, input) pairs may be served from a cache).
+
+Role in the suite: a methodology cross-check for sub-millisecond
+workloads; the reference-schema numbers stay slope-timed
+(``runner.py``), with this module's number reported alongside when the
+slope repeats disagree.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+from functools import partial
+from typing import Callable, List, Sequence
+
+import numpy as np
+
+
+def make_dwa_device_loop(spec, k: int):
+    """One jitted program: K carry-chained DWA solves on a packed buffer.
+
+    The carry perturbs the robot x-state by 1e-6 + 1e-9*cost each
+    iteration — a data dependency on the previous solve (forces serial
+    execution, defeats CSE) that keeps the scenario physically valid.
+    Returns the final cost scalar (forces the whole chain).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.solver import _unpack_and_solve
+
+    solve = partial(_unpack_and_solve, spec)
+
+    def loop(buf):
+        def body(b, _):
+            out = solve(b)
+            b = b.at[0].add(1e-6 + 1e-9 * out[1])
+            return b, out[1]
+
+        _, costs = lax.scan(body, buf, None, length=k)
+        return costs[-1]
+
+    return jax.jit(loop)
+
+
+def measure_device_loop(
+    name: str,
+    make_loop: Callable[[int], Callable],
+    variants: Sequence,
+    ks: Sequence[int] = (8, 40),
+    repeats: int = 3,
+) -> dict:
+    """Per-iteration device time from the K-delta of single dispatches.
+
+    ``variants`` must hold >= ``2 * repeats`` DISTINCT device-resident
+    inputs (one per timed dispatch). Returns the median across repeats
+    plus every raw estimate.
+    """
+    k1, k2 = ks
+    f1, f2 = make_loop(k1), make_loop(k2)
+    it = iter(variants)
+    # compile + warm both programs (distinct inputs, untimed)
+    float(np.asarray(f1(next(it))))
+    float(np.asarray(f2(next(it))))
+    ests: List[float] = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(f1(next(it))))
+        t1 = time.perf_counter()
+        float(np.asarray(f2(next(it))))
+        t2 = time.perf_counter()
+        ests.append(((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3)
+    med = statistics.median(ests)
+    return {
+        "name": name,
+        "method": f"device_loop_k{k1}_k{k2}",
+        "p50_ms": med,
+        "mean_ms": med,
+        "estimates_ms": ests,
+        "repeats": repeats,
+    }
+
+
+def _dwa_baseline_buffers(n_variants: int):
+    """The runner's DWA_2025x30 workload as (spec, resident variants)."""
+    import jax
+
+    from .runner import BenchmarkRunner
+
+    r = BenchmarkRunner()
+    # reuse the exact workload builder so the program under test is the
+    # same solve the slope suite times
+    solver, variants = r._dwa_workload(45, 45, 30, 512, 384, "baseline")
+    del solver
+    need = n_variants - len(variants)
+    if need > 0:
+        base = np.asarray(jax.device_get(variants[0]))
+        extra = []
+        for k in range(need):
+            v = base.copy()
+            v[0] += 1e-3 + 1e-4 * k
+            extra.append(jax.device_put(v))
+        for v in extra:
+            float(np.asarray(v[0]))
+        variants = list(variants) + extra
+    from ..ops.solver import SolverSpec, packed_input_size
+
+    spec = SolverSpec(
+        is_omni=False, n_vx=45, n_vy=1, n_omega=45, max_points=30,
+        num_ctrl_points=6, scan_size=512, seg_size=384, drop_samples=True,
+    )
+    assert variants[0].shape == (packed_input_size(spec),), (
+        "device-loop spec drifted from runner._dwa_workload"
+    )
+    return spec, variants
+
+
+def main():
+    repeats = 3
+    spec, variants = _dwa_baseline_buffers(2 * repeats + 2)
+    res = measure_device_loop(
+        "DWA_2025x30_device_loop",
+        lambda k: make_dwa_device_loop(spec, k),
+        variants,
+        ks=(8, 40),
+        repeats=repeats,
+    )
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,74 @@ def test_run_repeated_keeps_median_estimate():
     assert merged[0]["method"] == "slope_median_of_3"
 
 
+def test_device_loop_harness_tiny_solver():
+    """Device-loop cross-check: K carry-chained solves in one dispatch;
+    per-iteration time from the K-delta. Validates the harness wiring
+    (chain executes, estimates positive, schema complete) on a tiny
+    solver spec."""
+    import jax
+
+    from kompass_core_tpu.benchmark.device_loop import (
+        make_dwa_device_loop,
+        measure_device_loop,
+    )
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits,
+        LinearCtrlLimits,
+        RobotCtrlLimits,
+    )
+    from kompass_core_tpu.ops.solver import (
+        SolverSpec,
+        pack_solver_input,
+        packed_input_size,
+    )
+    from kompass_core_tpu.ops.window import sample_velocity_window
+
+    spec = SolverSpec(
+        is_omni=False, n_vx=4, n_vy=1, n_omega=4, max_points=10,
+        num_ctrl_points=2, scan_size=64, seg_size=32, drop_samples=True,
+    )
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(max_vel=2.0, max_acc=3.0, max_decel=3.0),
+    ).to_array()
+    limits[3:6] = 0.0
+    rng = np.random.default_rng(0)
+    n_seg = 24
+    s = np.linspace(0, 5.0, n_seg).astype(np.float32)
+    seg_x = np.full(32, 1e8, np.float32)
+    seg_y = np.full(32, 1e8, np.float32)
+    seg_arc = np.zeros(32, np.float32)
+    seg_x[:n_seg] = s
+    seg_arc[:n_seg] = s
+    seg_y[:n_seg] = 0.0
+    ranges = rng.uniform(2.0, 9.0, 64)
+    ang = np.linspace(-np.pi, np.pi, 64, endpoint=False)
+    obs = np.stack(
+        [ranges * np.cos(ang), ranges * np.sin(ang)], axis=1
+    ).astype(np.float32)
+    window = sample_velocity_window(
+        (0.5, 0.0, 0.0), limits, 0.1, 4, 1, 4, False
+    )
+    params = np.array(
+        [0.1, 0.3, 0.05, 2.0, 1.0, 1.0, 0.1, 0.05, 5.0, 0.0, 3.0, 10 / 3],
+        np.float32,
+    )
+    buf = np.zeros(packed_input_size(spec), np.float32)
+    pack_solver_input(
+        spec, buf, params, (0, 0, 0), window, obs, 64,
+        seg_x, seg_y, seg_arc, n_seg, float(s[-1]), 5.0, 10,
+    )
+    variants = [jax.device_put(buf.copy()) for _ in range(8)]
+    r = measure_device_loop(
+        "tiny", lambda k: make_dwa_device_loop(spec, k), variants,
+        ks=(4, 12), repeats=3,
+    )
+    assert r["method"] == "device_loop_k4_k12"
+    assert len(r["estimates_ms"]) == 3
+    assert r["p50_ms"] > 0.0
+
+
 def test_measure_throughput_slope_schema():
     """Slope method: marginal per-dispatch time from chained distinct
     dispatches, with completion forced by a value fetch."""
