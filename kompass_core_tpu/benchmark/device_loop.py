@@ -103,6 +103,52 @@ def measure_device_loop(
     }
 
 
+def make_critical_zone_device_loop(spec, k: int):
+    """K carry-chained critical-zone checks in one dispatch. The carry
+    perturbs each range by 1e-6 * previous factor (factor in [0, 1], so
+    the ranges stay inside the slowdown band)."""
+    import jax
+    from jax import lax
+
+    from ..ops.critical_zone import get_critical_zone_checker
+
+    check = get_critical_zone_checker(spec)
+
+    def loop(ranges):
+        def body(r, _):
+            f = check(r, True)
+            return r + (1e-6 * f + 1e-7), f
+
+        _, fs = lax.scan(body, ranges, None, length=k)
+        return fs[-1]
+
+    return jax.jit(loop)
+
+
+def make_mapper_device_loop(spec, k: int):
+    """K carry-chained dense scan->grid updates in one dispatch. The
+    carry perturbs the ranges by a value derived from the occupancy
+    count (data dependency on the previous grid)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.mapping import get_scan_to_grid
+
+    to_grid = get_scan_to_grid(spec)
+
+    def loop(ranges):
+        def body(r, _):
+            g = to_grid(r)
+            occ = jnp.sum(g).astype(jnp.float32)
+            return r + (1e-9 * occ + 1e-7), occ
+
+        _, occs = lax.scan(body, ranges, None, length=k)
+        return occs[-1]
+
+    return jax.jit(loop)
+
+
 def _dwa_baseline_buffers(n_variants: int):
     """The runner's DWA_2025x30 workload as (spec, resident variants)."""
     import jax
@@ -138,17 +184,62 @@ def _dwa_baseline_buffers(n_variants: int):
 
 
 def main():
+    import jax
+
     repeats = 3
-    spec, variants = _dwa_baseline_buffers(2 * repeats + 2)
-    res = measure_device_loop(
+    n_var = 2 * repeats + 2
+    results = []
+
+    spec, variants = _dwa_baseline_buffers(n_var)
+    results.append(measure_device_loop(
         "DWA_2025x30_device_loop",
         lambda k: make_dwa_device_loop(spec, k),
-        variants,
-        ks=(8, 40),
-        repeats=repeats,
+        variants, ks=(8, 72), repeats=repeats,
+    ))
+
+    from ..ops.critical_zone import build_critical_zone
+
+    angles = np.arange(0.0, 2 * np.pi, 2 * np.pi / 3600)
+    cz = build_critical_zone(
+        "CYLINDER", [0.51, 1.0], (0, 0, 0), (0, 0, 0, 1),
+        160.0, 0.3, 0.6, angles,
     )
-    print(json.dumps(res))
-    return res
+    rng = np.random.default_rng(0)
+    cz_variants = [
+        jax.device_put(rng.uniform(0.81, 1.11, 3600).astype(np.float32))
+        for _ in range(n_var)
+    ]
+    for v in cz_variants:
+        float(np.asarray(v[0]))
+    # the dense-scan check is single-digit us of device work: the K-span
+    # must put the K-delta well above tunnel timing jitter (a (8, 40)
+    # span measured NEGATIVE estimates -- its 0.3 ms delta was inside the
+    # jitter band; (16, 1024) still straddled zero)
+    results.append(measure_device_loop(
+        "CriticalZone_Dense_device_loop",
+        lambda k: make_critical_zone_device_loop(cz, k),
+        cz_variants, ks=(16, 8192), repeats=repeats,
+    ))
+
+    from ..ops.mapping import MapperSpec
+
+    mspec = MapperSpec(
+        grid_height=400, grid_width=400, num_bins=3600, resolution=0.05
+    )
+    m_variants = [
+        jax.device_put(rng.uniform(0.5, 9.9, 3600).astype(np.float32))
+        for _ in range(n_var)
+    ]
+    for v in m_variants:
+        float(np.asarray(v[0]))
+    results.append(measure_device_loop(
+        "Mapper_Dense_device_loop",
+        lambda k: make_mapper_device_loop(mspec, k),
+        m_variants, ks=(8, 56), repeats=repeats,
+    ))
+
+    print(json.dumps(results))
+    return results
 
 
 if __name__ == "__main__":
