@@ -74,11 +74,16 @@ def measure_device_loop(
 ) -> dict:
     """Per-iteration device time from the K-delta of single dispatches.
 
-    ``variants`` must hold >= ``2 * repeats`` DISTINCT device-resident
-    inputs (one per timed dispatch). Returns the median across repeats
-    plus every raw estimate.
+    ``variants`` must hold >= ``2 * repeats + 2`` DISTINCT
+    device-resident inputs: two warmup dispatches (one per compiled K)
+    plus two per timed repeat. Returns the median across repeats plus
+    every raw estimate and the spread (max - min).
     """
     k1, k2 = ks
+    assert len(variants) >= 2 * repeats + 2, (
+        f"need >= {2 * repeats + 2} distinct variants "
+        f"(2 warmup + 2 per repeat), got {len(variants)}"
+    )
     f1, f2 = make_loop(k1), make_loop(k2)
     it = iter(variants)
     # compile + warm both programs (distinct inputs, untimed)
@@ -99,6 +104,7 @@ def measure_device_loop(
         "p50_ms": med,
         "mean_ms": med,
         "estimates_ms": ests,
+        "spread_ms": max(ests) - min(ests),
         "repeats": repeats,
     }
 
@@ -149,6 +155,95 @@ def make_mapper_device_loop(spec, k: int):
     return jax.jit(loop)
 
 
+def make_critical_zone_cloud_device_loop(spec, k: int):
+    """K carry-chained 100k-point cloud safety checks in one dispatch.
+    The carry perturbs the whole cloud by 1e-6 * previous factor."""
+    import jax
+    from jax import lax
+
+    from ..ops.critical_zone import get_critical_zone_checker_cloud
+
+    check = get_critical_zone_checker_cloud(spec)
+
+    def loop(pts):
+        def body(p, _):
+            f = check(
+                p, True, np.float32(20.0), np.float32(-1.0),
+                np.float32(1.0),
+            )
+            return p + (1e-6 * f + 1e-7), f
+
+        _, fs = lax.scan(body, pts, None, length=k)
+        return fs[-1]
+
+    return jax.jit(loop)
+
+
+# Reference benchmark_runner.cpp:187-218 constructs the Bayesian mapper
+# with these exact sensor-model values (p_prior, p_empty, p_occupied,
+# range_sure, range_max, wall_size).
+BAYES_BENCH_SCALARS = (0.6, 0.1, 0.9, 0.1, 20.0, 0.2)
+
+
+def make_mapper_bayesian_device_loop(spec, k: int):
+    """K carry-chained Bayesian grid updates in one dispatch. The carry
+    is (ranges, prob_grid): each iteration fuses into the PREVIOUS
+    iteration's posterior — the real temporal-fusion recurrence, which
+    is also the data dependency that forces serial execution."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.mapping import get_scan_to_grid_bayesian
+
+    fn = get_scan_to_grid_bayesian(spec)
+    scalars = tuple(np.float32(v) for v in BAYES_BENCH_SCALARS)
+
+    def loop(carry):
+        ranges, prev = carry
+
+        def body(c, _):
+            r, p = c
+            occ, prob = fn(r, p, *scalars)
+            out = jnp.sum(occ).astype(jnp.float32)
+            return (r + (1e-9 * out + 1e-7), prob), out
+
+        _, outs = lax.scan(body, (ranges, prev), None, length=k)
+        return outs[-1]
+
+    return jax.jit(loop)
+
+
+def make_mapper_pointcloud_device_loop(spec, k: int):
+    """K carry-chained (100k cloud -> laserscan -> grid) updates in one
+    dispatch; carry perturbs the cloud by a value derived from the
+    occupancy count."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.mapping import get_pointcloud_to_scan, get_scan_to_grid
+
+    to_scan = get_pointcloud_to_scan(spec.num_bins)
+    to_grid = get_scan_to_grid(spec)
+
+    def loop(pts):
+        def body(p, _):
+            g = to_grid(
+                to_scan(
+                    p, jnp.float32(10.0), jnp.float32(-1.0),
+                    jnp.float32(1.0),
+                )
+            )
+            occ = jnp.sum(g).astype(jnp.float32)
+            return p + (1e-9 * occ + 1e-7), occ
+
+        _, occs = lax.scan(body, pts, None, length=k)
+        return occs[-1]
+
+    return jax.jit(loop)
+
+
 def _dwa_baseline_buffers(n_variants: int):
     """The runner's DWA_2025x30 workload as (spec, resident variants)."""
     import jax
@@ -183,10 +278,16 @@ def _dwa_baseline_buffers(n_variants: int):
     return spec, variants
 
 
-def main():
+def _resident(bufs):
+    """Force each buffer device-resident by fetching one scalar."""
+    for v in bufs:
+        float(np.asarray(v.ravel()[0]))
+    return bufs
+
+
+def main(repeats: int = 10):
     import jax
 
-    repeats = 3
     n_var = 2 * repeats + 2
     results = []
 
@@ -205,12 +306,10 @@ def main():
         160.0, 0.3, 0.6, angles,
     )
     rng = np.random.default_rng(0)
-    cz_variants = [
+    cz_variants = _resident([
         jax.device_put(rng.uniform(0.81, 1.11, 3600).astype(np.float32))
         for _ in range(n_var)
-    ]
-    for v in cz_variants:
-        float(np.asarray(v[0]))
+    ])
     # the dense-scan check is single-digit us of device work: the K-span
     # must put the K-delta well above tunnel timing jitter (a (8, 40)
     # span measured NEGATIVE estimates -- its 0.3 ms delta was inside the
@@ -221,21 +320,63 @@ def main():
         cz_variants, ks=(16, 8192), repeats=repeats,
     ))
 
+    # 100k cloud: distinct variants built ON DEVICE (n_var x 1.2 MB host
+    # uploads through the tunnel would dominate setup)
+    n_cloud = 100_000
+    r = rng.uniform(0.9, 9.9, n_cloud)
+    a = rng.uniform(0, 2 * np.pi, n_cloud)
+    cloud = np.stack(
+        [r * np.cos(a), r * np.sin(a), rng.uniform(-0.4, 0.4, n_cloud)],
+        axis=1,
+    ).astype(np.float32)
+    cloud_dev = jax.device_put(cloud)
+    shift = jax.jit(lambda p, c: p + c)
+    cloud_variants = _resident(
+        [shift(cloud_dev, np.float32(1e-5 * k)) for k in range(n_var)]
+    )
+    results.append(measure_device_loop(
+        "CriticalZone_100k_device_loop",
+        lambda k: make_critical_zone_cloud_device_loop(cz, k),
+        cloud_variants, ks=(8, 512), repeats=repeats,
+    ))
+
     from ..ops.mapping import MapperSpec
 
     mspec = MapperSpec(
         grid_height=400, grid_width=400, num_bins=3600, resolution=0.05
     )
-    m_variants = [
+    m_variants = _resident([
         jax.device_put(rng.uniform(0.5, 9.9, 3600).astype(np.float32))
         for _ in range(n_var)
-    ]
-    for v in m_variants:
-        float(np.asarray(v[0]))
+    ])
     results.append(measure_device_loop(
         "Mapper_Dense_device_loop",
         lambda k: make_mapper_device_loop(mspec, k),
         m_variants, ks=(8, 56), repeats=repeats,
+    ))
+
+    prev = np.full((400, 400), 0.5, np.float32)
+    bay_variants = []
+    for k in range(n_var):
+        rr = jax.device_put(
+            rng.uniform(0.5, 9.9, 3600).astype(np.float32)
+        )
+        pp = jax.device_put(prev + np.float32(1e-6 * k))
+        float(np.asarray(rr[0])); float(np.asarray(pp[0, 0]))
+        bay_variants.append((rr, pp))
+    results.append(measure_device_loop(
+        "Mapper_Bayesian_device_loop",
+        lambda k: make_mapper_bayesian_device_loop(mspec, k),
+        bay_variants, ks=(8, 56), repeats=repeats,
+    ))
+
+    pc_variants = _resident(
+        [shift(cloud_dev, np.float32(2e-5 * k + 1e-6)) for k in range(n_var)]
+    )
+    results.append(measure_device_loop(
+        "Mapper_PointCloud_device_loop",
+        lambda k: make_mapper_pointcloud_device_loop(mspec, k),
+        pc_variants, ks=(8, 40), repeats=repeats,
     ))
 
     print(json.dumps(results))

@@ -447,8 +447,11 @@ class BenchmarkRunner:
         prev = jax.device_put(
             np.full((400, 400), 0.5, np.float32)
         )
+        # exact sensor-model values from the reference benchmark's
+        # constructor call (p_prior 0.6, p_empty 0.1, p_occupied 0.9,
+        # range_sure 0.1, range_max 20, wall_size 0.2)
         scalars = tuple(
-            np.float32(v) for v in (0.5, 0.4, 0.6, 1.0, 20.0, 0.2)
+            np.float32(v) for v in (0.6, 0.1, 0.9, 0.1, 20.0, 0.2)
         )
         variants = [
             jax.device_put(rng.uniform(0.5, 9.9, 3600).astype(np.float32))
@@ -576,6 +579,11 @@ class BenchmarkRunner:
             all_runs.append(self.results)
         merged = []
         for i in range(len(all_runs[0])):
+            names = {run[i]["name"] for run in all_runs}
+            assert len(names) == 1, (
+                f"pass results diverged at index {i}: {sorted(names)} — "
+                "workloads must be identical across repeats"
+            )
             ests = sorted(run[i]["p50_ms"] for run in all_runs)
             med = ests[len(ests) // 2] if len(ests) % 2 else statistics.median(ests)
             rec = dict(min(

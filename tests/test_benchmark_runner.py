@@ -118,14 +118,22 @@ def test_device_loop_harness_tiny_solver():
         spec, buf, params, (0, 0, 0), window, obs, 64,
         seg_x, seg_y, seg_arc, n_seg, float(s[-1]), 5.0, 10,
     )
-    variants = [jax.device_put(buf.copy()) for _ in range(8)]
+    # distinct inputs, as the harness documents (byte-identical copies
+    # could be served from a dispatch cache on real backends)
+    variants = []
+    for k in range(8):
+        v = buf.copy()
+        v[0] += 1e-4 * k
+        variants.append(jax.device_put(v))
     r = measure_device_loop(
         "tiny", lambda k: make_dwa_device_loop(spec, k), variants,
         ks=(4, 12), repeats=3,
     )
     assert r["method"] == "device_loop_k4_k12"
     assert len(r["estimates_ms"]) == 3
-    assert r["p50_ms"] > 0.0
+    # schema-only: an 8-iteration K-delta on CPU can round to <= 0 under
+    # timer noise, so positivity is not asserted
+    assert "spread_ms" in r and np.isfinite(r["p50_ms"])
 
 
 def test_measure_throughput_slope_schema():
