@@ -101,8 +101,18 @@ def _seg_end_index(paths_row, seg_idx):
 
 
 def _binary_descent(paths_row, px, py):
-    """Closest-segment binary descent (follower.cpp:155-183) as a bounded
-    loop."""
+    """Closest-segment binary descent (follower.cpp:155-183) as a
+    statically-unrolled bounded loop.
+
+    NOT a ``lax.while_loop``: under vmap with the robot axis sharded
+    across chips, a data-dependent loop condition compiles to a scalar
+    all-reduce PER ITERATION (every device must agree to keep looping),
+    which both serializes the fleet on ICI round-trips and breaks the
+    zero-collective steady-state guarantee pinned by
+    ``tests/test_scaling_hlo.py``. The descent halves [left, right] each
+    step, so ``ceil(log2(max_segments)) + 2`` masked iterations settle
+    every robot; the ``done`` mask makes extra iterations no-ops.
+    """
 
     def d2_of(seg):
         i = jax.lax.dynamic_index_in_dim(
@@ -112,8 +122,12 @@ def _binary_descent(paths_row, px, py):
         sy = jax.lax.dynamic_index_in_dim(paths_row.y, i, keepdims=False)
         return (px - sx) ** 2 + (py - sy) ** 2
 
-    def body(state):
-        left, right, result, done = state
+    left = jnp.int32(0)
+    right = jnp.maximum(paths_row.n_segs - 1, 0)
+    result = jnp.int32(0)
+    done = right == left
+    max_segments = int(paths_row.seg_starts.shape[0])
+    for _ in range(max(1, max_segments - 1).bit_length() + 2):
         mid = (left + right) // 2
         dl = d2_of(left)
         dr = d2_of(right)
@@ -126,16 +140,6 @@ def _binary_descent(paths_row, px, py):
         new_left = jnp.where(dl <= dr, left, mid)
         left = jnp.where(done, left, new_left)
         right = jnp.where(done, right, new_right)
-        return left, right, result, done
-
-    def cond(state):
-        return ~state[3]
-
-    left0 = jnp.int32(0)
-    right0 = jnp.maximum(paths_row.n_segs - 1, 0)
-    _, _, result, _ = jax.lax.while_loop(
-        cond, body, (left0, right0, jnp.int32(0), right0 == left0)
-    )
     return result
 
 
