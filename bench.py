@@ -53,10 +53,25 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# KOMPASS_BENCH_SMOKE=1 shrinks every workload so the bench harness can
+# run end-to-end on a CPU-only CI runner in ~a minute. The numbers are
+# meaningless as throughput; the point is exercising the exact dispatch /
+# measurement / JSON-emit code paths that run on real hardware.
+SMOKE = bool(os.environ.get("KOMPASS_BENCH_SMOKE"))
+
+
 def build_spec():
     # single source of truth: kompass_core_tpu/benchmark/baseline.py
     from kompass_core_tpu.benchmark.baseline import baseline_solver_spec
 
+    if SMOKE:
+        from kompass_core_tpu.ops.solver import SolverSpec
+
+        return SolverSpec(
+            is_omni=False, n_vx=5, n_vy=1, n_omega=5, max_points=10,
+            num_ctrl_points=2, scan_size=64, seg_size=64,
+            drop_samples=True,
+        )
     return baseline_solver_spec()
 
 
@@ -119,8 +134,10 @@ def build_scenario(spec, rng, robot_index=0):
     return buf
 
 
-def _fleet_v2_setup(n_robots, scan_rays=512):
+def _fleet_v2_setup(n_robots, scan_rays=None):
     """BASELINE-workload DeviceFleet: 45x45 grid, 30-step horizon."""
+    if scan_rays is None:
+        scan_rays = 64 if SMOKE else 512
     from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
     from kompass_core_tpu.models import (
         Robot,
@@ -142,12 +159,12 @@ def _fleet_v2_setup(n_robots, scan_rays=512):
         omega_limits=AngularCtrlLimits(max_vel=2.0, max_acc=3.0, max_decel=3.0),
     )
     config = DWAConfig(
-        max_linear_samples=45,
-        max_angular_samples=44,  # bumped odd -> 45x45 = 2025 samples
-        prediction_horizon=30,
-        control_horizon=6,
+        max_linear_samples=5 if SMOKE else 45,
+        max_angular_samples=4 if SMOKE else 44,  # bumped odd -> 45x45 = 2025
+        prediction_horizon=10 if SMOKE else 30,
+        control_horizon=2 if SMOKE else 6,
         control_time_step=0.1,
-        max_point_interpolation_distance=0.01,
+        max_point_interpolation_distance=0.05 if SMOKE else 0.01,
         costs_weights=TrajectoryCostsWeights(
             reference_path_distance_weight=2.0,
             goal_distance_weight=1.0,
@@ -343,7 +360,7 @@ def main():
     found, cost, _b, n_adm, *_ = unpack_solver_output(spec, out)
     log(f"sanity: found={found} cost={cost:.4f} admissible={n_adm}")
     lat = []
-    for k in range(30):
+    for k in range(5 if SMOKE else 30):
         v = buf.copy()
         v[0] += 1e-4 * (k + 1)  # distinct input per dispatch
         t0 = time.time()
@@ -364,7 +381,7 @@ def main():
     # 154 us at a monolithic 256); larger fleets are served as pipelined
     # chunks of 64 — dispatches overlap, so fleet throughput == chunk
     # throughput.
-    B = 64
+    B = 8 if SMOKE else 64
     fleet_solver = make_fleet_solver(spec)
     base = np.stack([build_scenario(spec, rng, i) for i in range(B)])
     # ONE distinct input per dispatch across compile + warm + both timed
@@ -440,10 +457,12 @@ def main():
             log(f"trace capture failed: {e}")
 
     # ---- DeviceFleet v2 (whole follower pipeline on device) ----
-    v2 = bench_device_fleet_v2(log)
+    v2 = bench_device_fleet_v2(log, sizes=(8,) if SMOKE else (64, 256, 1024))
 
     # ---- steady-state closed-loop compute latency (100 Hz question) ----
-    loop = bench_closed_loop_latency(log)
+    loop = bench_closed_loop_latency(
+        log, **({"ticks_per_chain": 10, "chains": 3} if SMOKE else {})
+    )
 
     # headline: best sustained solves/s across serving configurations —
     # the device-resident DeviceFleet (v2) at its best size when it beats
@@ -458,10 +477,14 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "dwa_solves_per_s_per_chip_2025x30",
+                "metric": (
+                    "dwa_solves_per_s_SMOKE_5x5x10"
+                    if SMOKE
+                    else "dwa_solves_per_s_per_chip_2025x30"
+                ),
                 "value": round(best_sps, 1),
                 "unit": "solves/s",
-                "vs_baseline": round(best_sps / 100.0, 2),
+                "vs_baseline": None if SMOKE else round(best_sps / 100.0, 2),
                 "config": best_cfg,
                 "extra": {
                     "single_solve_p50_ms": round(float(p50), 2),
