@@ -13,7 +13,9 @@ the expensive sampling/cost math runs on device. The fleet-scale variant
 of robots never touch the host.
 """
 
+import logging
 import math
+import time as _time
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
@@ -66,6 +68,14 @@ class FollowerConfig(BaseAttrs):
         default=1.5, validator=base_validators.in_range(0.5, 1e2)
     )
     enable_reverse_driving: bool = field(default=False)
+    # blocked-robot detection (reference controller.h:37-44 declares
+    # these but never implements the logic; here they drive an actual
+    # no-movement detector on the follower state — see
+    # Follower.is_robot_blocked)
+    enable_check_blocked: bool = field(default=False)
+    max_blocked_duration: float = field(
+        default=1.0, validator=base_validators.in_range(0.1, 360.0)
+    )
 
 
 @dataclass
@@ -118,6 +128,12 @@ class Follower:
         self._goal_distance = float("inf")
         # Ackermann bases cannot rotate in place (follower.cpp:41-46)
         self.rotate_in_place = not is_ackermann
+        # blocked-robot detection state (controller.h:37-44 — the params
+        # exist upstream but the detector does not; implemented here)
+        self._blocked_ref: Optional[tuple] = None
+        self._blocked_since: Optional[float] = None
+        self._blocked_reported = False
+        self._clock = _time.monotonic  # injectable for deterministic tests
 
     # --- configuration ---
 
@@ -183,9 +199,70 @@ class Follower:
         self.current_state.y = float(y)
         self.current_state.yaw = float(yaw)
         self.current_state.speed = float(speed)
+        self._update_blocked_check()
 
     def get_tracked_target(self) -> Optional[FollowingTarget]:
         return self._target
+
+    # --- blocked-robot detection -------------------------------------
+    # The reference declares enable_check_blocked / max_blocked_duration
+    # (controller.h:37-44, "notify upper pipeline stages") but ships no
+    # implementation. Here the detector is real: while a path is being
+    # followed, if the pose has not moved by more than
+    # _BLOCKED_MOVE_EPS_M / _BLOCKED_MOVE_EPS_RAD for longer than
+    # max_blocked_duration seconds of wall time, is_robot_blocked()
+    # turns True (and a warning is logged once per episode).
+
+    _BLOCKED_MOVE_EPS_M = 1e-3
+    _BLOCKED_MOVE_EPS_RAD = 1e-2
+
+    def _update_blocked_check(self):
+        if not self.config.enable_check_blocked or not self._path_processing:
+            self._blocked_ref = None
+            self._blocked_since = None
+            self._blocked_reported = False
+            return
+        s = self.current_state
+        now = self._clock()
+        if self._blocked_ref is not None:
+            rx, ry, ryaw = self._blocked_ref
+            moved = (
+                math.hypot(s.x - rx, s.y - ry) > self._BLOCKED_MOVE_EPS_M
+                or abs(normalize_to_minus_pi_pi(s.yaw - ryaw))
+                > self._BLOCKED_MOVE_EPS_RAD
+            )
+        else:
+            moved = True
+        if moved:
+            self._blocked_ref = (s.x, s.y, s.yaw)
+            self._blocked_since = now
+            self._blocked_reported = False
+        elif (
+            not self._blocked_reported
+            and now - self._blocked_since > self.config.max_blocked_duration
+        ):
+            self._blocked_reported = True
+            logging.getLogger("kompass_core_tpu").warning(
+                "robot blocked: no movement for %.2f s (max_blocked_duration"
+                " %.2f s)",
+                now - self._blocked_since,
+                self.config.max_blocked_duration,
+            )
+
+    def is_robot_blocked(self) -> bool:
+        """True when blocked-robot checking is enabled and the robot has
+        not moved for more than ``max_blocked_duration`` seconds while a
+        path is active."""
+        if (
+            not self.config.enable_check_blocked
+            or not self._path_processing
+            or self._blocked_since is None
+        ):
+            return False
+        return (
+            self._clock() - self._blocked_since
+            > self.config.max_blocked_duration
+        )
 
     # --- goal detection (follower.cpp:109-142) ---
 
