@@ -188,6 +188,26 @@ def _device_determine_target(paths_row, carry_i, px, py):
     return cidx, new_seg, pos, heading, jnp.sqrt(min_d2)
 
 
+def _scan_to_world_obs(spec, ranges, angles, sensor_pose, x, y, yaw):
+    """Egocentric scan -> padded [scan_size, 2] world-frame obstacle
+    points (collision_check.h:98-117 chain: sensor -> body -> world)."""
+    r = jnp.where(jnp.isfinite(ranges), ranges, _PAD)
+    pxs = r * jnp.cos(angles)
+    pys = r * jnp.sin(angles)
+    cs, ss = jnp.cos(sensor_pose[2]), jnp.sin(sensor_pose[2])
+    bx = cs * pxs - ss * pys + sensor_pose[0]
+    by = ss * pxs + cs * pys + sensor_pose[1]
+    cy, sy2 = jnp.cos(yaw), jnp.sin(yaw)
+    obs = jnp.stack(
+        [cy * bx - sy2 * by + x, sy2 * bx + cy * by + y], axis=1
+    )
+    R = obs.shape[0]
+    obs = jnp.concatenate(
+        [obs, jnp.full((spec.scan_size - R, 2), _PAD)], axis=0
+    ) if R < spec.scan_size else obs[: spec.scan_size]
+    return obs, min(R, spec.scan_size)
+
+
 def _fleet_robot_step(
     spec: SolverSpec,
     paths_row: FleetPaths,
@@ -198,6 +218,7 @@ def _fleet_robot_step(
     ranges,  # [R]
     angles,  # [R]
     seg_capacity: int,
+    obs_world=None,  # [scan_size, 2] world-frame obstacles (overrides scan)
 ):
     """One robot's full control tick on device."""
     (params12, limits9, sensor_pose, rot_in_place, goal_tol, ori_tol,
@@ -242,20 +263,16 @@ def _fleet_robot_step(
     max_forward = adaptive * vx_max
 
     # --- obstacles: scan -> world (collision_check.h:98-117 chain) ---
-    r = jnp.where(jnp.isfinite(ranges), ranges, _PAD)
-    pxs = r * jnp.cos(angles)
-    pys = r * jnp.sin(angles)
-    cs, ss = jnp.cos(sensor_pose[2]), jnp.sin(sensor_pose[2])
-    bx = cs * pxs - ss * pys + sensor_pose[0]
-    by = ss * pxs + cs * pys + sensor_pose[1]
-    cy, sy2 = jnp.cos(yaw), jnp.sin(yaw)
-    obs = jnp.stack(
-        [cy * bx - sy2 * by + x, sy2 * bx + cy * by + y], axis=1
-    )
-    R = obs.shape[0]
-    obs = jnp.concatenate(
-        [obs, jnp.full((spec.scan_size - R, 2), _PAD)], axis=0
-    ) if R < spec.scan_size else obs[: spec.scan_size]
+    if obs_world is None:
+        obs, R = _scan_to_world_obs(
+            spec, ranges, angles, sensor_pose, x, y, yaw
+        )
+    else:
+        # caller supplies world-frame obstacles directly (the k-tick
+        # on-device loop: the scan is converted ONCE with the tick-0
+        # pose, then the world stays static while the state evolves)
+        obs = obs_world
+        R = obs.shape[0]
 
     # --- tracked segment window (dwa.cpp:208-233) ---
     # NOTE: path arrays are allocated seg_capacity wider than the path
@@ -396,4 +413,85 @@ def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots")
         tick,
         in_shardings=(sh, sh, sh, sh, sh),
         out_shardings=(sh, sh),
+    )
+
+
+def make_fleet_ticks_on_device(
+    fleet_spec: FleetSpec, k: int, mesh=None, axis_name: str = "robots"
+):
+    """K carry-chained control ticks in ONE dispatch (VERDICT r2 #7).
+
+    The product form of the device-loop benchmark harness: a single
+    remote-attached robot pays the host<->device round trip (~35 ms p50
+    through the dev tunnel) once per K ticks instead of once per tick,
+    amortizing the RTT below the 10 ms control budget for k >= 8.
+
+    Semantics: the scan is converted to WORLD-frame obstacles once with
+    the tick-0 pose (static-world assumption — the same assumption a
+    single solve's rollout makes over its prediction horizon), then each
+    tick solves against that world, applies its first command through
+    the unicycle/omni kinematic update (``Path::State::update``,
+    ``datatypes/path.h:24-30``), and feeds the next tick. Between sensor
+    syncs the robot executes the K returned commands open-loop.
+
+    Returns a jitted ``(paths, cfg, carry, angles, inputs[N, 4+3+R]) ->
+    (carry', outs [N, k, len(OUT_FIELDS)], final_states [N, 4])``.
+    """
+    spec = fleet_spec.solver
+
+    def ticks(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
+              angles, inputs):
+        if spec.dynamic_box and cfg.collision_box2 is None:
+            raise ValueError(
+                "dynamic_box fleet spec requires FleetConfig.collision_box2"
+            )
+        states = inputs[:, 0:4]
+        vels = inputs[:, 4:7]
+        ranges = inputs[:, 7:]
+
+        def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a):
+            paths_row = FleetPaths(*paths_row_tuple)
+            sensor_pose = cfg_row[2]
+            dt = cfg_row[0][0]  # params12[0]
+            obs, _n = _scan_to_world_obs(
+                spec, r, a, sensor_pose, s[0], s[1], s[2]
+            )
+
+            def body(c, _):
+                carry_c, s_c, v_c = c
+                new_carry, out = _fleet_robot_step(
+                    spec, paths_row, cfg_row, carry_c, s_c, v_c, r, a,
+                    fleet_spec.solver.seg_size, obs_world=obs,
+                )
+                vx, vy, om = out[2], out[3], out[4]
+                cy, sy = jnp.cos(s_c[2]), jnp.sin(s_c[2])
+                ns = jnp.stack([
+                    s_c[0] + dt * (vx * cy - vy * sy),
+                    s_c[1] + dt * (vx * sy + vy * cy),
+                    s_c[2] + dt * om,
+                    jnp.sqrt(vx * vx + vy * vy),
+                ])
+                nv = jnp.stack([vx, vy, om])
+                return (new_carry, ns, nv), out
+
+            (carry_f, s_f, _v_f), outs = jax.lax.scan(
+                body, (carry_row, s, v), None, length=k
+            )
+            return carry_f, outs, s_f
+
+        carry2, outs, states_f = jax.vmap(one)(
+            tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
+            angles,
+        )
+        return FleetCarry(*carry2), outs, states_f
+
+    if mesh is None:
+        return jax.jit(ticks)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        ticks,
+        in_shardings=(sh, sh, sh, sh, sh),
+        out_shardings=(sh, sh, sh),
     )

@@ -329,6 +329,79 @@ class DeviceFleet:
             self._cfg_chunks = self._split_chunks(self._cfg)
             self._carry_chunks = self._split_chunks(self._carry)
 
+    def run_ticks_on_device(self, k: int, states, vels, ranges, angles):
+        """K carry-chained control ticks in ONE dispatch per chunk.
+
+        The RTT-amortization API (VERDICT r2 #7): a single
+        remote-attached robot gets k commands per host round trip —
+        per-tick e2e cost drops from ~RTT to ~RTT/k + compute. The scan
+        is frozen to world-frame obstacles at the tick-0 pose
+        (static-world assumption over the k-tick span); the robot state
+        is integrated on device through the same kinematic update the
+        rollout uses, assuming the commands execute faithfully.
+
+        Same inputs as ``tick``. Returns the usual output dict with a
+        trailing per-tick axis ([num_robots, k] per field) plus
+        ``final_states`` [num_robots, 4].
+        """
+        import time
+
+        from ..ops.fleet_solver import (
+            OUT_FIELDS,
+            make_fleet_ticks_on_device,
+        )
+
+        t0 = time.perf_counter()
+        if not hasattr(self, "_ticks_fns"):
+            self._ticks_fns = {}
+        if k not in self._ticks_fns:
+            self._ticks_fns[k] = make_fleet_ticks_on_device(
+                self.spec, k, mesh=self.mesh
+            )
+        fn = self._ticks_fns[k]
+        ang_in = np.asarray(angles, np.float32)
+        if self._angles is None or not np.array_equal(
+            ang_in, self._angles_src
+        ):
+            self.set_scan_angles(ang_in)
+        n = self.num_robots
+        s = np.asarray(states, np.float32)
+        self._inputs[:n, : min(4, s.shape[1])] = s[:, :4]
+        self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
+        self._inputs[:n, 7:] = np.asarray(ranges, np.float32)
+        self._inputs[n:, 7:] = _PAD
+        if self._chunk:
+            C = self._chunk
+            dev_in = jnp.asarray(self._inputs)
+            outs, finals = [], []
+            for ci, i0 in enumerate(range(0, self._n, C)):
+                self._carry_chunks[ci], out_c, fs_c = fn(
+                    self._paths_chunks[ci],
+                    self._cfg_chunks[ci],
+                    self._carry_chunks[ci],
+                    self._angles_chunks[ci],
+                    dev_in[i0 : i0 + C],
+                )
+                outs.append(out_c)
+                finals.append(fs_c)
+            out_np = np.asarray(jnp.concatenate(outs))[: self.num_robots]
+            fin_np = np.asarray(jnp.concatenate(finals))[: self.num_robots]
+        else:
+            self._carry, out_mat, fin = fn(
+                self._paths, self._cfg, self._carry, self._angles,
+                self._inputs,
+            )
+            out_np = np.asarray(out_mat)[: self.num_robots]
+            fin_np = np.asarray(fin)[: self.num_robots]
+        out = {
+            f: out_np[:, :, i] for i, f in enumerate(OUT_FIELDS)
+        }  # [num_robots, k]
+        out["found"] = out["found"] > 0.5
+        out["reached"] = out["reached"] > 0.5
+        out["final_states"] = fin_np
+        self.last_tick_seconds = time.perf_counter() - t0
+        return out
+
     def tick(self, states, vels, ranges, angles):
         """One fleet tick.
 
