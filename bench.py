@@ -474,6 +474,18 @@ def main():
     best_sps = configs[best_cfg]
     log(f"headline: {best_cfg} at {best_sps:,.0f} solves/s")
 
+    # ---- efficiency estimate (reference PowerMonitor analog,
+    # benchmark_common.h:40-60: W + ops/J at 20 Hz from sysfs). No sysfs
+    # is visible through the tunnel, so this is a NOMINAL-TDP estimate:
+    # solves/J at an assumed ~200 W v5e chip power (public reporting puts
+    # v5e below v4's ~192 W TDP; treat as +/-30%). Clearly labeled _est.
+    CHIP_TDP_EST_W = 200.0
+    solves_per_joule_est = best_sps / CHIP_TDP_EST_W
+    log(
+        f"efficiency (nominal-TDP estimate): "
+        f"{solves_per_joule_est:,.1f} solves/J at {CHIP_TDP_EST_W:.0f} W"
+    )
+
     print(
         json.dumps(
             {
@@ -501,6 +513,8 @@ def main():
                     "vpu_util_est": round(vpu_util, 3),
                     "fleet_v2_us_per_robot": v2,
                     "closed_loop_compute_ms": loop,
+                    "chip_tdp_est_w": CHIP_TDP_EST_W,
+                    "solves_per_joule_est": round(solves_per_joule_est, 1),
                 },
             }
         )
