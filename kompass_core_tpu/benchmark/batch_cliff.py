@@ -177,7 +177,7 @@ def hlo_stats(batch: int) -> dict:
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "hlo":
-        out = [hlo_stats(b) for b in (64, 80, 128)]
+        out = [hlo_stats(b) for b in (48, 64, 72, 128)]
     else:
         out = sweep()
     print(json.dumps(out, indent=1))
