@@ -68,12 +68,40 @@ def make_fleet_solver(
     solve_one = partial(_unpack_and_solve, spec, custom_costs=custom_costs)
     batched = jax.vmap(solve_one)
     if mesh is not None:
-        # NOTE: chunk_size is not applied under a mesh — each chip runs
-        # its local batch as one program. On per-chip batches well above
-        # 64 this crosses the measured XLA tiling optimum (CLAUDE.md);
-        # chunking inside a sharded program is an open lead.
-        sharding = NamedSharding(mesh, P(axis_name))
-        return jax.jit(batched, in_shardings=sharding, out_shardings=sharding)
+        # Each chip runs its local shard as a lax.map over 64-row chunks
+        # INSIDE the compiled program: per-batch solve time is a
+        # deterministic function of the vmapped batch dim's divisibility
+        # (BATCH_CLIFF.json — B=64 is a singular optimum at ~110 us vs
+        # ~137 us for a monolithic 256), and a chunked map inherits the
+        # 64-batch tiling (measured 117 us/solve at 256 rows in one
+        # dispatch). Global N must divide the mesh (shard_map contract);
+        # ragged per-chip tails are zero-padded in-program (static
+        # shapes) and sliced off — pad rows solve to found=False.
+        def per_chip(local):
+            n_loc = local.shape[0]
+            csz = chunk_size or 64
+            if n_loc <= csz:
+                return batched(local)
+            pad = (-n_loc) % csz
+            padded = (
+                jnp.concatenate(
+                    [local, jnp.zeros((pad, local.shape[1]), local.dtype)]
+                )
+                if pad
+                else local
+            )
+            outs = jax.lax.map(
+                batched, padded.reshape(-1, csz, local.shape[1])
+            )
+            return outs.reshape(n_loc + pad, -1)[:n_loc]
+
+        fn = jax.shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=P(axis_name, None),
+            out_specs=P(axis_name, None),
+        )
+        return jax.jit(fn)
     jitted = jax.jit(batched)
     if not chunk_size:
         return jitted

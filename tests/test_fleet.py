@@ -143,3 +143,31 @@ def test_sample_parallel_argmin_matches_global():
     assert got[0] == ref[0]  # found
     assert got[1] == pytest.approx(ref[1], rel=1e-5)  # cost
     np.testing.assert_allclose(got[4], ref[4], rtol=1e-5)  # vx sequence
+
+
+def test_mesh_chunked_map_matches_plain():
+    """The sharded solver runs each chip's shard as a lax.map over
+    chunk_size-row blocks inside the program (BATCH_CLIFF.json: the
+    vmapped batch dim's divisibility sets the tile efficiency; 64 is
+    the production chunk). Tiny chunk here to force the map path AND a
+    ragged in-program pad (6 local rows, chunk 4 -> pad 2)."""
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices), axis_names=("robots",))
+    n = 48  # 6 rows/device
+    solver_chunked = make_fleet_solver(SPEC, mesh=mesh, chunk_size=4)
+    solver_plain = make_fleet_solver(SPEC, mesh=None, chunk_size=None)
+    L = packed_input_size(SPEC)
+    full = np.zeros((n, L), np.float32)
+    from kompass_core_tpu.ops.solver import pack_solver_input
+
+    base = np.zeros(L, np.float32)
+    pack_solver_input(SPEC, base, **_scenario_kwargs())
+    for i in range(n):
+        full[i] = base
+        full[i, 0] += 1e-3 * i
+    out_c = np.asarray(solver_chunked(full))
+    out_p = np.asarray(solver_plain(full))
+    np.testing.assert_allclose(out_c, out_p, rtol=1e-6, atol=1e-6)
+    for i in range(n):
+        found, cost, *_ = unpack_solver_output(SPEC, out_c[i])
+        assert found and np.isfinite(cost)
