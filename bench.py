@@ -196,18 +196,6 @@ def bench_device_fleet_v2(log, sizes=(64, 256, 1024)):
     for n in sizes:
         fleet = _fleet_v2_setup(n)
         R = fleet._scan_rays
-        C = fleet._chunk or fleet._n
-        starts = list(range(0, fleet._n, C))
-        if fleet._chunk:
-            paths_c, cfg_c, ang_c = (
-                fleet._paths_chunks, fleet._cfg_chunks, fleet._angles_chunks
-            )
-            carry_c = list(fleet._carry_chunks)
-        else:
-            paths_c, cfg_c, ang_c = (
-                [fleet._paths], [fleet._cfg], [fleet._angles]
-            )
-            carry_c = [fleet._carry]
         # one distinct input per dispatch across warmup + both timed
         # chains (4 + 8 + 24): identical (executable, input) re-dispatches
         # may be cache-served on this runtime (see the measurement-
@@ -220,16 +208,15 @@ def bench_device_fleet_v2(log, sizes=(64, 256, 1024)):
             inp[:, 2] = 0.05
             inp[:, 4] = 0.5
             inp[:, 7:] = rng.uniform(2.5, 9.0, (fleet._n, R))
-            variants.append(
-                [jax.device_put(inp[i0 : i0 + C]) for i0 in starts]
-            )
+            variants.append(jax.device_put(inp))
         for v in variants:
-            float(np.asarray(v[0][0, 0]))
+            float(np.asarray(v[0, 0]))
         t0 = time.time()
-        fleet._tick_fn(paths_c[0], cfg_c[0], carry_c[0], ang_c[0],
-                       variants[0][0])
+        fleet._tick_fn(fleet._paths, fleet._cfg, fleet._carry,
+                       fleet._angles, variants[0])
         log(
-            f"fleet_v2 n={n} (chunks of {C}): compile {time.time()-t0:.1f}s"
+            f"fleet_v2 n={n} (in-program chunks of "
+            f"{fleet._chunk or fleet._n}): compile {time.time()-t0:.1f}s"
         )
 
         next_variant = iter(range(n_variants))
@@ -239,11 +226,10 @@ def bench_device_fleet_v2(log, sizes=(64, 256, 1024)):
             o = None
             for _ in range(m):
                 v = variants[next(next_variant)]
-                for ci in range(len(starts)):
-                    _, o = fleet._tick_fn(
-                        paths_c[ci], cfg_c[ci], carry_c[ci], ang_c[ci],
-                        v[ci],
-                    )
+                _, o = fleet._tick_fn(
+                    fleet._paths, fleet._cfg, fleet._carry, fleet._angles,
+                    v,
+                )
             float(np.asarray(o[0, 2]))
             return time.time() - t0
 

@@ -370,11 +370,49 @@ OUT_FIELDS = (
 )
 
 
-def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots"):
+def _chunk_leaves(tree, chunk):
+    """Reshape every [N, ...] leaf to [N // chunk, chunk, ...]."""
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((a.shape[0] // chunk, chunk) + a.shape[1:]),
+        tree,
+    )
+
+
+def _mapped_over_chunks(vmapped, chunk):
+    """Run a vmapped per-robot function as a lax.map over ``chunk``-row
+    blocks inside the program. The vmapped batch dim's divisibility sets
+    the tile efficiency of the fused sweeps (BATCH_CLIFF.json: 64 is a
+    singular optimum, ~110 us/solve vs ~137 us for a monolithic 256);
+    mapping over 64-blocks inherits the 64-batch tiling at any fleet
+    size in ONE dispatch (measured 117 us/solve at 256 rows)."""
+
+    def run(*args):
+        n = args[-1].shape[0]  # inputs-derived leading dim
+        if not chunk or n <= chunk:
+            return vmapped(*args)
+        assert n % chunk == 0, (
+            f"fleet rows {n} must be padded to a multiple of the "
+            f"dispatch chunk {chunk} (DeviceFleet pads automatically)"
+        )
+        chunked = tuple(_chunk_leaves(a, chunk) for a in args)
+        return jax.lax.map(lambda cs: vmapped(*cs), chunked)
+
+    return run
+
+
+def make_fleet_tick(
+    fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots",
+    chunk: int = 64,
+):
     """Jit-compiled fleet tick:
     (paths, cfg, carry, angles [N,R] (device-resident),
      inputs [N, 4+3+R] (state | vel | ranges — ONE transfer per tick))
-    -> (carry', outputs [N, len(OUT_FIELDS)])."""
+    -> (carry', outputs [N, len(OUT_FIELDS)]).
+
+    ``chunk``: run the robot axis as a lax.map over chunk-row blocks
+    inside the program (see ``_mapped_over_chunks``); N must be a padded
+    multiple when N > chunk. Ignored under a mesh (the robot axis is
+    sharded instead)."""
     spec = fleet_spec.solver
 
     def tick(paths, cfg, carry, angles, inputs):
@@ -396,9 +434,19 @@ def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots")
                 spec, paths_row, cfg_row, carry_row, s, v, r, a,
                 fleet_spec.solver.seg_size,
             )
-        carry2, out = jax.vmap(one)(
+
+        runner = _mapped_over_chunks(
+            jax.vmap(one), None if mesh is not None else chunk
+        )
+        carry2, out = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles,
+        )
+        n = inputs.shape[0]
+        # un-chunk ([M, C, ...] -> [N, ...]) when the map path ran
+        carry2, out = jax.tree_util.tree_map(
+            lambda a: a.reshape((n,) + a.shape[2:]) if a.shape[0] != n else a,
+            (carry2, out),
         )
         # keep the FleetCarry treedef: a plain-tuple carry fed back on the
         # next tick would change the jit cache key and force a retrace
@@ -417,7 +465,8 @@ def make_fleet_tick(fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots")
 
 
 def make_fleet_ticks_on_device(
-    fleet_spec: FleetSpec, k: int, mesh=None, axis_name: str = "robots"
+    fleet_spec: FleetSpec, k: int, mesh=None, axis_name: str = "robots",
+    chunk: int = 64,
 ):
     """K carry-chained control ticks in ONE dispatch (VERDICT r2 #7).
 
@@ -479,9 +528,17 @@ def make_fleet_ticks_on_device(
             )
             return carry_f, outs, s_f
 
-        carry2, outs, states_f = jax.vmap(one)(
+        runner = _mapped_over_chunks(
+            jax.vmap(one), None if mesh is not None else chunk
+        )
+        carry2, outs, states_f = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles,
+        )
+        n = inputs.shape[0]
+        carry2, outs, states_f = jax.tree_util.tree_map(
+            lambda a: a.reshape((n,) + a.shape[2:]) if a.shape[0] != n else a,
+            (carry2, outs, states_f),
         )
         return FleetCarry(*carry2), outs, states_f
 

@@ -63,11 +63,13 @@ class DeviceFleet:
         )
         self._n = ((self.num_robots + n_dev - 1) // n_dev) * n_dev  # padded
         # dispatch batch 64 is the measured per-solve optimum on v5e
-        # (larger single dispatches cross an XLA tiling threshold: 122 ->
-        # 154 -> 171 us/robot at 64/256/1024, BENCH r2); big fleets are
-        # served as pipelined chunks of 64 — async dispatches overlap on
-        # device, so fleet throughput == chunk throughput. Disabled under
-        # a mesh (the robot axis is sharded instead).
+        # (BATCH_CLIFF.json: per-batch time follows the batch dim's
+        # divisibility; 64 is a singular ~110 us optimum). Big fleets run
+        # the robot axis as a lax.map over 64-row blocks INSIDE the
+        # compiled tick (one dispatch per tick, chunk-64 tiling at any
+        # fleet size — measured 117 us/solve at 256 rows vs 137
+        # monolithic). Disabled under a mesh (the robot axis is sharded
+        # instead; per-chip chunking via parallel/fleet.py applies there).
         self._chunk = 0
         if mesh is None and dispatch_chunk and self._n > dispatch_chunk:
             self._chunk = int(dispatch_chunk)
@@ -144,7 +146,9 @@ class DeviceFleet:
             path_capacity=path_capacity,
             max_segments=max_segments,
         )
-        self._tick_fn = make_fleet_tick(self.spec, mesh=mesh)
+        self._tick_fn = make_fleet_tick(
+            self.spec, mesh=mesh, chunk=self._chunk or dispatch_chunk or 64
+        )
         self._scan_rays = scan_rays
 
         # per-robot config arrays
@@ -221,14 +225,6 @@ class DeviceFleet:
         )
         self.last_tick_seconds = 0.0
 
-    def _split_chunks(self, tree):
-        """Split a per-robot pytree into device-resident dispatch chunks."""
-        C = self._chunk
-        return [
-            jax.tree_util.tree_map(lambda a: a[i : i + C], tree)
-            for i in range(0, self._n, C)
-        ]
-
     def _put(self, tree):
         """Upload a per-robot pytree ONCE with the tick function's
         sharding. Without this, jit reshards the (large, static) path and
@@ -253,8 +249,6 @@ class DeviceFleet:
             a2[: len(ang)] = ang
             ang = a2
         self._angles = self._put(jnp.asarray(ang))
-        if self._chunk:
-            self._angles_chunks = self._split_chunks(self._angles)
 
     # ------------------------------------------------------------------
 
@@ -324,10 +318,6 @@ class DeviceFleet:
                 [False] * self.num_robots + [True] * (N - self.num_robots)
             ),
         )
-        if self._chunk:
-            self._paths_chunks = self._split_chunks(self._paths)
-            self._cfg_chunks = self._split_chunks(self._cfg)
-            self._carry_chunks = self._split_chunks(self._carry)
 
     def run_ticks_on_device(self, k: int, states, vels, ranges, angles):
         """K carry-chained control ticks in ONE dispatch per chunk.
@@ -356,7 +346,7 @@ class DeviceFleet:
             self._ticks_fns = {}
         if k not in self._ticks_fns:
             self._ticks_fns[k] = make_fleet_ticks_on_device(
-                self.spec, k, mesh=self.mesh
+                self.spec, k, mesh=self.mesh, chunk=self._chunk or 64
             )
         fn = self._ticks_fns[k]
         ang_in = np.asarray(angles, np.float32)
@@ -370,29 +360,14 @@ class DeviceFleet:
         self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
         self._inputs[:n, 7:] = np.asarray(ranges, np.float32)
         self._inputs[n:, 7:] = _PAD
-        if self._chunk:
-            C = self._chunk
-            dev_in = jnp.asarray(self._inputs)
-            outs, finals = [], []
-            for ci, i0 in enumerate(range(0, self._n, C)):
-                self._carry_chunks[ci], out_c, fs_c = fn(
-                    self._paths_chunks[ci],
-                    self._cfg_chunks[ci],
-                    self._carry_chunks[ci],
-                    self._angles_chunks[ci],
-                    dev_in[i0 : i0 + C],
-                )
-                outs.append(out_c)
-                finals.append(fs_c)
-            out_np = np.asarray(jnp.concatenate(outs))[: self.num_robots]
-            fin_np = np.asarray(jnp.concatenate(finals))[: self.num_robots]
-        else:
-            self._carry, out_mat, fin = fn(
-                self._paths, self._cfg, self._carry, self._angles,
-                self._inputs,
-            )
-            out_np = np.asarray(out_mat)[: self.num_robots]
-            fin_np = np.asarray(fin)[: self.num_robots]
+        # ONE dispatch for the whole fleet: the robot axis runs as an
+        # in-program lax.map over 64-row blocks (make_fleet_ticks_on_device)
+        self._carry, out_mat, fin = fn(
+            self._paths, self._cfg, self._carry, self._angles,
+            self._inputs,
+        )
+        out_np = np.asarray(out_mat)[: self.num_robots]
+        fin_np = np.asarray(fin)[: self.num_robots]
         out = {
             f: out_np[:, :, i] for i, f in enumerate(OUT_FIELDS)
         }  # [num_robots, k]
@@ -428,30 +403,15 @@ class DeviceFleet:
         self._inputs[n:, 7:] = _PAD
         from ..ops.fleet_solver import OUT_FIELDS
 
-        if self._chunk:
-            # pipelined chunks of the per-solve-optimal dispatch size:
-            # chunk c+1 is enqueued while c executes (async dispatch).
-            # ONE packed upload and ONE fetch per tick — per-chunk
-            # transfers would pay the ~15-30 ms tunnel RTT per chunk
-            C = self._chunk
-            dev_in = jnp.asarray(self._inputs)
-            outs = []
-            for ci, i0 in enumerate(range(0, self._n, C)):
-                self._carry_chunks[ci], out_c = self._tick_fn(
-                    self._paths_chunks[ci],
-                    self._cfg_chunks[ci],
-                    self._carry_chunks[ci],
-                    self._angles_chunks[ci],
-                    dev_in[i0 : i0 + C],
-                )
-                outs.append(out_c)
-            out_np = np.asarray(jnp.concatenate(outs))[: self.num_robots]
-        else:
-            self._carry, out_mat = self._tick_fn(
-                self._paths, self._cfg, self._carry, self._angles,
-                self._inputs,
-            )
-            out_np = np.asarray(out_mat)[: self.num_robots]  # one fetch
+        # ONE dispatch, ONE packed upload, ONE fetch per tick: the robot
+        # axis runs as an in-program lax.map over 64-row blocks
+        # (make_fleet_tick chunk param; BATCH_CLIFF.json), so big fleets
+        # get the batch-64 tiling optimum without per-chunk dispatches
+        self._carry, out_mat = self._tick_fn(
+            self._paths, self._cfg, self._carry, self._angles,
+            self._inputs,
+        )
+        out_np = np.asarray(out_mat)[: self.num_robots]  # one fetch
         out = {k: out_np[:, i] for i, k in enumerate(OUT_FIELDS)}
         out["found"] = out["found"] > 0.5
         out["reached"] = out["reached"] > 0.5
