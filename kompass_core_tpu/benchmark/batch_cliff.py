@@ -44,19 +44,27 @@ def _flagship_spec():
     )
 
 
+_BASE_ROW_CACHE: dict = {}
+
+
 def _scenario_matrix(spec, batch: int, salt: float = 0.0) -> np.ndarray:
     """[batch, L] distinct packed scenarios (reuses the runner's flagship
-    workload builder for row 0, perturbing robot state per row)."""
-    import jax
+    workload builder for row 0 — built ONCE per spec and cached: the
+    builder uploads + resident-fetches ~46 buffers through the tunnel,
+    which would otherwise repeat per variant per batch size (~2-4 min of
+    pure setup waste) — then perturbs robot state per row/salt."""
+    if spec not in _BASE_ROW_CACHE:
+        import jax
 
-    from .runner import BenchmarkRunner
+        from .runner import BenchmarkRunner
 
-    r = BenchmarkRunner()
-    _, variants = r._dwa_workload(
-        spec.n_vx, spec.n_omega, spec.max_points, spec.scan_size,
-        spec.seg_size, "cliff",
-    )
-    base = np.asarray(jax.device_get(variants[0]))
+        r = BenchmarkRunner()
+        _, variants = r._dwa_workload(
+            spec.n_vx, spec.n_omega, spec.max_points, spec.scan_size,
+            spec.seg_size, "cliff",
+        )
+        _BASE_ROW_CACHE[spec] = np.asarray(jax.device_get(variants[0]))
+    base = _BASE_ROW_CACHE[spec]
     mat = np.tile(base, (batch, 1))
     mat[:, 0] += 1e-4 * np.arange(batch) + salt
     return mat

@@ -9,9 +9,9 @@ All bounds are ESTIMATES from public v5e characteristics:
 
 * VPU f32 peak ~3.9e12 ops/s (4 VPUs x (8, 128) lanes x ~0.94 GHz),
   the same constant bench.py and KERNEL_BENCH.json use.
-* MXU bf16 peak ~1.97e14 FLOP/s; the mapper's one-hot lookup runs at
-  Precision.HIGHEST (6 bf16 passes per f32 matmul) => effective
-  ~3.3e13 FLOP/s.
+* MXU bf16 peak ~1.97e14 FLOP/s single-pass (the mapper's one-hot
+  lookup runs single-pass after the bf16-exact table split;
+  Precision.HIGHEST would be 6 passes => ~3.3e13 FLOP/s).
 * HBM ~8.2e11 B/s.
 
 A workload is "at speed of light" when its measured time approaches the
@@ -27,7 +27,8 @@ from __future__ import annotations
 import json
 
 VPU_F32_PEAK = 3.9e12  # ops/s
-MXU_F32_HIGHEST = 1.97e14 / 6.0  # FLOP/s at 6-pass HIGHEST precision
+MXU_BF16 = 1.97e14  # FLOP/s, single-pass bf16
+MXU_F32_HIGHEST = MXU_BF16 / 6.0  # FLOP/s at 6-pass HIGHEST precision
 HBM_BW = 8.2e11  # B/s
 
 
@@ -69,41 +70,44 @@ def mapper_dense(measured_ms: float) -> dict:
     """Mapper_Dense_400x400 (benchmark_runner.cpp:187-218): 3600-ray scan
     -> 400x400 grid @ 0.05 m.
 
-    Dominant work: the per-cell candidate-beam lookup as a one-hot
+    Dominant structure: the per-cell candidate-beam lookup as a one-hot
     matmul on the MXU (ops/mapping._candidate_lookup): [160000 cells x
-    3600 bins] x [3600 x 20] at Precision.HIGHEST (tables hold <2^15
-    integers — bf16's 8-bit mantissa is exact only below 2^8, so the
-    single-pass default would corrupt cell indices). The gather
-    formulation this replaced measured 6.4 ms (~8 ns/element serialized
-    TPU gather); the matmul form measured 0.95 ms for the lookup alone.
+    3600 bins] x [3600 x 35] single-pass bf16 (the 15-bit tables are
+    split into bf16-exact hi/lo components, so no HIGHEST-precision
+    multi-pass is needed). The gather formulation this replaced measured
+    6.4 ms (~8 ns/element serialized TPU gather); the HIGHEST-precision
+    matmul form measured 1.54 ms end to end, the bf16 split 1.41 ms.
     """
-    N, B, COLS = 400 * 400, 3600, 20  # 4 tables x 5 candidates
+    N, B, COLS = 400 * 400, 3600, 35  # 7 split tables x 5 candidates
     matmul_flops = 2.0 * N * B * COLS
-    compute_floor_s = matmul_flops / MXU_F32_HIGHEST
-    # one-hot rows are built in VMEM per chunk (16384 cells) and fused
-    # into the matmul; HBM floor = tables + base grid + candidate
-    # outputs + final grids
+    compute_floor_s = matmul_flops / MXU_BF16
+    # the one-hot operand is generated per chunk: [16384, 3600] bf16
+    # comparisons against an iota — VPU work of N*B compare+selects
+    onehot_floor_s = (N * B) / VPU_F32_PEAK
+    # HBM floor = tables + base grid + candidate outputs + final grids
     bytes_moved = (B * COLS * 4) + (N * 4) + (N * 5 * 4 * 4) + (N * 4)
     memory_floor_s = bytes_moved / HBM_BW
-    floor_s = max(compute_floor_s, memory_floor_s)
+    floor_s = max(compute_floor_s, onehot_floor_s, memory_floor_s)
     return {
         "name": "Mapper_Dense_400x400",
         "measured_ms": measured_ms,
         "bound": (
-            "MXU at HIGHEST precision (one-hot beam lookup,"
-            " 1.15e10 MACs)"
+            "one-hot generation (5.76e8 VPU compare/selects) over the"
+            " single-pass bf16 lookup matmul (4e10 FLOP)"
         ),
         "matmul_flops": matmul_flops,
         "compute_floor_ms": round(compute_floor_s * 1e3, 3),
+        "onehot_floor_ms": round(onehot_floor_s * 1e3, 3),
         "memory_floor_ms": round(memory_floor_s * 1e3, 4),
         "pct_of_roofline": round(100 * floor_s / (measured_ms * 1e-3), 1),
         "verdict": (
-            "within ~2x of the one-hot lookup's MXU floor; the remaining"
-            " gap is one-hot materialization + line-membership VPU work."
-            " The floor is algorithm-specific: a lookup scheme that"
-            " avoided HIGHEST-precision matmuls could go lower, but the"
-            " measured alternatives (serialized gather 6.4 ms) are 4x"
-            " slower, not faster"
+            "after the bf16 split the lookup matmul itself is cheap"
+            " (~0.2 ms floor) and the kernel sits ~7x above the naive"
+            " floor — the residual is one-hot materialization traffic"
+            " and the chunked lax.map's pipeline bubbles. Algorithmic"
+            " headroom exists (an open lead); the measured alternatives"
+            " (serialized gather 6.4 ms, HIGHEST-precision matmul"
+            " 1.54 ms) are both slower than the current 1.41 ms"
         ),
     }
 
@@ -140,6 +144,7 @@ def build(measured: dict) -> dict:
     return {
         "assumptions": {
             "vpu_f32_peak_ops_s": VPU_F32_PEAK,
+            "mxu_bf16_flops_s": MXU_BF16,
             "mxu_f32_highest_flops_s": MXU_F32_HIGHEST,
             "hbm_bytes_s": HBM_BW,
             "note": (
@@ -162,9 +167,9 @@ def main():
     # available, slope medians otherwise (BENCH_LOCAL.json 2026-08-18,
     # DEVICE_LOOP.json 2026-08-19)
     measured = {
-        "CostEvaluator_5k_Trajs": 8.57,
-        "Mapper_Dense_400x400": 1.543,
-        "DWA_sweep_batch64": 6.38,
+        "CostEvaluator_5k_Trajs": 8.54,
+        "Mapper_Dense_400x400": 1.41,
+        "DWA_sweep_batch64": 6.30,
     }
     out = build(measured)
     print(json.dumps(out, indent=1))

@@ -448,11 +448,11 @@ class BenchmarkRunner:
             np.full((400, 400), 0.5, np.float32)
         )
         # exact sensor-model values from the reference benchmark's
-        # constructor call (p_prior 0.6, p_empty 0.1, p_occupied 0.9,
-        # range_sure 0.1, range_max 20, wall_size 0.2)
-        scalars = tuple(
-            np.float32(v) for v in (0.6, 0.1, 0.9, 0.1, 20.0, 0.2)
-        )
+        # constructor call — single source shared with the device-loop
+        # harness so the two measurements of this workload can't drift
+        from .device_loop import BAYES_BENCH_SCALARS
+
+        scalars = tuple(np.float32(v) for v in BAYES_BENCH_SCALARS)
         variants = [
             jax.device_put(rng.uniform(0.5, 9.9, 3600).astype(np.float32))
             for _ in range(slope_variants_needed())

@@ -47,8 +47,13 @@ COLLECTIVE_OPS = (
     "ragged-all-to-all",
 )
 
+# The shape slot between "=" and the op name may be a plain shape
+# (f32[8]{0:T(128)}) or a TUPLE shape containing spaces and parens
+# ((f32[8]{0}, u32[], u32[])) — async collective starts on real TPU HLO
+# always have tuple shapes, so the matcher must not assume `\S+` there.
+# Match everything after "=" lazily up to ` <op>(` / ` <op>-start(`.
 _OP_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*\S+\s+("
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*.*?\s("
     + "|".join(re.escape(op) for op in COLLECTIVE_OPS)
     + r")(?:-start)?\(",
     re.MULTILINE,
@@ -60,11 +65,15 @@ def count_collectives(hlo_text: str) -> Dict[str, int]:
 
     Matches op names at the instruction position only (after ``=``), so
     computation names or comments mentioning a collective don't count.
-    ``-done`` ops are not matched (their ``-start`` already counted).
+    Handles tuple-shaped async forms (``(f32[...], u32[]) all-gather-
+    start(...)``); ``-done`` ops are not matched (their ``-start``
+    already counted).
     """
     counts: Dict[str, int] = {}
-    for m in _OP_RE.finditer(hlo_text):
-        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    for line in hlo_text.splitlines():
+        m = _OP_RE.match(line)
+        if m:
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
     return counts
 
 

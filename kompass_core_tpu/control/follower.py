@@ -132,6 +132,7 @@ class Follower:
         # exist upstream but the detector does not; implemented here)
         self._blocked_ref: Optional[tuple] = None
         self._blocked_since: Optional[float] = None
+        self._blocked_observed_s = 0.0  # non-movement span seen in updates
         self._blocked_reported = False
         self._clock = _time.monotonic  # injectable for deterministic tests
 
@@ -220,6 +221,7 @@ class Follower:
         if not self.config.enable_check_blocked or not self._path_processing:
             self._blocked_ref = None
             self._blocked_since = None
+            self._blocked_observed_s = 0.0
             self._blocked_reported = False
             return
         s = self.current_state
@@ -236,33 +238,34 @@ class Follower:
         if moved:
             self._blocked_ref = (s.x, s.y, s.yaw)
             self._blocked_since = now
+            self._blocked_observed_s = 0.0
             self._blocked_reported = False
-        elif (
+            return
+        # non-movement CONFIRMED by this pose observation: record the
+        # observed span. The query below reports from this value, never
+        # from wall time at call time — a stalled pose stream (upstream
+        # localization hiccup) must not manufacture a 'blocked' report
+        # for a robot that may well be driving.
+        self._blocked_observed_s = now - self._blocked_since
+        if (
             not self._blocked_reported
-            and now - self._blocked_since > self.config.max_blocked_duration
+            and self._blocked_observed_s > self.config.max_blocked_duration
         ):
             self._blocked_reported = True
             logging.getLogger("kompass_core_tpu").warning(
                 "robot blocked: no movement for %.2f s (max_blocked_duration"
                 " %.2f s)",
-                now - self._blocked_since,
+                self._blocked_observed_s,
                 self.config.max_blocked_duration,
             )
 
     def is_robot_blocked(self) -> bool:
-        """True when blocked-robot checking is enabled and the robot has
-        not moved for more than ``max_blocked_duration`` seconds while a
-        path is active."""
-        if (
-            not self.config.enable_check_blocked
-            or not self._path_processing
-            or self._blocked_since is None
-        ):
+        """True when blocked-robot checking is enabled and pose
+        observations have confirmed no movement for more than
+        ``max_blocked_duration`` seconds while a path is active."""
+        if not self.config.enable_check_blocked or not self._path_processing:
             return False
-        return (
-            self._clock() - self._blocked_since
-            > self.config.max_blocked_duration
-        )
+        return self._blocked_observed_s > self.config.max_blocked_duration
 
     # --- goal detection (follower.cpp:109-142) ---
 

@@ -13,8 +13,10 @@ hostile to XLA; instead every kernel here is **pure per-cell**:
 
 The per-cell beam lookup is performed as a one-hot x shifted-tables
 matmul on the MXU (`_candidate_lookup`) rather than a gather: TPU
-gathers serialize (~6.4 ms for 400x400x5 on v5e) while the equivalent
-matmul runs in 0.95 ms, bit-exact.
+gathers serialize (~6.4 ms for 400x400x5 on v5e) while the matmul form
+is bit-exact and several times faster (whole Mapper_Dense update:
+1.41 ms). The tables are split into bf16-exact components so the dot
+runs single-pass at DEFAULT precision (see `_candidate_lookup`).
 
 This matches the reference CPU output up to the same order of divergence
 the reference's own GPU backend exhibits vs its CPU backend (both
@@ -127,12 +129,14 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
     is ``(base + k - n_side) mod num_bins``; instead of gathering per
     (cell, candidate) — TPU gathers serialize to ~8 ns/element, 6.4 ms for
     a 400x400x5 lookup — each per-bin table is rolled once per candidate
-    offset and all 3C columns are fetched with ONE [N,B]x[B,3C] matmul of
-    a one-hot row per cell (measured 0.95 ms for the same kernel, bit-
-    exact: table values are <2^15 integers/f32 ranges, exact at HIGHEST
-    matmul precision).
+    offset and all 7C columns are fetched with ONE [N,B]x[B,7C]
+    single-pass bf16 matmul of a one-hot row per cell (the 15-bit
+    integer tables are split into bf16-exact hi/lo bytes below, so no
+    HIGHEST-precision multi-pass is needed; bit-exact, whole
+    Mapper_Dense update 1.41 ms vs 1.54 with the HIGHEST-precision
+    form).
 
-    Returns (e_i_c, e_j_c, r_c), each [H,W,C].
+    Returns (e_i_c, e_j_c, r_c, v_c), each [H,W,C].
     """
     C = 2 * n_side + 1
     B = spec.num_bins
@@ -150,7 +154,7 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
     # values below 2^8 (8-bit mantissa), so the 15-bit cell indices are
     # split into hi/lo bytes (both exact) instead of paying
     # Precision.HIGHEST (6 bf16 passes) on the full-width values —
-    # measured 0.95 -> ~0.3 ms for the lookup at the Mapper_Dense shape.
+    # whole Mapper_Dense update measured 1.54 -> 1.41 ms on v5e.
     # Ranges use a round/residual split (residual <= 2^-17 relative,
     # ~1.5e-7 m at 20 m — far inside the 1e-4 parity tolerance); the
     # one-hot rows and validity bits are 0/1, exact in bf16.

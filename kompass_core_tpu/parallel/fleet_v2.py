@@ -146,8 +146,12 @@ class DeviceFleet:
             path_capacity=path_capacity,
             max_segments=max_segments,
         )
+        # dispatch_chunk=0/None is the documented monolithic escape hatch
+        # (one unchunked vmap over the whole fleet); only an ACTIVE chunk
+        # reaches the tick program — `or 64` here would either assert on
+        # unpadded fleets or silently re-chunk a monolithic request
         self._tick_fn = make_fleet_tick(
-            self.spec, mesh=mesh, chunk=self._chunk or dispatch_chunk or 64
+            self.spec, mesh=mesh, chunk=self._chunk or None
         )
         self._scan_rays = scan_rays
 
@@ -346,7 +350,7 @@ class DeviceFleet:
             self._ticks_fns = {}
         if k not in self._ticks_fns:
             self._ticks_fns[k] = make_fleet_ticks_on_device(
-                self.spec, k, mesh=self.mesh, chunk=self._chunk or 64
+                self.spec, k, mesh=self.mesh, chunk=self._chunk or None
             )
         fn = self._ticks_fns[k]
         ang_in = np.asarray(angles, np.float32)

@@ -85,3 +85,13 @@ def test_config_surface_matches_reference_bounds():
         FollowerConfig(max_blocked_duration=0.01)  # below 0.1 s min
     with pytest.raises(Exception):
         FollowerConfig(max_blocked_duration=500.0)  # above 360 s max
+
+
+def test_stalled_pose_stream_does_not_report_blocked():
+    """A silent pose stream must not manufacture a blocked report: only
+    OBSERVED non-movement counts (the robot may be driving while
+    localization hiccups)."""
+    f, clock = _follower(enable_check_blocked=True, max_blocked_duration=1.0)
+    f.set_current_state(0.0, 0.0, 0.0)
+    clock.t = 50.0  # no new pose observations arrive
+    assert not f.is_robot_blocked()

@@ -660,3 +660,42 @@ def test_sensor_max_range_flows_into_obstacle_cost_params():
     np.testing.assert_allclose(params[:, 11], 30.0 / 3.0, rtol=1e-6)
     params_d = np.asarray(fleet_default._cfg.params12)
     np.testing.assert_allclose(params_d[:, 11], 10.0 / 3.0, rtol=1e-6)
+
+
+def test_monolithic_escape_hatch_above_default_chunk():
+    """dispatch_chunk=0 must run ONE unchunked vmap even when the fleet
+    is larger than the default chunk of 64 (regression: the tick program
+    once received a fallback chunk=64 and asserted on the unpadded 65)."""
+    from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
+
+    n = 65
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(n)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_steer=np.pi, max_decel=3.0
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4, max_angular_samples=4,
+        prediction_horizon=5, control_horizon=2, control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=256,
+        max_segments=8, dispatch_chunk=0,
+    )
+    assert fleet._chunk == 0 and fleet._n == 65
+    fleet.set_paths([np.array([[0.1 * i, 0.0], [0.1 * i, 1.5]])
+                     for i in range(n)])
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    states = np.array([[0.1 * i, 0.0, np.pi / 2, 0.0] for i in range(n)])
+    out = fleet.tick(states, np.zeros((n, 3)),
+                     np.full((n, N_RAYS), 10.0), angles)
+    assert out["found"].all()

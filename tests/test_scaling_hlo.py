@@ -46,14 +46,21 @@ ENTRY %main {
   %ag = f32[64]{0} all-gather(%x), dimensions={0}
   %cp-start = f32[8]{0} collective-permute-start(%x), source_target_pairs={{0,1}}
   %cp-done = f32[8]{0} collective-permute-done(%cp-start)
+  %ags = (f32[8,16]{1,0}, f32[64,16]{1,0}) all-gather-start(%x), dimensions={0}
+  %agd = f32[64,16]{1,0} all-gather-done(%ags)
+  %ars = (f32[8]{0:T(128)}, f32[8]{0:T(128)}, u32[]{:T(128)}, u32[]{:T(128)}) all-reduce-start(%x), to_apply=%region_2
+  %ard = f32[8]{0} all-reduce-done(%ars)
+  %fu = f32[8]{0} fusion(%x), kind=kLoop, calls=%all-reduce-helper
   ROOT %r = f32[8]{0} add(%x, %x)
 }
 """
     counts = count_collectives(hlo)
-    # -done must not double count its -start
+    # tuple-shaped async -start forms must count (real-TPU HLO uses them
+    # for every async collective); -done must not double count; a
+    # computation NAME mentioning a collective must not count
     assert counts == {
-        "all-reduce": 1,
-        "all-gather": 1,
+        "all-reduce": 2,
+        "all-gather": 2,
         "collective-permute": 1,
     }
 
