@@ -76,7 +76,9 @@ def mapper_dense(measured_ms: float) -> dict:
     split into bf16-exact hi/lo components, so no HIGHEST-precision
     multi-pass is needed). The gather formulation this replaced measured
     6.4 ms (~8 ns/element serialized TPU gather); the HIGHEST-precision
-    matmul form measured 1.54 ms end to end, the bf16 split 1.41 ms.
+    matmul form measured 1.54 ms end to end, the bf16 split with a
+    chunked lax.map 1.41 ms, and the whole-grid un-chunked dot (one-hot
+    generation fused into the dot tiles) 0.59 ms.
     """
     N, B, COLS = 400 * 400, 3600, 35  # 7 split tables x 5 candidates
     matmul_flops = 2.0 * N * B * COLS
@@ -101,13 +103,13 @@ def mapper_dense(measured_ms: float) -> dict:
         "memory_floor_ms": round(memory_floor_s * 1e3, 4),
         "pct_of_roofline": round(100 * floor_s / (measured_ms * 1e-3), 1),
         "verdict": (
-            "after the bf16 split the lookup matmul itself is cheap"
-            " (~0.2 ms floor) and the kernel sits ~7x above the naive"
-            " floor — the residual is one-hot materialization traffic"
-            " and the chunked lax.map's pipeline bubbles. Algorithmic"
-            " headroom exists (an open lead); the measured alternatives"
-            " (serialized gather 6.4 ms, HIGHEST-precision matmul"
-            " 1.54 ms) are both slower than the current 1.41 ms"
+            "bf16 split + un-chunked whole-grid dot lands within ~3x of"
+            " the lookup-matmul floor (the chunked lax.map was the"
+            " bottleneck: it blocked fusing one-hot generation into the"
+            " dot tiles — 1.41 -> 0.59 ms when removed). Remaining gap"
+            " is line-membership VPU work + grid combine; measured"
+            " alternatives (gather 6.4 ms, HIGHEST matmul 1.54 ms,"
+            " chunked bf16 1.41 ms) are all slower"
         ),
     }
 
@@ -168,7 +170,7 @@ def main():
     # DEVICE_LOOP.json 2026-08-19)
     measured = {
         "CostEvaluator_5k_Trajs": 8.54,
-        "Mapper_Dense_400x400": 1.41,
+        "Mapper_Dense_400x400": 0.589,
         "DWA_sweep_batch64": 6.30,
     }
     out = build(measured)

@@ -177,7 +177,18 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
 
     flat = base.reshape(-1)
     n = flat.shape[0]
-    chunk = min(n, 16384)  # bound the live one-hot block
+    import os
+
+    # On TPU the whole-grid one-hot dot is 2.6x FASTER than a chunked
+    # lax.map (0.55 vs 1.41 ms for Mapper_Dense): the sequential map
+    # prevented XLA from fusing one-hot generation into the dot's LHS
+    # tiles, forcing the [chunk, B] block through memory per iteration.
+    # On CPU the unfused one-hot would materialize ~1 GB for a 400x400
+    # grid, so the bounded chunk stays the CPU default.
+    default_chunk = n if jax.default_backend() != "cpu" else 16384
+    chunk = min(
+        n, int(os.environ.get("KOMPASS_TPU_LOOKUP_CHUNK", default_chunk))
+    )
 
     def lookup(bs):
         oh = jax.nn.one_hot(bs, B, dtype=jnp.bfloat16)
