@@ -384,18 +384,33 @@ def _mapped_over_chunks(vmapped, chunk):
     the tile efficiency of the fused sweeps (BATCH_CLIFF.json: 64 is a
     singular optimum, ~110 us/solve vs ~137 us for a monolithic 256);
     mapping over 64-blocks inherits the 64-batch tiling at any fleet
-    size in ONE dispatch (measured 117 us/solve at 256 rows)."""
+    size in ONE dispatch (measured 117 us/solve at 256 rows).
+
+    Ragged row counts are zero-padded to a full chunk IN-PROGRAM (static
+    shapes) and the pad rows sliced off the outputs — pad rows compute
+    garbage in their own rows only (every per-robot op is row-local)."""
 
     def run(*args):
         n = args[-1].shape[0]  # inputs-derived leading dim
         if not chunk or n <= chunk:
             return vmapped(*args)
-        assert n % chunk == 0, (
-            f"fleet rows {n} must be padded to a multiple of the "
-            f"dispatch chunk {chunk} (DeviceFleet pads automatically)"
-        )
-        chunked = tuple(_chunk_leaves(a, chunk) for a in args)
-        return jax.lax.map(lambda cs: vmapped(*cs), chunked)
+        pad = (-n) % chunk
+
+        def pad_leaf(a):
+            if not pad:
+                return a
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths)
+
+        padded = tuple(jax.tree_util.tree_map(pad_leaf, a) for a in args)
+        chunked = tuple(_chunk_leaves(a, chunk) for a in padded)
+        out = jax.lax.map(lambda cs: vmapped(*cs), chunked)
+        if pad:
+            # un-chunk + slice here so callers see [n, ...] directly
+            out = jax.tree_util.tree_map(
+                lambda a: a.reshape((n + pad,) + a.shape[2:])[:n], out
+            )
+        return out
 
     return run
 
@@ -435,9 +450,7 @@ def make_fleet_tick(
                 fleet_spec.solver.seg_size,
             )
 
-        runner = _mapped_over_chunks(
-            jax.vmap(one), None if mesh is not None else chunk
-        )
+        runner = _mapped_over_chunks(jax.vmap(one), chunk)
         carry2, out = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles,
@@ -454,14 +467,18 @@ def make_fleet_tick(
 
     if mesh is None:
         return jax.jit(tick)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    sh = NamedSharding(mesh, P(axis_name))
-    return jax.jit(
-        tick,
-        in_shardings=(sh, sh, sh, sh, sh),
-        out_shardings=(sh, sh),
-    )
+    # shard_map (not jit+in_shardings): each chip's LOCAL shard runs the
+    # tick body, so the in-program 64-chunk map applies per chip and
+    # multi-chip fleets inherit the batch-64 tiling optimum
+    # (BATCH_CLIFF.json) — and the compiled steady state stays
+    # collective-free (tests/test_scaling_hlo.py)
+    sp = P(axis_name)
+    return jax.jit(jax.shard_map(
+        tick, mesh=mesh, in_specs=(sp, sp, sp, sp, sp),
+        out_specs=(sp, sp),
+    ))
 
 
 def make_fleet_ticks_on_device(
@@ -528,9 +545,7 @@ def make_fleet_ticks_on_device(
             )
             return carry_f, outs, s_f
 
-        runner = _mapped_over_chunks(
-            jax.vmap(one), None if mesh is not None else chunk
-        )
+        runner = _mapped_over_chunks(jax.vmap(one), chunk)
         carry2, outs, states_f = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles,
@@ -544,11 +559,10 @@ def make_fleet_ticks_on_device(
 
     if mesh is None:
         return jax.jit(ticks)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    sh = NamedSharding(mesh, P(axis_name))
-    return jax.jit(
-        ticks,
-        in_shardings=(sh, sh, sh, sh, sh),
-        out_shardings=(sh, sh, sh),
-    )
+    sp = P(axis_name)
+    return jax.jit(jax.shard_map(
+        ticks, mesh=mesh, in_specs=(sp, sp, sp, sp, sp),
+        out_specs=(sp, sp, sp),
+    ))
