@@ -466,10 +466,35 @@ def pointcloud_to_scan(points, num_bins, range_max, min_z, max_z):
     step = 2.0 * jnp.pi / num_bins
     bins = jnp.minimum((ang / step).astype(jnp.int32), num_bins - 1)
     dist = jnp.where(ok, jnp.sqrt(r2), jnp.inf)
-    ranges = jax.ops.segment_min(
-        dist, bins, num_segments=num_bins, indices_are_sorted=False
+    ranges = _bin_min(
+        dist, bins, num_bins, dense=jax.default_backend() != "cpu"
     )
     return jnp.minimum(ranges, range_max)
+
+
+def _bin_min(dist, bins, num_bins: int, dense: bool):
+    """Per-bin min of ``dist`` grouped by ``bins``.
+
+    ``dense=True`` (TPU default) avoids a scatter: segment_min
+    serializes on TPU (~8 ns/point => ~0.8 ms at 100k points — it
+    dominated BOTH the CriticalZone_100k and Mapper_PointCloud
+    workloads). The dense [N, B] compare/select/min-reduce fuses into
+    one pass over the virtual tensor (rows tiled, [B] accumulator in
+    registers) with HBM traffic = the N points themselves. On CPU the
+    scatter form stays the default (the dense walk touches 3.6e8
+    virtual elements; CPU scatter is fast). Both branches compute the
+    exact same mins — parity pinned by tests/test_mapping.py."""
+    if not dense:
+        return jax.ops.segment_min(
+            dist, bins, num_segments=num_bins, indices_are_sorted=False
+        )
+    bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
+    return jnp.min(
+        jnp.where(
+            bins[:, None] == bin_ids[None, :], dist[:, None], jnp.inf
+        ),
+        axis=0,
+    )
 
 
 def resample_scan_uniform(angles, ranges, num_bins, range_max):

@@ -452,3 +452,26 @@ def test_partial_fov_blind_sector_stays_unexplored():
     assert occ[bi, bj] == UNEXPLORED, (
         "blind sector must not be stamped EMPTY"
     )
+
+
+def test_bin_min_dense_matches_scatter():
+    """The TPU dense bin-min (compare/select/min-reduce) must equal the
+    scatter segment_min bit-for-bit, incl. empty bins (inf), garbage
+    bins from NaN angles, and duplicate minima."""
+    import jax.numpy as jnp
+
+    from kompass_core_tpu.ops.mapping import _bin_min
+
+    rng = np.random.default_rng(7)
+    n, B = 5000, 360
+    bins = rng.integers(0, B, n).astype(np.int32)
+    bins[:100] = 0  # heavy duplicate bin
+    dist = rng.uniform(0.1, 30.0, n).astype(np.float32)
+    dist[50] = dist[60]  # duplicate minima candidates
+    # leave bins 100..110 empty
+    mask = (bins < 100) | (bins > 110)
+    bins = np.where(mask, bins, 99).astype(np.int32)
+    a = np.asarray(_bin_min(jnp.asarray(dist), jnp.asarray(bins), B, dense=False))
+    b = np.asarray(_bin_min(jnp.asarray(dist), jnp.asarray(bins), B, dense=True))
+    np.testing.assert_array_equal(a, b)
+    assert np.isinf(a[105])  # empty bin stays inf in both
