@@ -114,6 +114,139 @@ def mapper_dense(measured_ms: float) -> dict:
     }
 
 
+def mapper_bayesian(measured_ms: float) -> dict:
+    """Mapper_Bayesian_400x400 (the reference CPU benchmark's Bayesian
+    configuration, benchmark_runner.cpp:187-218): same per-cell candidate
+    lookup as Mapper_Dense plus the inverse-sensor-model Bayes update.
+
+    The Bayes layer is elementwise over the grid (160k cells x ~20 f32
+    ops = 3.2e6 VPU ops, < 1 us at peak) — the floor is the Dense
+    lookup's floor; measured times confirm (Bayesian 0.52 ms vs Dense
+    0.54 ms slope medians: the extra layer is free).
+    """
+    base = mapper_dense(measured_ms)
+    floor_ms = max(
+        base["compute_floor_ms"], base["onehot_floor_ms"],
+        base["memory_floor_ms"],
+    )
+    return {
+        "name": "Mapper_Bayesian_400x400",
+        "measured_ms": measured_ms,
+        "bound": base["bound"] + " (Bayes update is elementwise, ~1 us)",
+        "compute_floor_ms": base["compute_floor_ms"],
+        "onehot_floor_ms": base["onehot_floor_ms"],
+        "memory_floor_ms": base["memory_floor_ms"],
+        "pct_of_roofline": round(100 * floor_ms / measured_ms, 1),
+        "verdict": (
+            "identical structure to Mapper_Dense — the inverse-sensor-"
+            "model update fuses into the per-cell combine for free"
+        ),
+    }
+
+
+def _bin_min_floor_ms(n_points: int, num_bins: int) -> float:
+    """Dense per-bin min (ops/mapping._bin_min, TPU branch): per
+    (point, bin) pair an eq-compare + select + min = 3 f32 VPU ops,
+    fused into one tiled pass (the [N, B] tensor never materializes;
+    HBM traffic is the N points, ~1.5 us — compute-bound)."""
+    return 1e3 * (3.0 * n_points * num_bins) / VPU_F32_PEAK
+
+
+def critical_zone_100k(measured_ms: float) -> dict:
+    """CriticalZone_100k_Cloud (benchmark_runner.cpp:267-311): 100k-point
+    cloud -> 3600-bin min ranges -> masked slowdown-factor min.
+
+    Dominant work: the dense bin-min (100k x 3600 pairs). The scan check
+    itself is 3600 elements (~10 f32 ops each, ~0.01 us at peak) and the
+    per-point prep (z/origin filters, atan2, sqrt) is O(N) — both noise
+    next to the N x B pass.
+    """
+    N, B = 100_000, 3600
+    binning_floor_ms = _bin_min_floor_ms(N, B)
+    bytes_moved = N * 3 * 4 + B * 4
+    memory_floor_ms = 1e3 * bytes_moved / HBM_BW
+    floor_ms = max(binning_floor_ms, memory_floor_ms)
+    return {
+        "name": "CriticalZone_100k_Cloud",
+        "measured_ms": measured_ms,
+        "bound": "VPU f32 (dense per-bin min, 3.6e8 point-bin pairs)",
+        "binning_floor_ms": round(binning_floor_ms, 3),
+        "memory_floor_ms": round(memory_floor_ms, 4),
+        "pct_of_roofline": round(100 * floor_ms / measured_ms, 1),
+        "verdict": (
+            "the dense [N, B] compare/select/min pass replaced a"
+            " serialized segment_min scatter (~0.8 ms of ~8 ns/point"
+            " scatter -> 0.28 ms of fused VPU work; workload 0.69 ->"
+            " 0.40 ms, device-loop spread 0.005 ms). Remaining ~30% gap"
+            " is the per-point prep + non-pow2 bin axis (3600) tiling"
+        ),
+    }
+
+
+def mapper_pointcloud(measured_ms: float) -> dict:
+    """Mapper_PointCloud_100k (benchmark_runner.cpp:227-265): 100k cloud
+    -> 3600-bin scan (dense bin-min) -> Mapper_Dense grid update. The
+    floor is the sum of the two stages' floors (they share no work)."""
+    N, B = 100_000, 3600
+    binning_floor_ms = _bin_min_floor_ms(N, B)
+    dense = mapper_dense(measured_ms)  # floors only; measured unused
+    dense_floor_ms = max(
+        dense["compute_floor_ms"], dense["onehot_floor_ms"],
+        dense["memory_floor_ms"],
+    )
+    floor_ms = binning_floor_ms + dense_floor_ms
+    return {
+        "name": "Mapper_PointCloud_100k",
+        "measured_ms": measured_ms,
+        "bound": (
+            "dense bin-min (3.6e8 point-bin pairs) + the Mapper_Dense"
+            " lookup matmul, sequential stages"
+        ),
+        "binning_floor_ms": round(binning_floor_ms, 3),
+        "grid_stage_floor_ms": round(dense_floor_ms, 3),
+        "pct_of_roofline": round(100 * floor_ms / measured_ms, 1),
+        "verdict": (
+            "both stages carry the same headroom they have standalone"
+            " (binning ~70%, grid lookup ~35% of their floors); the"
+            " stages are data-dependent so they cannot overlap"
+        ),
+    }
+
+
+def critical_zone_dense(measured_device_us: float,
+                        measured_dispatch_ms: float) -> dict:
+    """CriticalZone_Dense_Scan (benchmark_runner.cpp:313-376): 3600 rays
+    in the slowdown band — the reference's CPU worst case (its loop cannot
+    early-exit). On TPU the workload is LATENCY-bound, not compute-bound:
+    3600 elements x ~10 f32 ops = 3.6e4 VPU ops is ~0.01 us of compute
+    inside a ~1.5 us minimum program execution (measured by the K-delta
+    device loop, DEVICE_LOOP.json), under a ~0.2 ms per-dispatch pipeline
+    floor through the remote tunnel. pct_of_roofline is reported against
+    the 1.5 us device execution: the number says "program-launch bound",
+    not "VPU bound" — there is no throughput lever here, only dispatch
+    amortization (run_ticks_on_device / the fused fleet tick, which embed
+    this check at zero marginal cost)."""
+    compute_floor_us = 1e6 * (10.0 * 3600) / VPU_F32_PEAK
+    memory_floor_us = 1e6 * (3600 * 4 * 3) / HBM_BW
+    floor_us = max(compute_floor_us, memory_floor_us)
+    return {
+        "name": "CriticalZone_Dense_Scan",
+        "measured_device_us": measured_device_us,
+        "measured_dispatch_ms": measured_dispatch_ms,
+        "bound": "program launch (~1.5 us), not VPU (~0.01 us of work)",
+        "compute_floor_us": round(compute_floor_us, 3),
+        "memory_floor_us": round(memory_floor_us, 3),
+        "pct_of_roofline": round(100 * floor_us / measured_device_us, 1),
+        "verdict": (
+            "latency-bound: the scan is 3 orders too small to fill the"
+            " chip. The honest costs are ~1.5 us on-device (K-delta"
+            " loop) and ~0.2 ms per remote dispatch (pipeline floor);"
+            " fleet/serving paths fuse the check into the solve tick"
+            " where its marginal cost is ~0"
+        ),
+    }
+
+
 def dwa_sweep(measured_ms_per_batch: float = 6.38) -> dict:
     """The flagship sweep's existing shoot-out result, restated in the
     same schema (KERNEL_BENCH.json is the evidence)."""
@@ -159,6 +292,13 @@ def build(measured: dict) -> dict:
         "workloads": [
             cost_evaluator_5k(measured["CostEvaluator_5k_Trajs"]),
             mapper_dense(measured["Mapper_Dense_400x400"]),
+            mapper_bayesian(measured["Mapper_Bayesian_400x400"]),
+            mapper_pointcloud(measured["Mapper_PointCloud_100k"]),
+            critical_zone_100k(measured["CriticalZone_100k_Cloud"]),
+            critical_zone_dense(
+                measured["CriticalZone_Dense_device_us"],
+                measured["CriticalZone_Dense_dispatch_ms"],
+            ),
             dwa_sweep(measured.get("DWA_sweep_batch64", 6.38)),
         ],
     }
@@ -166,11 +306,16 @@ def build(measured: dict) -> dict:
 
 def main():
     # authoritative measurements: device-loop (sub-ms-capable) where
-    # available, slope medians otherwise (BENCH_LOCAL.json 2026-08-18,
-    # DEVICE_LOOP.json 2026-08-19)
+    # available, slope medians otherwise (BENCH_LOCAL.json /
+    # DEVICE_LOOP.json, final 2026-08-19 re-measure)
     measured = {
-        "CostEvaluator_5k_Trajs": 8.54,
-        "Mapper_Dense_400x400": 0.589,
+        "CostEvaluator_5k_Trajs": 8.14,
+        "Mapper_Dense_400x400": 0.58,
+        "Mapper_Bayesian_400x400": 0.59,
+        "Mapper_PointCloud_100k": 0.99,
+        "CriticalZone_100k_Cloud": 0.402,
+        "CriticalZone_Dense_device_us": 1.5,
+        "CriticalZone_Dense_dispatch_ms": 0.201,
         "DWA_sweep_batch64": 6.30,
     }
     out = build(measured)

@@ -169,3 +169,43 @@ def test_measure_throughput_slope_schema():
             "T", dispatch, list(range(30)), fetch=lambda o: float(o),
             n_lo=10, n_hi=30,
         )
+
+
+def test_roofline_covers_every_named_workload():
+    """ROOFLINE.json (the committed artifact) and the generator agree and
+    cover every named reference workload (benchmark_runner.cpp:150-376)
+    plus the flagship sweep — each with a finite pct_of_roofline."""
+    import json
+    import pathlib
+
+    from kompass_core_tpu.benchmark import roofline
+
+    measured = {
+        "CostEvaluator_5k_Trajs": 8.14,
+        "Mapper_Dense_400x400": 0.58,
+        "Mapper_Bayesian_400x400": 0.59,
+        "Mapper_PointCloud_100k": 0.99,
+        "CriticalZone_100k_Cloud": 0.402,
+        "CriticalZone_Dense_device_us": 1.5,
+        "CriticalZone_Dense_dispatch_ms": 0.201,
+        "DWA_sweep_batch64": 6.30,
+    }
+    generated = roofline.build(measured)
+    names = {w["name"] for w in generated["workloads"]}
+    assert names >= {
+        "CostEvaluator_5k_Trajs",
+        "Mapper_Dense_400x400",
+        "Mapper_Bayesian_400x400",
+        "Mapper_PointCloud_100k",
+        "CriticalZone_100k_Cloud",
+        "CriticalZone_Dense_Scan",
+        "DWA_sweep_batch64",
+    }
+    for w in generated["workloads"]:
+        assert np.isfinite(w["pct_of_roofline"]), w["name"]
+        assert 0 < w["pct_of_roofline"] <= 100, w["name"]
+
+    committed = pathlib.Path(__file__).resolve().parents[1] / "ROOFLINE.json"
+    if committed.exists():  # artifact stays in sync with the generator
+        art = json.loads(committed.read_text())
+        assert {w["name"] for w in art["workloads"]} == names
