@@ -120,6 +120,182 @@ def _sanitize_beams(ranges):
     return jnp.where(valid, ranges, 0.0), valid
 
 
+@lru_cache(maxsize=64)
+def _banded_plan(spec: MapperSpec, angle_offset: float, tile: int, win: int):
+    """Static banded-lookup plan: because each cell's nearest bin (`base`)
+    depends only on grid geometry (+ a static ``angle_offset``), every
+    ``tile`` x ``tile`` cell block needs only a narrow, *statically known*
+    circular window of bins — ~``B * tile_diag / (2 pi r)`` wide at
+    distance r from the sensor. Restricting the one-hot contraction to
+    that window cuts both the MXU FLOPs and the one-hot-generation VPU
+    work ~6x at the 400x400x3600 shape (the full [N, B] dot is 95% of
+    Mapper_Dense: 0.52 of 0.55 ms, benchmark/mapper_split.py).
+
+    Returns None when the geometry doesn't qualify (grid not tileable,
+    bins too few for a banded win, or window margins can't fit), else a
+    dict of host numpy arrays:
+      lo [G] int32      — window start bin per tile (row-major tile order)
+      center (i0, i1, j0, j1) — CELL-coordinate rectangle of near-sensor
+                          tiles whose window exceeds ``win``; these rows
+                          are computed with the full-width dot and pasted
+                          over the banded output (their banded rows are
+                          garbage by construction).
+
+    Exactness: a one-hot row has exactly ONE nonzero, so the banded dot
+    accumulates the same single product as the full dot — bit-identical
+    wherever the traced base bin lies inside the window. The window is
+    built from a host float32 mirror of `_base_bin` with a +-2-bin margin,
+    absorbing any f32 rounding disagreement between numpy and XLA at
+    half-bin boundaries.
+    """
+    H, W, B = spec.grid_height, spec.grid_width, spec.num_bins
+    if H % tile or W % tile or B <= 2 * win or win >= B:
+        return None
+    # host float32 mirror of _cell_geometry + _base_bin
+    si, sj = spec.start_cell
+    ii = (np.arange(H, dtype=np.float32) - np.float32(si))[:, None]
+    jj = (np.arange(W, dtype=np.float32) - np.float32(sj))[None, :]
+    theta = np.arctan2(jj, ii).astype(np.float32)
+    step = np.float32(2.0 * np.pi / B)
+    rel = (theta - np.float32(spec.laserscan_orientation)
+           - np.float32(angle_offset))
+    base = np.round(rel / step).astype(np.int64) % B  # [H, W]
+
+    th, tw = H // tile, W // tile
+    tiled = base.reshape(th, tile, tw, tile).transpose(0, 2, 1, 3)
+    tiled = tiled.reshape(th * tw, tile * tile)
+    margin = 2  # host/traced f32 rounding disagreement bound
+    lo = np.zeros(th * tw, np.int64)
+    wide = np.zeros(th * tw, bool)
+    for g in range(th * tw):
+        u = np.unique(tiled[g])
+        if len(u) == 1:
+            lo[g] = (u[0] - margin) % B
+            continue
+        gaps = np.diff(u)
+        wrap_gap = u[0] + B - u[-1]
+        k = int(np.argmax(gaps))
+        if wrap_gap >= gaps[k]:
+            start, span = u[0], u[-1] - u[0] + 1
+        else:
+            start = u[k + 1]
+            span = B - (u[k + 1] - u[k]) + 1
+        # window starts are quantized DOWN to multiples of 16 (bf16
+        # sublane granularity — keeps the Pallas kernel's dynamic VMEM
+        # slice aligned), costing up to 15 extra bins of slack
+        if span + 2 * margin + 15 > win:
+            wide[g] = True
+        else:
+            lo[g] = (((start - margin) % B) // 16) * 16
+    if not wide.any():
+        center = None
+    else:
+        gi, gj = np.nonzero(wide.reshape(th, tw))
+        # bounding RECTANGLE of wide tiles (conservative), in cell coords
+        center = (
+            int(gi.min()) * tile, (int(gi.max()) + 1) * tile,
+            int(gj.min()) * tile, (int(gj.max()) + 1) * tile,
+        )
+        n_wide_cells = (center[1] - center[0]) * (center[3] - center[2])
+        if n_wide_cells > (H * W) // 4:
+            return None  # banded win too small to bother
+    return {"lo": lo.astype(np.int32), "center": center, "tile": tile,
+            "win": win, "th": th, "tw": tw}
+
+
+def _banded_lookup_dot(plan, base, tabs, n_cols):
+    """The banded one-hot x windowed-tables dot (see `_banded_plan`).
+    ``base`` [H, W] traced int32, ``tabs`` [B, n_cols] bf16.
+    Returns [H, W, n_cols] f32, with garbage rows in the plan's center
+    rectangle (caller pastes the full-width dot result there)."""
+    tile, win = plan["tile"], plan["win"]
+    th, tw = plan["th"], plan["tw"]
+    B = tabs.shape[0]
+    H, W = th * tile, tw * tile
+    lo = jnp.asarray(plan["lo"])  # [G]
+    bt = base.reshape(th, tile, tw, tile).transpose(0, 2, 1, 3)
+    bt = bt.reshape(th * tw, tile * tile)  # [G, R]
+    # out-of-window local indices (only possible in wide/center tiles, or
+    # at a >2-bin host/traced disagreement, which margin rules out) land
+    # outside [0, win) and one_hot maps them to an all-zero row
+    local = (bt - lo[:, None]) % B
+    oh = jax.nn.one_hot(local, win, dtype=jnp.bfloat16)  # [G, R, win]
+    tabs_ext = jnp.concatenate([tabs, tabs[:win]], axis=0)
+    rhs = jnp.stack([
+        jax.lax.slice(tabs_ext, (int(l), 0), (int(l) + win, n_cols))
+        for l in plan["lo"]
+    ])  # [G, win, n_cols] — static slices: pure copies, no gather
+    g = jax.lax.dot_general(
+        oh, rhs, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )  # [G, R, n_cols]
+    g = g.reshape(th, tw, tile, tile, n_cols).transpose(0, 2, 1, 3, 4)
+    return g.reshape(H, W, n_cols)
+
+
+def _banded_lookup_dot_pallas(plan, base, tabs, n_cols, interpret=False):
+    """Pallas form of the banded lookup: one grid step per tile, the
+    window slice taken DYNAMICALLY from a VMEM-resident ``tabs_ext``
+    (scalar-prefetched ``lo[g]``), the one-hot generated in registers.
+    Removes the two overheads that made the XLA banded form a wash
+    (measured 2026-08-19: full 0.76, banded-XLA w512 0.80, w384 2.08 ms
+    — the per-tile rhs slice/stack launches G copy kernels and the
+    batched one-hot doesn't fuse into the dot).
+
+    Bit-exact vs the full dot for the same reason the XLA banded form is
+    (one nonzero per one-hot row). Center-rectangle rows are garbage here
+    too; the caller pastes the full-width dot over them."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile, win = plan["tile"], plan["win"]
+    th, tw = plan["th"], plan["tw"]
+    B = tabs.shape[0]
+    H, W = th * tile, tw * tile
+    G, R = th * tw, tile * tile
+    lo = jnp.asarray(plan["lo"], jnp.int32)  # [G], multiples of 16
+    bt = base.reshape(th, tile, tw, tile).transpose(0, 2, 1, 3)
+    local = (bt.reshape(G, R) - lo[:, None]) % B  # [G, R]
+    tabs_ext = jnp.concatenate([tabs, tabs[:win]], axis=0)
+
+    def kernel(lo_ref, lb_ref, tabs_ref, out_ref):
+        g = pl.program_id(0)
+        start = pl.multiple_of(lo_ref[g], 16)
+        rhs = tabs_ref[pl.ds(start, win), :]  # [win, n_cols] bf16, VMEM
+        lb = lb_ref[0]  # [R, 1] int32
+        iota = jax.lax.broadcasted_iota(jnp.int32, (R, win), 1)
+        oh = (iota == lb).astype(jnp.bfloat16)
+        out_ref[0] = jax.lax.dot_general(
+            oh, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, R, 1), lambda g, lo_ref: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tabs_ext, whole
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, n_cols), lambda g, lo_ref: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, R, n_cols), jnp.float32),
+        interpret=interpret,
+    )(lo, local.reshape(G, R, 1), tabs_ext)
+    out = out.reshape(th, tw, tile, tile, n_cols).transpose(0, 2, 1, 3, 4)
+    return out.reshape(H, W, n_cols)
+
+
 def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
                       valid=None):
     """Per-cell lookup of the candidate beams' endpoint cells and ranges,
@@ -175,22 +351,9 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
         axis=1,
     ).astype(jnp.bfloat16)  # [B, 7C], every entry bf16-exact (see above)
 
-    flat = base.reshape(-1)
-    n = flat.shape[0]
     import os
 
-    # On TPU the whole-grid one-hot dot is 2.6x FASTER than a chunked
-    # lax.map (0.55 vs 1.41 ms for Mapper_Dense): the sequential map
-    # prevented XLA from fusing one-hot generation into the dot's LHS
-    # tiles, forcing the [chunk, B] block through memory per iteration.
-    # On CPU the unfused one-hot would materialize ~1 GB for a 400x400
-    # grid, so the bounded chunk stays the CPU default.
-    default_chunk = n if jax.default_backend() != "cpu" else 16384
-    chunk = min(
-        n, int(os.environ.get("KOMPASS_TPU_LOOKUP_CHUNK", default_chunk))
-    )
-
-    def lookup(bs):
+    def full_dot(bs):
         oh = jax.nn.one_hot(bs, B, dtype=jnp.bfloat16)
         return jax.lax.dot_general(
             oh,
@@ -200,12 +363,70 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
             preferred_element_type=jnp.float32,  # MXU f32 accumulate
         )
 
-    pad = (-n) % chunk
-    padded = jnp.pad(flat, (0, pad))
-    g = jax.lax.map(lookup, padded.reshape(-1, chunk))
-    g = g.reshape(n + pad, 7 * C)[:n].reshape(
-        spec.grid_height, spec.grid_width, 7 * C
-    )
+    # Banded lookup (see _banded_plan): the full [N, B] dot is 95% of
+    # Mapper_Dense; static per-tile bin windows cut the contraction ~6x.
+    # Requires a STATIC angle_offset (all production callers) — a traced
+    # offset falls back to the full dot.
+    mode = os.environ.get("KOMPASS_TPU_LOOKUP", "auto")
+    if mode == "auto":
+        # measured default (2026-08-19 shoot-out, production shape):
+        # the whole-grid one-hot dot. Banded alternatives are kept with
+        # their measurements: banded-XLA is a wash (0.80 vs 0.76 ms full
+        # on the same pass; the G rhs-slice copies + unfused batched
+        # one-hot eat the 6x FLOP cut), pallas-banded measured below.
+        mode = "full"
+    plan = None
+    if mode in ("banded", "pallas") and not isinstance(
+        angle_offset, jax.core.Tracer
+    ):
+        plan = _banded_plan(
+            spec,
+            float(angle_offset),
+            tile=int(os.environ.get("KOMPASS_TPU_BAND_TILE", 16)),
+            win=int(os.environ.get("KOMPASS_TPU_BAND_WIN", 512)),
+        )
+    if plan is not None:
+        if mode == "pallas":
+            # interpret=True lets CPU tests pin bit-parity of the same
+            # kernel the TPU runs compiled
+            g = _banded_lookup_dot_pallas(
+                plan, base, tabs, 7 * C,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            g = _banded_lookup_dot(plan, base, tabs, 7 * C)
+        if plan["center"] is not None:
+            # near-sensor cells subtend too many bins for the window —
+            # full-width dot on that (small) rectangle, pasted over
+            i0, i1, j0, j1 = plan["center"]
+            gc = full_dot(base[i0:i1, j0:j1].reshape(-1)).reshape(
+                i1 - i0, j1 - j0, 7 * C
+            )
+            mid = jnp.concatenate(
+                [g[i0:i1, :j0], gc, g[i0:i1, j1:]], axis=1
+            )
+            g = jnp.concatenate([g[:i0], mid, g[i1:]], axis=0)
+    else:
+        flat = base.reshape(-1)
+        n = flat.shape[0]
+        # On TPU the whole-grid one-hot dot is 2.6x FASTER than a chunked
+        # lax.map (0.55 vs 1.41 ms for Mapper_Dense): the sequential map
+        # prevented XLA from fusing one-hot generation into the dot's LHS
+        # tiles, forcing the [chunk, B] block through memory per
+        # iteration. On CPU the unfused one-hot would materialize ~1 GB
+        # for a 400x400 grid, so the bounded chunk stays the CPU default.
+        default_chunk = n if jax.default_backend() != "cpu" else 16384
+        chunk = min(
+            n,
+            int(os.environ.get("KOMPASS_TPU_LOOKUP_CHUNK", default_chunk)),
+        )
+
+        pad = (-n) % chunk
+        padded = jnp.pad(flat, (0, pad))
+        g = jax.lax.map(full_dot, padded.reshape(-1, chunk))
+        g = g.reshape(n + pad, 7 * C)[:n].reshape(
+            spec.grid_height, spec.grid_width, 7 * C
+        )
 
     def _col(k):
         return g[..., k * C : (k + 1) * C]
@@ -488,13 +709,18 @@ def _bin_min(dist, bins, num_bins: int, dense: bool):
         return jax.ops.segment_min(
             dist, bins, num_segments=num_bins, indices_are_sorted=False
         )
-    bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
+    # pad the bin (lane) axis to a multiple of 512: real bins are
+    # [0, num_bins) so the padded ids never match and their inf columns
+    # are sliced off — bit-exact (same rule as ops/solver._pad_sweep_pow2:
+    # non-pow2 minor reduce/compare widths leave VPU lanes idle)
+    num_pad = ((num_bins + 511) // 512) * 512
+    bin_ids = jnp.arange(num_pad, dtype=jnp.int32)
     return jnp.min(
         jnp.where(
             bins[:, None] == bin_ids[None, :], dist[:, None], jnp.inf
         ),
         axis=0,
-    )
+    )[:num_bins]
 
 
 def resample_scan_uniform(angles, ranges, num_bins, range_max):

@@ -78,6 +78,16 @@ def require_backend_or_cpu(timeout_s: float = 240.0):
     import subprocess
     import sys
 
+    if os.environ.get("KOMPASS_TPU_FORCE_CPU"):
+        # explicit opt-out (demos/CI on machines where the remote
+        # accelerator is up but slow): skip the probe, pin CPU now —
+        # env vars alone cannot re-pin after a sitecustomize, so this
+        # must happen via config.update before the first backend init
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return jax.devices()
+
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],

@@ -475,3 +475,78 @@ def test_bin_min_dense_matches_scatter():
     b = np.asarray(_bin_min(jnp.asarray(dist), jnp.asarray(bins), B, dense=True))
     np.testing.assert_array_equal(a, b)
     assert np.isinf(a[105])  # empty bin stays inf in both
+
+
+def test_banded_lookup_bit_equals_full():
+    """The banded candidate lookup (static per-tile bin windows,
+    ops/mapping._banded_plan) must reproduce the full one-hot dot
+    BIT-exactly: each one-hot row has exactly one nonzero, so the
+    banded dot accumulates the same single product. Covers the plain
+    and Bayesian kernels, invalid beams, and the near-sensor
+    full-width-rectangle paste. The pallas form runs in interpret mode
+    on CPU — the same kernel the TPU runs compiled."""
+    import os
+
+    from kompass_core_tpu.ops.mapping import (
+        MapperSpec,
+        _banded_plan,
+        scan_to_grid,
+        scan_to_grid_bayesian,
+    )
+
+    spec = MapperSpec(
+        grid_height=64, grid_width=64, num_bins=720, resolution=0.05
+    )
+    plan = _banded_plan(spec, 0.0, 16, 128)
+    assert plan is not None and plan["center"] is not None
+
+    rng = np.random.default_rng(3)
+    old = {
+        k: os.environ.get(k)
+        for k in ("KOMPASS_TPU_LOOKUP", "KOMPASS_TPU_BAND_TILE",
+                  "KOMPASS_TPU_BAND_WIN")
+    }
+    try:
+        os.environ["KOMPASS_TPU_BAND_TILE"] = "16"
+        os.environ["KOMPASS_TPU_BAND_WIN"] = "128"
+        for _ in range(3):
+            ranges = rng.uniform(0.1, 3.0, 720).astype(np.float32)
+            ranges[rng.integers(0, 720, 40)] = 0.0  # invalid beams
+            prev = rng.uniform(0.2, 0.8, (64, 64)).astype(np.float32)
+            os.environ["KOMPASS_TPU_LOOKUP"] = "full"
+            g_f = np.asarray(scan_to_grid(spec, ranges))
+            occ_f, p_f = scan_to_grid_bayesian(
+                spec, ranges, prev, 0.6, 0.1, 0.9, 0.1, 20.0, 0.2
+            )
+            for mode in ("banded", "pallas"):
+                os.environ["KOMPASS_TPU_LOOKUP"] = mode
+                g_b = np.asarray(scan_to_grid(spec, ranges))
+                occ_b, p_b = scan_to_grid_bayesian(
+                    spec, ranges, prev, 0.6, 0.1, 0.9, 0.1, 20.0, 0.2
+                )
+                np.testing.assert_array_equal(g_f, g_b, err_msg=mode)
+                np.testing.assert_array_equal(
+                    np.asarray(occ_f), np.asarray(occ_b), err_msg=mode
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(p_f), np.asarray(p_b), err_msg=mode
+                )
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+
+
+def test_banded_plan_eligibility_gates():
+    """Plans must refuse geometries they cannot tile or cannot win on."""
+    from kompass_core_tpu.ops.mapping import MapperSpec, _banded_plan
+
+    # grid not a multiple of the tile
+    assert _banded_plan(
+        MapperSpec(grid_height=60, grid_width=64, num_bins=720,
+                   resolution=0.05), 0.0, 16, 128
+    ) is None
+    # window not meaningfully narrower than the bin count
+    assert _banded_plan(
+        MapperSpec(grid_height=64, grid_width=64, num_bins=180,
+                   resolution=0.05), 0.0, 16, 128
+    ) is None
