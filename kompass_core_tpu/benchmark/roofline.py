@@ -104,12 +104,18 @@ def mapper_dense(measured_ms: float) -> dict:
         "pct_of_roofline": round(100 * floor_s / (measured_ms * 1e-3), 1),
         "verdict": (
             "bf16 split + un-chunked whole-grid dot lands within ~3x of"
-            " the lookup-matmul floor (the chunked lax.map was the"
-            " bottleneck: it blocked fusing one-hot generation into the"
-            " dot tiles — 1.41 -> 0.59 ms when removed). Remaining gap"
-            " is line-membership VPU work + grid combine; measured"
-            " alternatives (gather 6.4 ms, HIGHEST matmul 1.54 ms,"
-            " chunked bf16 1.41 ms) are all slower"
+            " the lookup-matmul floor; the lookup is 95% of the update"
+            " (benchmark/mapper_split.py: 0.52 of 0.55 ms). FIVE"
+            " alternatives measured and falsified: gather 6.4 ms,"
+            " HIGHEST-precision matmul 1.54, chunked bf16 lax.map 1.41,"
+            " banded-XLA static-window dot 0.80 (w512) / 2.08 (w384),"
+            " banded-Pallas (VMEM window slice via scalar prefetch) 1.28"
+            " — vs full 0.76-0.78 on the same passes. The banded forms'"
+            " ~6x FLOP cut is eaten by per-tile overheads (rhs slice"
+            " copies / unfused batched one-hot / 625 small grid steps),"
+            " so the remaining roofline gap is not reachable by lookup"
+            " restructuring; the floor itself under-counts the one-hot"
+            " generation at 1 VPU op per (cell, bin)"
         ),
     }
 

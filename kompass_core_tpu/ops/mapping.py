@@ -369,11 +369,14 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
     # offset falls back to the full dot.
     mode = os.environ.get("KOMPASS_TPU_LOOKUP", "auto")
     if mode == "auto":
-        # measured default (2026-08-19 shoot-out, production shape):
-        # the whole-grid one-hot dot. Banded alternatives are kept with
-        # their measurements: banded-XLA is a wash (0.80 vs 0.76 ms full
-        # on the same pass; the G rhs-slice copies + unfused batched
-        # one-hot eat the 6x FLOP cut), pallas-banded measured below.
+        # measured default (2026-08-19 shoot-out, production shape,
+        # same-session slope passes): the whole-grid one-hot dot wins —
+        # full 0.763/0.779 ms (two runs) vs banded-XLA 0.796 (w512) /
+        # 2.084 (w384) and banded-Pallas 1.277 (w512, checksum-equal).
+        # The ~6x FLOP cut of the banded forms is eaten by per-tile
+        # overheads: G rhs-slice copies + an unfused batched one-hot
+        # (XLA form), 625 small grid steps + dynamic VMEM window
+        # realignment (Pallas form). Both kept as opt-in alternates.
         mode = "full"
     plan = None
     if mode in ("banded", "pallas") and not isinstance(
