@@ -714,8 +714,10 @@ def _bin_min(dist, bins, num_bins: int, dense: bool):
         )
     # pad the bin (lane) axis to a multiple of 512: real bins are
     # [0, num_bins) so the padded ids never match and their inf columns
-    # are sliced off — bit-exact (same rule as ops/solver._pad_sweep_pow2:
-    # non-pow2 minor reduce/compare widths leave VPU lanes idle)
+    # are sliced off — bit-exact. Applied on the _pad_sweep_pow2 prior
+    # (non-pow2 minor reduce/compare widths leave VPU lanes idle); its
+    # own TPU delta is pending a re-measure (tunnel degraded 2026-08-19
+    # PM) — the cost side is bounded at +13% virtual compares
     num_pad = ((num_bins + 511) // 512) * 512
     bin_ids = jnp.arange(num_pad, dtype=jnp.int32)
     return jnp.min(
