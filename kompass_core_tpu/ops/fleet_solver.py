@@ -219,8 +219,19 @@ def _fleet_robot_step(
     angles,  # [R]
     seg_capacity: int,
     obs_world=None,  # [scan_size, 2] world-frame obstacles (overrides scan)
+    peer_pts=None,  # [N*peer_block, 2] world-frame peer points (shared)
+    peer_block: int = 0,  # points per peer (1 center + ring samples)
+    peer_count: int = 0,  # real peer points (static, for the count gate)
+    row_id=None,  # this robot's fleet row (masks its own peer block)
 ):
-    """One robot's full control tick on device."""
+    """One robot's full control tick on device.
+
+    ``peer_pts``: fleet mutual avoidance (no upstream analog — the
+    reference is single-robot). Every robot's disc is sampled as a
+    center point + a ring of circumference points in world frame; each
+    robot masks its OWN block to the pad sentinel and treats the rest
+    as extra obstacle points in the same fused sweep that serves the
+    scan (collision pruning + obstacle cost both see peers)."""
     (params12, limits9, sensor_pose, rot_in_place, goal_tol, ori_tol,
      losing_tol, interp_dist, base_h, curv_tol, vx_max, max_seg_size,
      collision_box2) = cfg_row
@@ -273,6 +284,12 @@ def _fleet_robot_step(
         # pose, then the world stays static while the state evolves)
         obs = obs_world
         R = obs.shape[0]
+    obs_count = jnp.int32(jnp.minimum(R, spec.scan_size))
+    if peer_pts is not None:
+        slots = jnp.arange(peer_pts.shape[0]) // peer_block
+        pts = jnp.where((slots == row_id)[:, None], _PAD, peer_pts)
+        obs = jnp.concatenate([obs, pts], axis=0)
+        obs_count = obs_count + jnp.int32(peer_count)
 
     # --- tracked segment window (dwa.cpp:208-233) ---
     # NOTE: path arrays are allocated seg_capacity wider than the path
@@ -307,7 +324,7 @@ def _fleet_robot_step(
         state4[0:3],
         window,
         obs,
-        jnp.int32(jnp.minimum(R, spec.scan_size)),
+        obs_count,
         seg_x,
         seg_y,
         seg_arc,
@@ -417,7 +434,7 @@ def _mapped_over_chunks(vmapped, chunk):
 
 def make_fleet_tick(
     fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots",
-    chunk: int = 64,
+    chunk: int = 64, peer_cfg=None,
 ):
     """Jit-compiled fleet tick:
     (paths, cfg, carry, angles [N,R] (device-resident),
@@ -427,8 +444,26 @@ def make_fleet_tick(
     ``chunk``: run the robot axis as a lax.map over chunk-row blocks
     inside the program (see ``_mapped_over_chunks``); N must be a padded
     multiple when N > chunk. Ignored under a mesh (the robot axis is
-    sharded instead)."""
+    sharded instead).
+
+    ``peer_cfg``: fleet mutual avoidance (beyond-reference; see
+    ``_fleet_robot_step``). Dict with ``radii`` (host [N] f32 —
+    circumscribed radius per fleet row, pads included), ``n_real``
+    (real robot count) and ``ring`` (circumference samples per peer).
+    Each robot sees every other robot as a center point + ``ring``
+    points at its circumference radius, recomputed from the live states
+    each tick — the per-robot sweep grows by N*(ring+1) points, so the
+    cost is O(N^2) across the fleet; intended for co-located fleets up
+    to a few hundred robots. Single-device only (a sharded fleet would
+    need a cross-chip all_gather of states, breaking the
+    zero-collective steady state this module guarantees)."""
     spec = fleet_spec.solver
+    if peer_cfg is not None and mesh is not None:
+        raise ValueError(
+            "peer avoidance requires mesh=None: each chip only holds its "
+            "local shard's states, and gathering peers would add a "
+            "cross-chip collective to the steady-state tick"
+        )
 
     def tick(paths, cfg, carry, angles, inputs):
         if spec.dynamic_box and cfg.collision_box2 is None:
@@ -443,17 +478,59 @@ def make_fleet_tick(
         vels = inputs[:, 4:7]
         ranges = inputs[:, 7:]
 
-        def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a):
-            paths_row = FleetPaths(*paths_row_tuple)
-            return _fleet_robot_step(
-                spec, paths_row, cfg_row, carry_row, s, v, r, a,
-                fleet_spec.solver.seg_size,
+        if peer_cfg is None:
+
+            def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a):
+                paths_row = FleetPaths(*paths_row_tuple)
+                return _fleet_robot_step(
+                    spec, paths_row, cfg_row, carry_row, s, v, r, a,
+                    fleet_spec.solver.seg_size,
+                )
+
+            extra = ()
+        else:
+            n_rows = inputs.shape[0]
+            ring = int(peer_cfg["ring"])
+            n_real = int(peer_cfg["n_real"])
+            radii = jnp.asarray(
+                np.asarray(peer_cfg["radii"], np.float32)[:n_rows]
             )
+            ang = np.linspace(0.0, 2.0 * np.pi, ring, endpoint=False)
+            ring_dirs = jnp.asarray(
+                np.stack([np.cos(ang), np.sin(ang)], axis=1), jnp.float32
+            )  # [ring, 2]
+            centers = states[:, 0:2]  # [N, 2] — live positions
+            pts = jnp.concatenate(
+                [
+                    centers[:, None, :],
+                    centers[:, None, :]
+                    + radii[:, None, None] * ring_dirs[None, :, :],
+                ],
+                axis=1,
+            )  # [N, 1+ring, 2]
+            valid = (jnp.arange(n_rows) < n_real)[:, None, None]
+            peer_pts = jnp.where(valid, pts, _PAD).reshape(-1, 2)
+            peer_block = 1 + ring
+            peer_count = max(n_real - 1, 0) * peer_block
+            row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+
+            def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid):
+                paths_row = FleetPaths(*paths_row_tuple)
+                return _fleet_robot_step(
+                    spec, paths_row, cfg_row, carry_row, s, v, r, a,
+                    fleet_spec.solver.seg_size,
+                    peer_pts=peer_pts,  # closed over: shared, not chunked
+                    peer_block=peer_block,
+                    peer_count=peer_count,
+                    row_id=rid,
+                )
+
+            extra = (row_ids,)
 
         runner = _mapped_over_chunks(jax.vmap(one), chunk)
         carry2, out = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
-            angles,
+            angles, *extra,
         )
         n = inputs.shape[0]
         # un-chunk ([M, C, ...] -> [N, ...]) when the map path ran

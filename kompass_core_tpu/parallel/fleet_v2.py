@@ -53,6 +53,8 @@ class DeviceFleet:
         sensor_poses=None,  # [num_robots, 3] (x, y, yaw) in body, or None
         dispatch_chunk: int = 64,
         sensor_max_range: float = 10.0,
+        peer_avoidance: bool = False,
+        peer_ring_points: int = 8,
     ):
         enable_persistent_compilation_cache()
         self.num_robots = len(robots)
@@ -150,8 +152,27 @@ class DeviceFleet:
         # (one unchunked vmap over the whole fleet); only an ACTIVE chunk
         # reaches the tick program — `or 64` here would either assert on
         # unpadded fleets or silently re-chunk a monolithic request
+        # fleet mutual avoidance (beyond-reference): every robot sees the
+        # others as live obstacle discs (center + circumference ring) in
+        # the same fused sweep the scan rides — collision pruning AND the
+        # obstacle cost both respect peers, zero host involvement. The
+        # per-robot sweep grows by N*(ring+1) points (O(N^2) fleet-wide);
+        # single-device fleets only (see make_fleet_tick).
+        self._peer_cfg = None
+        if peer_avoidance:
+            if mesh is not None:
+                raise ValueError(
+                    "peer_avoidance requires mesh=None (each chip only "
+                    "holds its local shard's states)"
+                )
+            self._peer_cfg = {
+                "radii": radius,  # [padded N], pads masked by n_real
+                "n_real": self.num_robots,
+                "ring": int(peer_ring_points),
+            }
         self._tick_fn = make_fleet_tick(
-            self.spec, mesh=mesh, chunk=self._chunk or None
+            self.spec, mesh=mesh, chunk=self._chunk or None,
+            peer_cfg=self._peer_cfg,
         )
         self._scan_rays = scan_rays
 
@@ -346,6 +367,12 @@ class DeviceFleet:
         )
 
         t0 = time.perf_counter()
+        if self._peer_cfg is not None:
+            raise ValueError(
+                "run_ticks_on_device assumes a static world over the "
+                "k-tick span; peer positions are dynamic world state, so "
+                "peer_avoidance fleets must use tick() (closed loop)"
+            )
         if not hasattr(self, "_ticks_fns"):
             self._ticks_fns = {}
         if k not in self._ticks_fns:

@@ -699,3 +699,168 @@ def test_monolithic_escape_hatch_above_default_chunk():
     out = fleet.tick(states, np.zeros((n, 3)),
                      np.full((n, N_RAYS), 10.0), angles)
     assert out["found"].all()
+
+
+# --- fleet mutual avoidance (peer_avoidance) -------------------------------
+
+
+def _make_peer(n, peer, radius=0.3, obstacles_weight=0.0):
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([radius, 0.4]),
+        )
+        for _ in range(n)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0,
+            goal_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+            obstacles_distance_weight=obstacles_weight,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16, peer_avoidance=peer,
+    )
+    return robots, fleet
+
+
+def _head_on_min_distance(peer):
+    """Two robots driving toward each other on the same line; returns the
+    minimum center distance reached over the episode."""
+    robots, fleet = _make_peer(2, peer)
+    robots[0].state.x, robots[0].state.yaw = 0.0, 0.0
+    robots[1].state.x, robots[1].state.yaw = 4.0, np.pi
+    for r in robots:
+        r.state.y = 0.0
+    fleet.set_paths([
+        np.array([[0.0, 0.0], [4.0, 0.0]]),
+        np.array([[4.0, 0.0], [0.0, 0.0]]),
+    ])
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    ranges = np.full((2, N_RAYS), 10.0)
+    min_d = np.inf
+    for _ in range(70):
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, r.state.speed]
+             for r in robots]
+        )
+        vels = np.array(
+            [[r.state.vx, r.state.vy, r.state.omega] for r in robots]
+        )
+        out = fleet.tick(states, vels, ranges, angles)
+        for r, vx, vy, om, found in zip(
+            robots, out["vx"], out["vy"], out["omega"], out["found"]
+        ):
+            if found:
+                r.set_control(velocity_x=vx, velocity_y=vy, omega=om)
+                r.get_state(dt=0.1)
+        d = np.hypot(
+            robots[0].state.x - robots[1].state.x,
+            robots[0].state.y - robots[1].state.y,
+        )
+        min_d = min(min_d, d)
+    return min_d
+
+
+def test_peer_avoidance_head_on_no_collision():
+    """Two r=0.3 robots sent head-on along the same line: with
+    peer_avoidance the fleet must keep the center distance above the
+    contact distance (2r = 0.6); without it they drive through each
+    other (the reference has no fleet concept at all — this capability
+    is beyond-reference, see PARITY.md)."""
+    d_without = _head_on_min_distance(peer=False)
+    d_with = _head_on_min_distance(peer=True)
+    assert d_without < 0.4, f"control scenario too easy: {d_without}"
+    assert d_with > 0.55, f"peers collided: min distance {d_with}"
+
+
+def test_peer_avoidance_single_robot_identity():
+    """A lone robot's commands must be bit-identical with peer_avoidance
+    on (its own peer block is masked to the pad sentinel; pad rows are
+    masked by n_real)."""
+    outs = []
+    for peer in (False, True):
+        robots, fleet = _make_peer(1, peer)
+        robots[0].state.x = 0.0
+        robots[0].state.yaw = np.pi / 2
+        fleet.set_paths([np.array([[0.0, 0.0], [0.0, 2.0]])])
+        angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+        ranges = np.full((1, N_RAYS), 10.0)
+        cmds = []
+        for _ in range(6):
+            states = np.array(
+                [[robots[0].state.x, robots[0].state.y,
+                  robots[0].state.yaw, robots[0].state.speed]]
+            )
+            vels = np.array(
+                [[robots[0].state.vx, robots[0].state.vy,
+                  robots[0].state.omega]]
+            )
+            out = fleet.tick(states, vels, ranges, angles)
+            cmds.append([out["vx"][0], out["vy"][0], out["omega"][0]])
+            if out["found"][0]:
+                robots[0].set_control(
+                    velocity_x=out["vx"][0], velocity_y=out["vy"][0],
+                    omega=out["omega"][0],
+                )
+                robots[0].get_state(dt=0.1)
+        outs.append(np.asarray(cmds))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_peer_avoidance_guards():
+    """Unsupported combinations fail loudly: sharded fleets (peer gather
+    would add a steady-state collective) and the static-world k-tick API."""
+    mesh = build_fleet_mesh()
+    with pytest.raises(ValueError, match="peer_avoidance requires"):
+        robots = [
+            Robot(
+                robot_type=RobotType.DIFFERENTIAL_DRIVE,
+                geometry_type=RobotGeometry.Type.CYLINDER,
+                geometry_params=np.array([0.1, 0.4]),
+            )
+            for _ in range(8)
+        ]
+        limits = RobotCtrlLimits(
+            vx_limits=LinearCtrlLimits(
+                max_vel=1.0, max_acc=5.0, max_decel=10.0
+            ),
+            omega_limits=AngularCtrlLimits(
+                max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+            ),
+        )
+        DeviceFleet(
+            robots, limits, DWAConfig(), scan_rays=N_RAYS,
+            path_capacity=256, max_segments=8, mesh=mesh,
+            peer_avoidance=True,
+        )
+    robots, fleet = _make_peer(2, peer=True)
+    fleet.set_paths([
+        np.array([[0.0, 0.0], [2.0, 0.0]]),
+        np.array([[0.0, 1.0], [2.0, 1.0]]),
+    ])
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    with pytest.raises(ValueError, match="static world"):
+        fleet.run_ticks_on_device(
+            4,
+            np.zeros((2, 4), np.float32),
+            np.zeros((2, 3), np.float32),
+            np.full((2, N_RAYS), 10.0, np.float32),
+            angles,
+        )
