@@ -489,30 +489,10 @@ def make_fleet_tick(
 
             extra = ()
         else:
-            n_rows = inputs.shape[0]
-            ring = int(peer_cfg["ring"])
-            n_real = int(peer_cfg["n_real"])
-            radii = jnp.asarray(
-                np.asarray(peer_cfg["radii"], np.float32)[:n_rows]
+            build_peers, peer_block, peer_count, row_ids = (
+                _peer_points_builder(peer_cfg, inputs.shape[0])
             )
-            ang = np.linspace(0.0, 2.0 * np.pi, ring, endpoint=False)
-            ring_dirs = jnp.asarray(
-                np.stack([np.cos(ang), np.sin(ang)], axis=1), jnp.float32
-            )  # [ring, 2]
-            centers = states[:, 0:2]  # [N, 2] — live positions
-            pts = jnp.concatenate(
-                [
-                    centers[:, None, :],
-                    centers[:, None, :]
-                    + radii[:, None, None] * ring_dirs[None, :, :],
-                ],
-                axis=1,
-            )  # [N, 1+ring, 2]
-            valid = (jnp.arange(n_rows) < n_real)[:, None, None]
-            peer_pts = jnp.where(valid, pts, _PAD).reshape(-1, 2)
-            peer_block = 1 + ring
-            peer_count = max(n_real - 1, 0) * peer_block
-            row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+            peer_pts = build_peers(states)  # live positions, this tick
 
             def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid):
                 paths_row = FleetPaths(*paths_row_tuple)
@@ -558,9 +538,40 @@ def make_fleet_tick(
     ))
 
 
+def _peer_points_builder(peer_cfg, n_rows):
+    """Closure pieces for the peer-avoidance point set (shared by the
+    single-tick and k-tick programs): returns (fn(states)->[N*block, 2],
+    block, count, row_ids)."""
+    ring = int(peer_cfg["ring"])
+    n_real = int(peer_cfg["n_real"])
+    radii = jnp.asarray(np.asarray(peer_cfg["radii"], np.float32)[:n_rows])
+    ang = np.linspace(0.0, 2.0 * np.pi, ring, endpoint=False)
+    ring_dirs = jnp.asarray(
+        np.stack([np.cos(ang), np.sin(ang)], axis=1), jnp.float32
+    )
+    valid = (jnp.arange(n_rows) < n_real)[:, None, None]
+
+    def build(states):
+        centers = states[:, 0:2]
+        pts = jnp.concatenate(
+            [
+                centers[:, None, :],
+                centers[:, None, :]
+                + radii[:, None, None] * ring_dirs[None, :, :],
+            ],
+            axis=1,
+        )
+        return jnp.where(valid, pts, _PAD).reshape(-1, 2)
+
+    block = 1 + ring
+    count = max(n_real - 1, 0) * block
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+    return build, block, count, row_ids
+
+
 def make_fleet_ticks_on_device(
     fleet_spec: FleetSpec, k: int, mesh=None, axis_name: str = "robots",
-    chunk: int = 64,
+    chunk: int = 64, peer_cfg=None,
 ):
     """K carry-chained control ticks in ONE dispatch (VERDICT r2 #7).
 
@@ -577,10 +588,91 @@ def make_fleet_ticks_on_device(
     ``datatypes/path.h:24-30``), and feeds the next tick. Between sensor
     syncs the robot executes the K returned commands open-loop.
 
+    ``peer_cfg`` (see ``make_fleet_tick``) switches the program from a
+    per-robot k-scan to a FLEET-SYNCHRONOUS k-scan: every tick, each
+    robot re-derives its peers' obstacle discs from the whole fleet's
+    CURRENT on-device states — the static-world assumption then applies
+    only to the scan obstacles, while peers stay live inside the k-tick
+    loop (a multi-robot closed-loop rollout with mutual avoidance in one
+    dispatch).
+
     Returns a jitted ``(paths, cfg, carry, angles, inputs[N, 4+3+R]) ->
     (carry', outs [N, k, len(OUT_FIELDS)], final_states [N, 4])``.
     """
     spec = fleet_spec.solver
+    if peer_cfg is not None and mesh is not None:
+        raise ValueError(
+            "peer avoidance requires mesh=None: each chip only holds its "
+            "local shard's states, and gathering peers would add a "
+            "cross-chip collective to the steady-state tick"
+        )
+
+    def ticks_peer(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
+                   angles, inputs):
+        if spec.dynamic_box and cfg.collision_box2 is None:
+            raise ValueError(
+                "dynamic_box fleet spec requires FleetConfig.collision_box2"
+            )
+        states = inputs[:, 0:4]
+        vels = inputs[:, 4:7]
+        ranges = inputs[:, 7:]
+        n = inputs.shape[0]
+        build_peers, block, count, row_ids = _peer_points_builder(
+            peer_cfg, n
+        )
+
+        # world scan obstacles frozen at the tick-0 pose (per robot)
+        obs_all = jax.vmap(
+            lambda sp, s, r, a: _scan_to_world_obs(
+                spec, r, a, sp, s[0], s[1], s[2]
+            )[0]
+        )(cfg.sensor_pose, states, ranges, angles)
+
+        dt_col = cfg.params12[:, 0]  # [N]
+
+        def body(c, _):
+            carry_c, s_c, v_c = c
+            peer_pts = build_peers(s_c)  # live positions, this tick
+
+            def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid,
+                    obs_row):
+                paths_row = FleetPaths(*paths_row_tuple)
+                return _fleet_robot_step(
+                    spec, paths_row, cfg_row, carry_row, s, v, r, a,
+                    fleet_spec.solver.seg_size, obs_world=obs_row,
+                    peer_pts=peer_pts, peer_block=block,
+                    peer_count=count, row_id=rid,
+                )
+
+            runner = _mapped_over_chunks(jax.vmap(one), chunk)
+            new_carry, out = runner(
+                tuple(paths), tuple(cfg), tuple(carry_c), s_c, v_c,
+                ranges, angles, row_ids, obs_all,
+            )
+            new_carry, out = jax.tree_util.tree_map(
+                lambda a: a.reshape((n,) + a.shape[2:])
+                if a.shape[0] != n else a,
+                (new_carry, out),
+            )
+            vx, vy, om = out[:, 2], out[:, 3], out[:, 4]
+            cy, sy = jnp.cos(s_c[:, 2]), jnp.sin(s_c[:, 2])
+            ns = jnp.stack(
+                [
+                    s_c[:, 0] + dt_col * (vx * cy - vy * sy),
+                    s_c[:, 1] + dt_col * (vx * sy + vy * cy),
+                    s_c[:, 2] + dt_col * om,
+                    jnp.sqrt(vx * vx + vy * vy),
+                ],
+                axis=1,
+            )
+            nv = jnp.stack([vx, vy, om], axis=1)
+            return (FleetCarry(*new_carry), ns, nv), out
+
+        (carry_f, s_f, _v_f), outs = jax.lax.scan(
+            body, (FleetCarry(*tuple(carry)), states, vels), None, length=k
+        )
+        # [k, N, F] -> [N, k, F]
+        return carry_f, jnp.transpose(outs, (1, 0, 2)), s_f
 
     def ticks(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
               angles, inputs):
@@ -634,6 +726,8 @@ def make_fleet_ticks_on_device(
         )
         return FleetCarry(*carry2), outs, states_f
 
+    if peer_cfg is not None:
+        return jax.jit(ticks_peer)  # mesh rejected above
     if mesh is None:
         return jax.jit(ticks)
     from jax.sharding import PartitionSpec as P

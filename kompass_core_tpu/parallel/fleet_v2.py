@@ -353,7 +353,11 @@ class DeviceFleet:
         is frozen to world-frame obstacles at the tick-0 pose
         (static-world assumption over the k-tick span); the robot state
         is integrated on device through the same kinematic update the
-        rollout uses, assuming the commands execute faithfully.
+        rollout uses, assuming the commands execute faithfully. With
+        ``peer_avoidance=True`` the k-scan is FLEET-synchronous: peers'
+        obstacle discs are re-derived from the live on-device states
+        every tick, so only the scan world is frozen — a multi-robot
+        closed-loop rollout with mutual avoidance in one dispatch.
 
         Same inputs as ``tick``. Returns the usual output dict with a
         trailing per-tick axis ([num_robots, k] per field) plus
@@ -367,17 +371,12 @@ class DeviceFleet:
         )
 
         t0 = time.perf_counter()
-        if self._peer_cfg is not None:
-            raise ValueError(
-                "run_ticks_on_device assumes a static world over the "
-                "k-tick span; peer positions are dynamic world state, so "
-                "peer_avoidance fleets must use tick() (closed loop)"
-            )
         if not hasattr(self, "_ticks_fns"):
             self._ticks_fns = {}
         if k not in self._ticks_fns:
             self._ticks_fns[k] = make_fleet_ticks_on_device(
-                self.spec, k, mesh=self.mesh, chunk=self._chunk or None
+                self.spec, k, mesh=self.mesh, chunk=self._chunk or None,
+                peer_cfg=self._peer_cfg,
             )
         fn = self._ticks_fns[k]
         ang_in = np.asarray(angles, np.float32)

@@ -825,8 +825,8 @@ def test_peer_avoidance_single_robot_identity():
 
 
 def test_peer_avoidance_guards():
-    """Unsupported combinations fail loudly: sharded fleets (peer gather
-    would add a steady-state collective) and the static-world k-tick API."""
+    """Sharded fleets reject the flag loudly: gathering peers would add
+    a cross-chip collective to the zero-collective steady-state tick."""
     mesh = build_fleet_mesh()
     with pytest.raises(ValueError, match="peer_avoidance requires"):
         robots = [
@@ -850,17 +850,38 @@ def test_peer_avoidance_guards():
             path_capacity=256, max_segments=8, mesh=mesh,
             peer_avoidance=True,
         )
+
+
+def test_peer_avoidance_k_ticks_on_device():
+    """Fleet-synchronous k-tick loop: two head-on robots run k=50 ticks
+    in ONE dispatch with peers re-derived from the live on-device states
+    each tick — the device-integrated trajectories must never come
+    closer than the contact distance (2r = 0.6)."""
     robots, fleet = _make_peer(2, peer=True)
+    robots[0].state.x, robots[0].state.yaw = 0.0, 0.0
+    robots[1].state.x, robots[1].state.yaw = 4.0, np.pi
     fleet.set_paths([
-        np.array([[0.0, 0.0], [2.0, 0.0]]),
-        np.array([[0.0, 1.0], [2.0, 1.0]]),
+        np.array([[0.0, 0.0], [4.0, 0.0]]),
+        np.array([[4.0, 0.0], [0.0, 0.0]]),
     ])
     angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
-    with pytest.raises(ValueError, match="static world"):
-        fleet.run_ticks_on_device(
-            4,
-            np.zeros((2, 4), np.float32),
-            np.zeros((2, 3), np.float32),
-            np.full((2, N_RAYS), 10.0, np.float32),
-            angles,
-        )
+    states = np.array([[0.0, 0.0, 0.0, 0.0], [4.0, 0.0, np.pi, 0.0]])
+    out = fleet.run_ticks_on_device(
+        50, states, np.zeros((2, 3)), np.full((2, N_RAYS), 10.0), angles
+    )
+    # reconstruct the on-device trajectories with the same kinematic
+    # update the program applies (unicycle, dt = control_time_step)
+    dt = 0.1
+    s = states.copy()
+    min_d = np.hypot(s[0, 0] - s[1, 0], s[0, 1] - s[1, 1])
+    for t in range(50):
+        for i in range(2):
+            vx, vy, om = out["vx"][i, t], out["vy"][i, t], out["omega"][i, t]
+            cy, sy = np.cos(s[i, 2]), np.sin(s[i, 2])
+            s[i, 0] += dt * (vx * cy - vy * sy)
+            s[i, 1] += dt * (vx * sy + vy * cy)
+            s[i, 2] += dt * om
+        min_d = min(min_d, np.hypot(s[0, 0] - s[1, 0], s[0, 1] - s[1, 1]))
+    np.testing.assert_allclose(s[:, :3], out["final_states"][:, :3],
+                               rtol=1e-4, atol=1e-4)
+    assert min_d > 0.55, f"peers collided inside the k-loop: {min_d}"
