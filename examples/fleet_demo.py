@@ -4,7 +4,13 @@ Spawns a row of robots, each with its own straight path, and drives them
 all with the device-resident `DeviceFleet` (whole follower pipeline on
 device; pass --host to use the host-follower `FleetRuntime` instead).
 
-Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots] [--host]
+Pass --peers for the fleet-mutual-avoidance showcase: robots run in
+CROSSING pairs (X-shaped paths that intersect at the center) with
+`peer_avoidance=True` — each robot sees the others as live obstacle
+discs on device, and the demo verifies no two robots ever get closer
+than the contact distance.
+
+Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots] [--host|--peers]
 """
 
 import sys
@@ -30,7 +36,9 @@ from kompass_core_tpu.utils.runtime import require_backend_or_cpu
 require_backend_or_cpu()
 
 
-def main(n_robots: int = 100, host_mode: bool = False):
+def main(n_robots: int = 100, host_mode: bool = False, peers: bool = False):
+    if peers:
+        return main_peers(n_robots)
     robots = [
         Robot(
             robot_type=RobotType.ACKERMANN,
@@ -124,11 +132,105 @@ def main(n_robots: int = 100, host_mode: bool = False):
     return 0
 
 
+def main_peers(n_robots: int = 8):
+    """Fleet mutual avoidance: crossing pairs, on-device peer discs."""
+    n_robots = max(2, (n_robots // 2) * 2)
+    radius = 0.3
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([radius, 0.4]),
+        )
+        for _ in range(n_robots)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=6,
+        max_angular_samples=6,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0,
+            goal_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+            obstacles_distance_weight=1.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+    n_rays = 72
+    angles = np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
+    from kompass_core_tpu.parallel import DeviceFleet
+
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=n_rays, path_capacity=512,
+        max_segments=16, peer_avoidance=True,
+    )
+    # crossing pairs: an X per pair. The second robot starts 1.2 m
+    # earlier along its lane, so the two reach the intersection at
+    # different times — the follower then only needs to yield, not to
+    # solve a perfectly symmetric stand-off (which a reciprocal planner
+    # would deadlock on; DWA has no explicit coordination)
+    paths = []
+    for p in range(n_robots // 2):
+        x0 = 6.0 * p
+        a, b = robots[2 * p], robots[2 * p + 1]
+        a.state.x, a.state.y, a.state.yaw = x0, 0.0, np.pi / 4
+        b.state.x, b.state.y, b.state.yaw = x0 + 3.85, -0.85, 3 * np.pi / 4
+        paths.append(np.array([[x0, 0.0], [x0 + 3.0, 3.0]]))
+        paths.append(np.array([[x0 + 3.85, -0.85], [x0, 3.0]]))
+    fleet.set_paths(paths)
+
+    ranges = np.full((n_robots, n_rays), 10.0)
+    reached = np.zeros(n_robots, bool)
+    min_pair_d = np.inf
+    ticks = 0
+    for ticks in range(1, 151):
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, r.state.speed]
+             for r in robots]
+        )
+        vels = np.array(
+            [[r.state.vx, r.state.vy, r.state.omega] for r in robots]
+        )
+        out = fleet.tick(states, vels, ranges, angles)
+        reached |= out["reached"]
+        for i, robot in enumerate(robots):
+            if not reached[i] and out["found"][i]:
+                robot.set_control(
+                    velocity_x=out["vx"][i], velocity_y=out["vy"][i],
+                    omega=out["omega"][i],
+                )
+                robot.get_state(dt=0.1)
+        xy = np.array([[r.state.x, r.state.y] for r in robots])
+        d = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+        d[np.arange(n_robots), np.arange(n_robots)] = np.inf
+        min_pair_d = min(min_pair_d, float(d.min()))
+        if reached.all():
+            break
+    print(
+        f"fleet[peer-avoidance]: {int(reached.sum())}/{n_robots} robots "
+        f"reached crossing goals in {ticks} ticks; closest approach "
+        f"{min_pair_d:.2f} m (contact = {2 * radius:.2f} m)"
+    )
+    assert min_pair_d > 2 * radius, "robots collided!"
+    assert reached.sum() >= n_robots - 1
+    print("FLEET PEER DEMO PASSED")
+    return 0
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--host"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sys.exit(
         main(
             int(args[0]) if args else 100,
             host_mode="--host" in sys.argv,
+            peers="--peers" in sys.argv,
         )
     )
