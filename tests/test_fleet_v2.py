@@ -885,3 +885,74 @@ def test_peer_avoidance_k_ticks_on_device():
     np.testing.assert_allclose(s[:, :3], out["final_states"][:, :3],
                                rtol=1e-4, atol=1e-4)
     assert min_d > 0.55, f"peers collided inside the k-loop: {min_d}"
+
+
+def test_peer_avoidance_box_fleet():
+    """peer_avoidance composes with the dynamic-box collision path: a BOX
+    robot in the fleet switches every robot to oriented-box collision
+    while peers remain obstacle discs at each peer's circumscribed
+    radius. Head-on box robots must still keep clear."""
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.BOX,
+            geometry_params=np.array([0.5, 0.4, 0.3]),  # l, w, h
+        )
+        for _ in range(2)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4,
+        max_angular_samples=4,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0,
+            goal_distance_weight=1.0,
+            smoothness_weight=0.0,
+            jerk_weight=0.0,
+            obstacles_distance_weight=0.0,
+        ),
+        prediction_horizon=10,
+        control_horizon=2,
+        control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16, peer_avoidance=True,
+    )
+    assert fleet.spec.solver.dynamic_box
+    robots[0].state.x, robots[0].state.yaw = 0.0, 0.0
+    robots[1].state.x, robots[1].state.yaw = 4.0, np.pi
+    fleet.set_paths([
+        np.array([[0.0, 0.0], [4.0, 0.0]]),
+        np.array([[4.0, 0.0], [0.0, 0.0]]),
+    ])
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    ranges = np.full((2, N_RAYS), 10.0)
+    min_d = np.inf
+    for _ in range(60):
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, r.state.speed]
+             for r in robots]
+        )
+        vels = np.array(
+            [[r.state.vx, r.state.vy, r.state.omega] for r in robots]
+        )
+        out = fleet.tick(states, vels, ranges, angles)
+        for r, vx, vy, om, found in zip(
+            robots, out["vx"], out["vy"], out["omega"], out["found"]
+        ):
+            if found:
+                r.set_control(velocity_x=vx, velocity_y=vy, omega=om)
+                r.get_state(dt=0.1)
+        d = np.hypot(
+            robots[0].state.x - robots[1].state.x,
+            robots[0].state.y - robots[1].state.y,
+        )
+        min_d = min(min_d, d)
+    # contact when the boxes' front faces meet: half-length 0.25 each
+    assert min_d > 0.45, f"box peers collided: min distance {min_d}"
