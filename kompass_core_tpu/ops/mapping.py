@@ -712,20 +712,20 @@ def _bin_min(dist, bins, num_bins: int, dense: bool):
         return jax.ops.segment_min(
             dist, bins, num_segments=num_bins, indices_are_sorted=False
         )
-    # pad the bin (lane) axis to a multiple of 512: real bins are
-    # [0, num_bins) so the padded ids never match and their inf columns
-    # are sliced off — bit-exact. Applied on the _pad_sweep_pow2 prior
-    # (non-pow2 minor reduce/compare widths leave VPU lanes idle); its
-    # own TPU delta is pending a re-measure (tunnel degraded 2026-08-19
-    # PM) — the cost side is bounded at +13% virtual compares
-    num_pad = ((num_bins + 511) // 512) * 512
-    bin_ids = jnp.arange(num_pad, dtype=jnp.int32)
+    # NOTE on lane-axis padding: the _pad_sweep_pow2 rule does NOT
+    # transfer here. That rule is about the REDUCE axis width; this
+    # pass reduces over N (the large sublane axis) while num_bins rides
+    # the lane axis, which XLA already pads to the next 128 multiple
+    # internally (3600 -> 3712, ~3% waste). An explicit pow2/512 pad
+    # was tried 2026-08-19 and reverted unmeasured: it only ADDS
+    # compares (4096 vs 3712) on a speculative prior.
+    bin_ids = jnp.arange(num_bins, dtype=jnp.int32)
     return jnp.min(
         jnp.where(
             bins[:, None] == bin_ids[None, :], dist[:, None], jnp.inf
         ),
         axis=0,
-    )[:num_bins]
+    )
 
 
 def resample_scan_uniform(angles, ranges, num_bins, range_max):
