@@ -7,11 +7,64 @@ protocol. The difference bounds what a faster lookup could save —
 measured BEFORE investing in a banded-lookup redesign.
 
 Run on the real TPU: python -m kompass_core_tpu.benchmark.mapper_split
+Add ``--modes`` to reproduce the lookup shoot-out (full vs banded-XLA vs
+banded-Pallas, one fresh jit per mode with a shared-input checksum) —
+the 2026-08-19 result: full 0.763/0.779 ms, banded 0.796 (w512) / 2.084
+(w384), pallas 1.277; recorded in ROOFLINE.json and ops/mapping.py.
+Measure the control in the SAME session (tunnel speed varies intra-day).
 """
 
 import json
 
 import numpy as np
+
+
+def shootout():
+    """full vs banded vs pallas lookup, slope-timed, checksum-verified."""
+    import os
+    from functools import partial
+
+    import jax
+
+    from ..ops.mapping import MapperSpec, scan_to_grid
+    from ..utils.runtime import enable_persistent_compilation_cache
+    from .runner import measure_throughput_slope, slope_variants_needed
+
+    enable_persistent_compilation_cache()
+    spec = MapperSpec(
+        grid_height=400, grid_width=400, num_bins=3600, resolution=0.05
+    )
+    rng = np.random.default_rng(0)
+    out, ref = {}, None
+    for name, env in (
+        ("full", {"KOMPASS_TPU_LOOKUP": "full"}),
+        ("banded_w512", {"KOMPASS_TPU_LOOKUP": "banded",
+                         "KOMPASS_TPU_BAND_WIN": "512"}),
+        ("pallas_w512", {"KOMPASS_TPU_LOOKUP": "pallas",
+                         "KOMPASS_TPU_BAND_WIN": "512"}),
+    ):
+        os.environ.update(env)
+        fn = jax.jit(partial(scan_to_grid, spec))  # fresh trace per mode
+        variants = [
+            jax.device_put(rng.uniform(0.5, 9.5, 3600).astype(np.float32))
+            for _ in range(slope_variants_needed())
+        ]
+        for v in variants:
+            float(np.asarray(v[0]))
+        probe = np.asarray(fn(variants[0]))
+        if ref is None:
+            ref = (np.asarray(variants[0]), probe)
+        else:
+            assert np.array_equal(
+                np.asarray(fn(jax.device_put(ref[0]))), ref[1]
+            ), f"{name} output differs from full"
+        r = measure_throughput_slope(
+            name, fn, variants, lambda o: int(np.asarray(o)[0, 0])
+        )
+        out[name] = r["mean_ms"]
+        print(name, round(r["mean_ms"], 4), "ms", flush=True)
+    print(json.dumps(out))
+    return out
 
 
 def main():
@@ -76,4 +129,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    shootout() if "--modes" in sys.argv else main()
