@@ -88,9 +88,19 @@ def require_backend_or_cpu(timeout_s: float = 240.0):
         jax.config.update("jax_platforms", "cpu")
         return jax.devices()
 
+    # the probe must exercise a COMPILE, not just backend init: the
+    # remote tunnel has been observed in a state where jax.devices()
+    # answers in seconds but fresh compiles never complete (2026-08-20,
+    # CLAUDE.md) — a devices-only probe would green-light a process that
+    # then hangs for minutes on its first jit
+    probe_code = (
+        "import jax, jax.numpy as jnp;"
+        "jax.devices();"
+        "print(float(jax.jit(lambda x: (x + 1.0).sum())(jnp.zeros(8))))"
+    )
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe_code],
             timeout=timeout_s,
             capture_output=True,
         )
