@@ -277,11 +277,58 @@ class DeviceFleet:
 
     # ------------------------------------------------------------------
 
-    def set_paths(self, paths: Sequence[np.ndarray]):
-        """Interpolate + segment each path on host, pad, upload once."""
-        N = self._n
+    def _path_row(self, pts, i):
+        """Interpolate + segment ONE path on host -> padded row arrays
+        (x, y, arc, curv, n_points, seg_starts, n_segs, total_len)."""
         P = self.spec.path_capacity
         cap = P + self.spec.solver.seg_size  # extra tail for window slices
+        NS = self.spec.max_segments
+        interp = self.config.max_point_interpolation_distance
+        max_seg_pts = int(self.config.path_segment_length / interp) + 1
+        x = np.full(cap, _PAD, np.float32)
+        y = np.full(cap, _PAD, np.float32)
+        arc = np.zeros(cap, np.float32)
+        curv = np.zeros(cap, np.float32)
+        seg_starts = np.zeros(NS, np.int32)
+        ref = ReferencePath(np.asarray(pts))
+        ref.interpolate(interp)
+        ref.segment(self.config.path_segment_length, max_seg_pts)
+        n = min(ref.size(), P)
+        x[:n] = ref.xs[:n]
+        y[:n] = ref.ys[:n]
+        arc[:n] = ref.arc_lengths[:n]
+        curv[:n] = ref.curvature[:n]
+        starts = np.asarray(ref.segment_starts[: ref.num_segments])
+        if ref.size() > P:
+            # keep only segments that survive the truncation; phantom
+            # starts past the kept points would make the losing-goal
+            # failsafe unreachable (at_end could never fire)
+            logging.getLogger("kompass_core_tpu").warning(
+                "fleet path %d truncated: %d interpolated points > "
+                "path_capacity %d; increase FleetSpec.path_capacity",
+                i, ref.size(), P,
+            )
+            starts = starts[starts < n]
+        ns = max(min(len(starts), NS), 1)
+        seg_starts[:ns] = starts[:ns]
+        seg_starts[ns:] = n  # padded starts point past the end
+        # total length of the path AS LOADED (goal = last kept point)
+        total = (
+            ref.total_path_length()
+            if ref.size() <= P
+            else float(ref.arc_lengths[n - 1])
+        )
+        return x, y, arc, curv, n, seg_starts, ns, np.float32(total)
+
+    def set_paths(self, paths: Sequence[np.ndarray]):
+        """Interpolate + segment each path on host, pad, upload once.
+
+        Resets the WHOLE fleet's follower carry. To re-route a single
+        robot mid-mission without touching the others, use
+        ``update_path``."""
+        N = self._n
+        P = self.spec.path_capacity
+        cap = P + self.spec.solver.seg_size
         NS = self.spec.max_segments
         x = np.full((N, cap), _PAD, np.float32)
         y = np.full((N, cap), _PAD, np.float32)
@@ -291,39 +338,9 @@ class DeviceFleet:
         seg_starts = np.zeros((N, NS), np.int32)
         n_segs = np.ones(N, np.int32)
         total = np.zeros(N, np.float32)
-        interp = self.config.max_point_interpolation_distance
-        max_seg_pts = int(self.config.path_segment_length / interp) + 1
         for i, pts in enumerate(paths):
-            ref = ReferencePath(np.asarray(pts))
-            ref.interpolate(interp)
-            ref.segment(self.config.path_segment_length, max_seg_pts)
-            n = min(ref.size(), P)
-            x[i, :n] = ref.xs[:n]
-            y[i, :n] = ref.ys[:n]
-            arc[i, :n] = ref.arc_lengths[:n]
-            curv[i, :n] = ref.curvature[:n]
-            n_points[i] = n
-            starts = np.asarray(ref.segment_starts[: ref.num_segments])
-            if ref.size() > P:
-                # keep only segments that survive the truncation; phantom
-                # starts past the kept points would make the losing-goal
-                # failsafe unreachable (at_end could never fire)
-                logging.getLogger("kompass_core_tpu").warning(
-                    "fleet path %d truncated: %d interpolated points > "
-                    "path_capacity %d; increase FleetSpec.path_capacity",
-                    i, ref.size(), P,
-                )
-                starts = starts[starts < n]
-            ns = max(min(len(starts), NS), 1)
-            seg_starts[i, :ns] = starts[:ns]
-            seg_starts[i, ns:] = n  # padded starts point past the end
-            n_segs[i] = ns
-            # total length of the path AS LOADED (goal = last kept point)
-            total[i] = (
-                ref.total_path_length()
-                if ref.size() <= P
-                else float(ref.arc_lengths[n - 1])
-            )
+            (x[i], y[i], arc[i], curv[i], n_points[i], seg_starts[i],
+             n_segs[i], total[i]) = self._path_row(pts, i)
         self._paths = self._put(FleetPaths(
             x=jnp.asarray(x),
             y=jnp.asarray(y),
@@ -342,6 +359,49 @@ class DeviceFleet:
             reached=jnp.asarray(
                 [False] * self.num_robots + [True] * (N - self.num_robots)
             ),
+        )
+
+    def update_path(self, i: int, pts):
+        """Re-route ONE robot mid-mission: upload its new path row and
+        reset ONLY its follower carry — every other robot's tracking
+        state (closest index, segment, reached flag) is untouched, and
+        only the single row moves host->device (set_paths re-uploads the
+        whole fleet and resets everyone). Production serving: robots
+        finish and receive missions at different times."""
+        if self._paths is None:
+            raise ValueError("update_path before set_paths")
+        if not 0 <= i < self.num_robots:
+            raise IndexError(f"robot index {i} out of range")
+        x, y, arc, curv, n, starts, ns, total = self._path_row(pts, i)
+        if not hasattr(self, "_row_update_fn"):
+            def _apply(paths, carry, idx, xr, yr, ar, cr, n_, st, ns_, tot):
+                paths2 = FleetPaths(
+                    x=paths.x.at[idx].set(xr),
+                    y=paths.y.at[idx].set(yr),
+                    arc=paths.arc.at[idx].set(ar),
+                    curvature=paths.curvature.at[idx].set(cr),
+                    n_points=paths.n_points.at[idx].set(n_),
+                    seg_starts=paths.seg_starts.at[idx].set(st),
+                    n_segs=paths.n_segs.at[idx].set(ns_),
+                    total_len=paths.total_len.at[idx].set(tot),
+                )
+                carry2 = FleetCarry(
+                    closest_idx=carry.closest_idx.at[idx].set(0),
+                    seg_idx=carry.seg_idx.at[idx].set(0),
+                    pos_in_seg=carry.pos_in_seg.at[idx].set(-1.0),
+                    goal_dist=carry.goal_dist.at[idx].set(np.inf),
+                    reached=carry.reached.at[idx].set(False),
+                )
+                return paths2, carry2
+
+            # idx traced (no recompile per robot); buffers donated (the
+            # old fleet arrays are dead after the update)
+            self._row_update_fn = jax.jit(_apply, donate_argnums=(0, 1))
+        self._paths, self._carry = self._row_update_fn(
+            self._paths, self._carry, jnp.int32(i), jnp.asarray(x),
+            jnp.asarray(y), jnp.asarray(arc), jnp.asarray(curv),
+            jnp.int32(n), jnp.asarray(starts), jnp.int32(ns),
+            jnp.float32(total),
         )
 
     def run_ticks_on_device(self, k: int, states, vels, ranges, angles):

@@ -956,3 +956,70 @@ def test_peer_avoidance_box_fleet():
         min_d = min(min_d, d)
     # contact when the boxes' front faces meet: half-length 0.25 each
     assert min_d > 0.45, f"box peers collided: min distance {min_d}"
+
+
+def test_update_path_reroutes_one_robot_only():
+    """update_path re-routes a single robot mid-mission: its new path is
+    followed from the current pose, while the OTHER robots' follower
+    carries (closest index, reached state) are untouched — set_paths
+    would have reset the whole fleet."""
+    robots, fleet = _make(3)
+    paths = []
+    for i, r in enumerate(robots):
+        x0 = 3.0 * i
+        r.state.x, r.state.y, r.state.yaw = x0, 0.0, np.pi / 2
+        paths.append(np.array([[x0, 0.0], [x0, 2.5]]))
+    fleet.set_paths(paths)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    ranges = np.full((3, N_RAYS), 10.0)
+
+    def tick_once():
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, r.state.speed]
+             for r in robots]
+        )
+        vels = np.array(
+            [[r.state.vx, r.state.vy, r.state.omega] for r in robots]
+        )
+        out = fleet.tick(states, vels, ranges, angles)
+        for r, vx, vy, om, found in zip(
+            robots, out["vx"], out["vy"], out["omega"], out["found"]
+        ):
+            if found:
+                r.set_control(velocity_x=vx, velocity_y=vy, omega=om)
+                r.get_state(dt=0.1)
+        return out
+
+    for _ in range(10):
+        tick_once()
+    carry_before = jax.tree_util.tree_map(np.asarray, fleet._carry)
+
+    # robot 1 gets a NEW mission: branch off to the right
+    new_goal = (robots[1].state.x + 2.0, robots[1].state.y + 0.5)
+    fleet.update_path(1, np.array([
+        [robots[1].state.x, robots[1].state.y],
+        [new_goal[0], new_goal[1]],
+    ]))
+    carry_after = jax.tree_util.tree_map(np.asarray, fleet._carry)
+    for f_b, f_a in zip(carry_before, carry_after):
+        np.testing.assert_array_equal(f_b[0], f_a[0])  # robot 0 untouched
+        np.testing.assert_array_equal(f_b[2], f_a[2])  # robot 2 untouched
+    assert carry_after[0][1] == 0  # robot 1 closest idx reset
+    assert not carry_after[4][1]  # robot 1 un-reached
+
+    out = None
+    for _ in range(70):
+        out = tick_once()
+        if out["reached"].all():
+            break
+    assert out["reached"].all(), out["reached"]
+    # robot 1 ended near its NEW goal, not the original one
+    assert np.hypot(
+        robots[1].state.x - new_goal[0], robots[1].state.y - new_goal[1]
+    ) < 0.4
+    assert np.hypot(robots[1].state.x - 3.0, robots[1].state.y - 2.5) > 0.6
+    # errors surface loudly
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        fleet.update_path(7, np.array([[0.0, 0.0], [1.0, 1.0]]))
