@@ -1023,3 +1023,41 @@ def test_update_path_reroutes_one_robot_only():
 
     with _pytest.raises(IndexError):
         fleet.update_path(7, np.array([[0.0, 0.0], [1.0, 1.0]]))
+
+
+def test_update_path_on_sharded_fleet():
+    """update_path works on a mesh-sharded fleet too: the row update is a
+    host-triggered op outside the steady-state tick (its one-off cost may
+    include cross-chip traffic; the tick program stays zero-collective)."""
+    robots, fleet = _make(8, mesh=build_fleet_mesh())
+    paths = []
+    for i, r in enumerate(robots):
+        x0 = 2.0 * i
+        r.state.x, r.state.y, r.state.yaw = x0, 0.0, np.pi / 2
+        paths.append(np.array([[x0, 0.0], [x0, 2.0]]))
+    fleet.set_paths(paths)
+    new_goal = (4.0 + 1.5, 1.0)
+    fleet.update_path(2, np.array([[4.0, 0.0], [new_goal[0], new_goal[1]]]))
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    ranges = np.full((8, N_RAYS), 10.0)
+    for _ in range(70):
+        states = np.array(
+            [[r.state.x, r.state.y, r.state.yaw, r.state.speed]
+             for r in robots]
+        )
+        vels = np.array(
+            [[r.state.vx, r.state.vy, r.state.omega] for r in robots]
+        )
+        out = fleet.tick(states, vels, ranges, angles)
+        if out["reached"].all():
+            break
+        for r, vx, vy, om, found in zip(
+            robots, out["vx"], out["vy"], out["omega"], out["found"]
+        ):
+            if found:
+                r.set_control(velocity_x=vx, velocity_y=vy, omega=om)
+                r.get_state(dt=0.1)
+    assert out["reached"].all()
+    assert np.hypot(
+        robots[2].state.x - new_goal[0], robots[2].state.y - new_goal[1]
+    ) < 0.4
