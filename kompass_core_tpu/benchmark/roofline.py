@@ -108,9 +108,11 @@ def mapper_dense(measured_ms: float) -> dict:
             " (benchmark/mapper_split.py: 0.52 of 0.55 ms). FIVE"
             " alternatives measured and falsified: gather 6.4 ms,"
             " HIGHEST-precision matmul 1.54, chunked bf16 lax.map 1.41,"
-            " banded-XLA static-window dot 0.80 (w512) / 2.08 (w384),"
-            " banded-Pallas (VMEM window slice via scalar prefetch) 1.28"
-            " — vs full 0.76-0.78 on the same passes. The banded forms'"
+            " banded-XLA static-window dot 0.81 (w512) / 2.08 (w384),"
+            " banded-Pallas (VMEM window slice via scalar prefetch) 1.07"
+            " — vs full 0.50 on the same healthy-tunnel pass"
+            " (mapper_split --modes 2026-08-20; the 2026-08-19"
+            " degraded-tunnel passes agreed on the ordering). The banded forms'"
             " ~6x FLOP cut is eaten by per-tile overheads (rhs slice"
             " copies / unfused batched one-hot / 625 small grid steps),"
             " so the remaining roofline gap is not reachable by lookup"

@@ -369,13 +369,15 @@ def _candidate_lookup(spec: MapperSpec, base, ranges, angle_offset, n_side=2,
     # offset falls back to the full dot.
     mode = os.environ.get("KOMPASS_TPU_LOOKUP", "auto")
     if mode == "auto":
-        # measured default (2026-08-19 shoot-out, production shape,
-        # same-session slope passes): the whole-grid one-hot dot wins —
-        # full 0.763/0.779 ms (two runs) vs banded-XLA 0.796 (w512) /
-        # 2.084 (w384) and banded-Pallas 1.277 (w512, checksum-equal).
-        # The ~6x FLOP cut of the banded forms is eaten by per-tile
-        # overheads: G rhs-slice copies + an unfused batched one-hot
-        # (XLA form), 625 small grid steps + dynamic VMEM window
+        # measured default (shoot-out at the production shape; reproduce
+        # with `python -m ...benchmark.mapper_split --modes`): the
+        # whole-grid one-hot dot wins decisively — healthy-tunnel run
+        # 2026-08-20: full 0.502 ms vs banded-XLA 0.809 (w512) and
+        # banded-Pallas 1.067 (checksum-equal); degraded-tunnel run
+        # 2026-08-19 agreed on the ordering (0.763/0.779 vs 0.796-2.084
+        # vs 1.277). The ~6x FLOP cut of the banded forms is eaten by
+        # per-tile overheads: G rhs-slice copies + an unfused batched
+        # one-hot (XLA form), 625 small grid steps + dynamic VMEM window
         # realignment (Pallas form). Both kept as opt-in alternates.
         mode = "full"
     plan = None
