@@ -120,9 +120,11 @@ def sample_parallel_hlo(mesh) -> str:
     return compiled_hlo(solver, args)
 
 
-def fleet_tick_hlo(mesh, n_robots: int = 8) -> str:
+def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False) -> str:
     """Lower the device-resident fleet v2 steady-state tick program with
-    its real argument trees (paths/config/carry/angles/inputs)."""
+    its real argument trees (paths/config/carry/angles/inputs).
+    ``safety=True`` compiles the safety-fused variant (the critical-zone
+    gate is row-local masked-min work and must stay collective-free)."""
     from ..control import DWAConfig, TrajectoryCostsWeights
     from ..models import (
         AngularCtrlLimits,
@@ -160,9 +162,12 @@ def fleet_tick_hlo(mesh, n_robots: int = 8) -> str:
         control_horizon=2,
         control_time_step=0.1,
     )
+    from ..parallel.fleet_v2 import FleetSafetyConfig
+
     fleet = DeviceFleet(
         robots, limits, config, scan_rays=n_rays, path_capacity=512,
         max_segments=16, mesh=mesh,
+        safety_config=FleetSafetyConfig() if safety else None,
     )
     fleet.set_paths(
         [np.array([[1.0 * i, 0.0], [1.0 * i, 2.5]]) for i in range(n_robots)]
@@ -171,9 +176,10 @@ def fleet_tick_hlo(mesh, n_robots: int = 8) -> str:
         np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
     )
     inputs = np.zeros((fleet._n, 4 + 3 + n_rays), np.float32)
+    safety_extra = (fleet._safety,) if safety else ()
     return compiled_hlo(
         fleet._tick_fn, fleet._paths, fleet._cfg, fleet._carry,
-        fleet._angles, inputs,
+        fleet._angles, inputs, *safety_extra,
     )
 
 
@@ -184,6 +190,7 @@ def build_proof(mesh) -> dict:
     programs = {
         "fleet_solver_packed": fleet_solver_hlo(mesh),
         "fleet_v2_tick": fleet_tick_hlo(mesh),
+        "fleet_v2_tick_safety": fleet_tick_hlo(mesh, safety=True),
         "sample_parallel_solver": sample_parallel_hlo(mesh),
     }
     entries = {}
@@ -194,7 +201,9 @@ def build_proof(mesh) -> dict:
             "total_collectives": sum(counts.values()),
             "hlo_instructions": hlo.count("\n"),
         }
-    for name in ("fleet_solver_packed", "fleet_v2_tick"):
+    for name in (
+        "fleet_solver_packed", "fleet_v2_tick", "fleet_v2_tick_safety"
+    ):
         assert entries[name]["total_collectives"] == 0, (
             f"{name}: steady-state fleet program must contain zero "
             f"cross-device collectives, found {entries[name]}"

@@ -3,7 +3,12 @@ from .critical_zone import (  # noqa: F401
     critical_zone_check,
     get_critical_zone_checker,
 )
-from .fleet_solver import FleetSpec, make_fleet_tick  # noqa: F401
+from .fleet_solver import (  # noqa: F401
+    FleetSafety,
+    FleetSpec,
+    build_fleet_safety,
+    make_fleet_tick,
+)
 from .mapping import (  # noqa: F401
     MapperSpec,
     get_scan_to_grid,

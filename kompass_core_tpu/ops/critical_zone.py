@@ -41,6 +41,10 @@ class CriticalZoneSpec:
     sensor_x: float
     sensor_y: float
     sensor_yaw: float
+    # wrapped half-cone angle (rad) — consumed by the fleet tick's
+    # world-point cone test (ops/fleet_solver.FleetSafety); the per-beam
+    # masks above already encode it for the scan path
+    half_cone: float = 0.0
 
 
 def build_critical_zone(
@@ -101,6 +105,7 @@ def build_critical_zone(
         sensor_x=sx,
         sensor_y=sy,
         sensor_yaw=syaw,
+        half_cone=float(half_cone),
     )
 
 

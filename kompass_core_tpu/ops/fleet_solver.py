@@ -86,6 +86,125 @@ class FleetConfig(NamedTuple):
     collision_box2: jnp.ndarray = None  # [N, 2] f32
 
 
+class FleetSafety(NamedTuple):
+    """Per-robot critical-zone data for the SAFETY-FUSED fleet tick.
+
+    The reference stack runs its ``CriticalZoneChecker`` as a separate
+    per-tick call beside the controller (``critical_zone_check.cpp:87-119``
+    driven by the Kompass ROS stack); on a remote-attached device that is
+    a second dispatch (+RTT) per robot per tick, and the k-tick on-device
+    serving loop would fly blind between host safety checks. Fusing the
+    masked-min factor into the tick program makes every command —
+    including every tick INSIDE ``run_ticks_on_device(k)`` — safety-gated
+    at zero extra dispatches.
+
+    Beam trig / cone masks are host-precomputed from the same
+    ``CriticalZoneSpec`` the standalone checker uses (bit-parity on the
+    single-tick path); ``half_cone`` drives the world-point cone test the
+    k-tick loop uses once the robot has moved off the tick-0 scan pose.
+    """
+
+    cos_a: jnp.ndarray  # [N, R] f32 — sensor-frame beam trig (host f64 cos)
+    sin_a: jnp.ndarray  # [N, R]
+    fwd_mask: jnp.ndarray  # [N, R] bool — forward critical cone
+    bwd_mask: jnp.ndarray  # [N, R] bool
+    sensor_c: jnp.ndarray  # [N] f32 — cos/sin of sensor yaw (host f64)
+    sensor_s: jnp.ndarray  # [N]
+    radius: jnp.ndarray  # [N] f32 — robot surface radius
+    crit: jnp.ndarray  # [N] f32 — critical (stop) distance
+    slow: jnp.ndarray  # [N] f32 — slowdown distance
+    half_cone: jnp.ndarray  # [N] f32 — wrapped half-cone angle (rad)
+
+
+def build_fleet_safety(zone_specs, n_rows: int, scan_rays: int) -> FleetSafety:
+    """Stack per-robot ``CriticalZoneSpec``s into padded fleet arrays.
+
+    Rows past ``len(zone_specs)`` (fleet pads) get all-False masks — their
+    factor is identically 1.0."""
+    R = scan_rays
+    cos_a = np.zeros((n_rows, R), np.float32)
+    sin_a = np.zeros((n_rows, R), np.float32)
+    fwd = np.zeros((n_rows, R), bool)
+    bwd = np.zeros((n_rows, R), bool)
+    sc = np.ones(n_rows, np.float32)
+    ss = np.zeros(n_rows, np.float32)
+    rad = np.zeros(n_rows, np.float32)
+    crit = np.zeros(n_rows, np.float32)
+    slow = np.ones(n_rows, np.float32)
+    half = np.zeros(n_rows, np.float32)
+    for i, z in enumerate(zone_specs):
+        if len(z.cos_angles) != R:
+            raise ValueError(
+                f"zone spec {i} has {len(z.cos_angles)} beams; fleet scan "
+                f"grid has {R} — build the zone with the fleet's angle grid"
+            )
+        cos_a[i] = z.cos_angles
+        sin_a[i] = z.sin_angles
+        fwd[i] = z.forward_mask
+        bwd[i] = z.backward_mask
+        sc[i] = np.cos(z.sensor_yaw)
+        ss[i] = np.sin(z.sensor_yaw)
+        rad[i] = z.robot_radius
+        crit[i] = z.critical_distance
+        slow[i] = z.slowdown_distance
+        half[i] = z.half_cone
+    return FleetSafety(
+        cos_a=jnp.asarray(cos_a),
+        sin_a=jnp.asarray(sin_a),
+        fwd_mask=jnp.asarray(fwd),
+        bwd_mask=jnp.asarray(bwd),
+        sensor_c=jnp.asarray(sc),
+        sensor_s=jnp.asarray(ss),
+        radius=jnp.asarray(rad),
+        crit=jnp.asarray(crit),
+        slow=jnp.asarray(slow),
+        half_cone=jnp.asarray(half),
+    )
+
+
+def _safety_factor_scan(safety_row: FleetSafety, ranges, sensor_xy, forward):
+    """Beam-mask slowdown factor — arithmetic-identical to
+    ``ops/critical_zone.critical_zone_check`` (same host-precomputed trig,
+    same f32 op order), so the fused tick and the standalone
+    ``EmergencyChecker`` agree bit-for-bit on the same scan."""
+    x = ranges * safety_row.cos_a
+    y = ranges * safety_row.sin_a
+    bx = safety_row.sensor_c * x - safety_row.sensor_s * y + sensor_xy[0]
+    by = safety_row.sensor_s * x + safety_row.sensor_c * y + sensor_xy[1]
+    dist = jnp.sqrt(bx * bx + by * by) - safety_row.radius
+    denom = safety_row.slow - safety_row.crit
+    factor = jnp.clip((dist - safety_row.crit) / denom, 0.0, 1.0)
+    mask = jnp.where(forward, safety_row.fwd_mask, safety_row.bwd_mask)
+    factor = jnp.where(mask & jnp.isfinite(ranges), factor, 1.0)
+    return jnp.min(factor)
+
+
+def _safety_factor_world(safety_row: FleetSafety, obs_world, x, y, yaw,
+                         forward):
+    """World-point slowdown factor for the k-tick on-device loop: the
+    robot has moved off the tick-0 scan pose, so the cone test runs on
+    each frozen world obstacle point's bearing in the CURRENT body frame
+    (pad points at 1e8 are trivially clear). Equals the beam form at the
+    tick-0 pose for a centered sensor; with a translated sensor the beam
+    preset evaluates the cone on translated UNIT beam directions
+    (reference preset quirk, ``critical_zone_check.cpp:62-85``) while
+    this form uses the true point bearings."""
+    dx = obs_world[:, 0] - x
+    dy = obs_world[:, 1] - y
+    bearing = jnp.abs(
+        jnp.mod(jnp.arctan2(dy, dx) - yaw + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    )
+    in_cone = jnp.where(
+        forward,
+        bearing <= safety_row.half_cone,
+        bearing >= jnp.pi - safety_row.half_cone,
+    )
+    dist = jnp.sqrt(dx * dx + dy * dy) - safety_row.radius
+    denom = safety_row.slow - safety_row.crit
+    factor = jnp.clip((dist - safety_row.crit) / denom, 0.0, 1.0)
+    return jnp.min(jnp.where(in_cone, factor, 1.0))
+
+
 # ---------------------------------------------------------------------------
 # per-robot device follower (all functions operate on ONE robot; vmapped)
 # ---------------------------------------------------------------------------
@@ -223,6 +342,7 @@ def _fleet_robot_step(
     peer_block: int = 0,  # points per peer (1 center + ring samples)
     peer_count: int = 0,  # real peer points (static, for the count gate)
     row_id=None,  # this robot's fleet row (masks its own peer block)
+    safety_row: FleetSafety = None,  # fused critical-zone check (one row)
 ):
     """One robot's full control tick on device.
 
@@ -231,7 +351,16 @@ def _fleet_robot_step(
     center point + a ring of circumference points in world frame; each
     robot masks its OWN block to the pad sentinel and treats the rest
     as extra obstacle points in the same fused sweep that serves the
-    scan (collision pruning + obstacle cost both see peers)."""
+    scan (collision pruning + obstacle cost both see peers).
+
+    ``safety_row``: fused emergency-stop gate (see ``FleetSafety``). The
+    slowdown factor scales the linear command; factor 0 zeroes the whole
+    twist (the Kompass stack's emergency-stop policy). The cone
+    direction follows the sign of the commanded vx (vx == 0 — e.g.
+    rotate-in-place — checks the forward cone). Peers are NOT in the
+    safety sweep: mutual avoidance owns robot-robot spacing through the
+    obstacle cost; an emergency-stop against peers would deadlock
+    co-located fleets."""
     (params12, limits9, sensor_pose, rot_in_place, goal_tol, ori_tol,
      losing_tol, interp_dist, base_h, curv_tol, vx_max, max_seg_size,
      collision_box2) = cfg_row
@@ -347,6 +476,26 @@ def _fleet_robot_step(
     cmd_vy = jnp.where(now_reached, 0.0, cmd_vy)
     cmd_w = jnp.where(now_reached, 0.0, cmd_w)
 
+    # --- fused critical-zone gate (critical_zone_check.cpp:87-119) ---
+    if safety_row is None:
+        safety_factor = jnp.float32(1.0)
+    else:
+        fwd_motion = cmd_vx >= 0.0
+        if obs_world is None:
+            # single tick: scan is current — bit-parity beam form
+            safety_factor = _safety_factor_scan(
+                safety_row, ranges, sensor_pose, fwd_motion
+            )
+        else:
+            # k-tick loop: robot moved off the scan pose — check the
+            # frozen world points against the CURRENT pose every tick
+            safety_factor = _safety_factor_world(
+                safety_row, obs_world, x, y, yaw, fwd_motion
+            )
+        cmd_vx = cmd_vx * safety_factor
+        cmd_vy = cmd_vy * safety_factor
+        cmd_w = jnp.where(safety_factor <= 0.0, 0.0, cmd_w)
+
     new_carry = (
         cidx,
         new_seg,
@@ -369,6 +518,8 @@ def _fleet_robot_step(
             heading_error,
             active_points.astype(jnp.float32),
             res.num_admissible.astype(jnp.float32),
+            # 1.0 when no safety is configured (shape-stable output)
+            safety_factor,
         ]
     )
     return new_carry, out
@@ -384,6 +535,7 @@ OUT_FIELDS = (
     "heading_error",
     "active_points",
     "num_admissible",
+    "safety_factor",
 )
 
 
@@ -408,7 +560,9 @@ def _mapped_over_chunks(vmapped, chunk):
     garbage in their own rows only (every per-robot op is row-local)."""
 
     def run(*args):
-        n = args[-1].shape[0]  # inputs-derived leading dim
+        # inputs-derived leading dim (last arg may be a pytree, e.g. the
+        # FleetSafety rows of the safety-fused tick)
+        n = jax.tree_util.tree_leaves(args[-1])[0].shape[0]
         if not chunk or n <= chunk:
             return vmapped(*args)
         pad = (-n) % chunk
@@ -434,11 +588,12 @@ def _mapped_over_chunks(vmapped, chunk):
 
 def make_fleet_tick(
     fleet_spec: FleetSpec, mesh=None, axis_name: str = "robots",
-    chunk: int = 64, peer_cfg=None,
+    chunk: int = 64, peer_cfg=None, safety: bool = False,
 ):
     """Jit-compiled fleet tick:
     (paths, cfg, carry, angles [N,R] (device-resident),
-     inputs [N, 4+3+R] (state | vel | ranges — ONE transfer per tick))
+     inputs [N, 4+3+R] (state | vel | ranges — ONE transfer per tick)
+     [, safety: FleetSafety — when built with safety=True])
     -> (carry', outputs [N, len(OUT_FIELDS)]).
 
     ``chunk``: run the robot axis as a lax.map over chunk-row blocks
@@ -456,7 +611,13 @@ def make_fleet_tick(
     cost is O(N^2) across the fleet; intended for co-located fleets up
     to a few hundred robots. Single-device only (a sharded fleet would
     need a cross-chip all_gather of states, breaking the
-    zero-collective steady state this module guarantees)."""
+    zero-collective steady state this module guarantees).
+
+    ``safety``: build the tick with the fused critical-zone gate — the
+    returned function takes a trailing ``FleetSafety`` pytree and every
+    command is emergency-stop-gated on device (see ``FleetSafety``).
+    Row-local masked min only: the compiled steady state stays
+    collective-free under a mesh."""
     spec = fleet_spec.solver
     if peer_cfg is not None and mesh is not None:
         raise ValueError(
@@ -465,7 +626,7 @@ def make_fleet_tick(
             "cross-chip collective to the steady-state tick"
         )
 
-    def tick(paths, cfg, carry, angles, inputs):
+    def tick(paths, cfg, carry, angles, inputs, safety_arg=None):
         if spec.dynamic_box and cfg.collision_box2 is None:
             # None is an empty pytree — vmap would pass it through and the
             # solver would silently fall back to the circle model with the
@@ -474,27 +635,34 @@ def make_fleet_tick(
             raise ValueError(
                 "dynamic_box fleet spec requires FleetConfig.collision_box2"
             )
+        if safety and safety_arg is None:
+            raise ValueError(
+                "tick built with safety=True requires a FleetSafety arg"
+            )
         states = inputs[:, 0:4]
         vels = inputs[:, 4:7]
         ranges = inputs[:, 7:]
+        safety_extra = (safety_arg,) if safety else ()
 
         if peer_cfg is None:
 
-            def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a):
+            def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, *ex):
                 paths_row = FleetPaths(*paths_row_tuple)
                 return _fleet_robot_step(
                     spec, paths_row, cfg_row, carry_row, s, v, r, a,
                     fleet_spec.solver.seg_size,
+                    safety_row=ex[0] if safety else None,
                 )
 
-            extra = ()
+            extra = safety_extra
         else:
             build_peers, peer_block, peer_count, row_ids = (
                 _peer_points_builder(peer_cfg, inputs.shape[0])
             )
             peer_pts = build_peers(states)  # live positions, this tick
 
-            def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid):
+            def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid,
+                    *ex):
                 paths_row = FleetPaths(*paths_row_tuple)
                 return _fleet_robot_step(
                     spec, paths_row, cfg_row, carry_row, s, v, r, a,
@@ -503,9 +671,10 @@ def make_fleet_tick(
                     peer_block=peer_block,
                     peer_count=peer_count,
                     row_id=rid,
+                    safety_row=ex[0] if safety else None,
                 )
 
-            extra = (row_ids,)
+            extra = (row_ids,) + safety_extra
 
         runner = _mapped_over_chunks(jax.vmap(one), chunk)
         carry2, out = runner(
@@ -532,8 +701,9 @@ def make_fleet_tick(
     # (BATCH_CLIFF.json) — and the compiled steady state stays
     # collective-free (tests/test_scaling_hlo.py)
     sp = P(axis_name)
+    n_in = 6 if safety else 5
     return jax.jit(jax.shard_map(
-        tick, mesh=mesh, in_specs=(sp, sp, sp, sp, sp),
+        tick, mesh=mesh, in_specs=(sp,) * n_in,
         out_specs=(sp, sp),
     ))
 
@@ -571,7 +741,7 @@ def _peer_points_builder(peer_cfg, n_rows):
 
 def make_fleet_ticks_on_device(
     fleet_spec: FleetSpec, k: int, mesh=None, axis_name: str = "robots",
-    chunk: int = 64, peer_cfg=None,
+    chunk: int = 64, peer_cfg=None, safety: bool = False,
 ):
     """K carry-chained control ticks in ONE dispatch (VERDICT r2 #7).
 
@@ -596,7 +766,17 @@ def make_fleet_ticks_on_device(
     loop (a multi-robot closed-loop rollout with mutual avoidance in one
     dispatch).
 
-    Returns a jitted ``(paths, cfg, carry, angles, inputs[N, 4+3+R]) ->
+    ``safety``: fuse the critical-zone emergency-stop gate into EVERY
+    tick of the loop (trailing ``FleetSafety`` arg). Without it the
+    k-tick span executes open-loop with no safety check at all — the
+    exact window the reference stack's per-tick ``CriticalZoneChecker``
+    exists to cover. Inside the loop the factor is computed from the
+    frozen world points against the robot's CURRENT pose
+    (``_safety_factor_world``), so a robot integrating toward an
+    obstacle slows and hard-stops mid-loop, on device.
+
+    Returns a jitted ``(paths, cfg, carry, angles, inputs[N, 4+3+R]
+    [, safety]) ->
     (carry', outs [N, k, len(OUT_FIELDS)], final_states [N, 4])``.
     """
     spec = fleet_spec.solver
@@ -608,15 +788,20 @@ def make_fleet_ticks_on_device(
         )
 
     def ticks_peer(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
-                   angles, inputs):
+                   angles, inputs, safety_arg=None):
         if spec.dynamic_box and cfg.collision_box2 is None:
             raise ValueError(
                 "dynamic_box fleet spec requires FleetConfig.collision_box2"
+            )
+        if safety and safety_arg is None:
+            raise ValueError(
+                "ticks built with safety=True require a FleetSafety arg"
             )
         states = inputs[:, 0:4]
         vels = inputs[:, 4:7]
         ranges = inputs[:, 7:]
         n = inputs.shape[0]
+        safety_extra = (safety_arg,) if safety else ()
         build_peers, block, count, row_ids = _peer_points_builder(
             peer_cfg, n
         )
@@ -635,19 +820,20 @@ def make_fleet_ticks_on_device(
             peer_pts = build_peers(s_c)  # live positions, this tick
 
             def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid,
-                    obs_row):
+                    obs_row, *ex):
                 paths_row = FleetPaths(*paths_row_tuple)
                 return _fleet_robot_step(
                     spec, paths_row, cfg_row, carry_row, s, v, r, a,
                     fleet_spec.solver.seg_size, obs_world=obs_row,
                     peer_pts=peer_pts, peer_block=block,
                     peer_count=count, row_id=rid,
+                    safety_row=ex[0] if safety else None,
                 )
 
             runner = _mapped_over_chunks(jax.vmap(one), chunk)
             new_carry, out = runner(
                 tuple(paths), tuple(cfg), tuple(carry_c), s_c, v_c,
-                ranges, angles, row_ids, obs_all,
+                ranges, angles, row_ids, obs_all, *safety_extra,
             )
             new_carry, out = jax.tree_util.tree_map(
                 lambda a: a.reshape((n,) + a.shape[2:])
@@ -675,16 +861,21 @@ def make_fleet_ticks_on_device(
         return carry_f, jnp.transpose(outs, (1, 0, 2)), s_f
 
     def ticks(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
-              angles, inputs):
+              angles, inputs, safety_arg=None):
         if spec.dynamic_box and cfg.collision_box2 is None:
             raise ValueError(
                 "dynamic_box fleet spec requires FleetConfig.collision_box2"
             )
+        if safety and safety_arg is None:
+            raise ValueError(
+                "ticks built with safety=True require a FleetSafety arg"
+            )
         states = inputs[:, 0:4]
         vels = inputs[:, 4:7]
         ranges = inputs[:, 7:]
+        safety_extra = (safety_arg,) if safety else ()
 
-        def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a):
+        def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, *ex):
             paths_row = FleetPaths(*paths_row_tuple)
             sensor_pose = cfg_row[2]
             dt = cfg_row[0][0]  # params12[0]
@@ -697,6 +888,7 @@ def make_fleet_ticks_on_device(
                 new_carry, out = _fleet_robot_step(
                     spec, paths_row, cfg_row, carry_c, s_c, v_c, r, a,
                     fleet_spec.solver.seg_size, obs_world=obs,
+                    safety_row=ex[0] if safety else None,
                 )
                 vx, vy, om = out[2], out[3], out[4]
                 cy, sy = jnp.cos(s_c[2]), jnp.sin(s_c[2])
@@ -717,7 +909,7 @@ def make_fleet_ticks_on_device(
         runner = _mapped_over_chunks(jax.vmap(one), chunk)
         carry2, outs, states_f = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
-            angles,
+            angles, *safety_extra,
         )
         n = inputs.shape[0]
         carry2, outs, states_f = jax.tree_util.tree_map(
@@ -733,7 +925,8 @@ def make_fleet_ticks_on_device(
     from jax.sharding import PartitionSpec as P
 
     sp = P(axis_name)
+    n_in = 6 if safety else 5
     return jax.jit(jax.shard_map(
-        ticks, mesh=mesh, in_specs=(sp, sp, sp, sp, sp),
+        ticks, mesh=mesh, in_specs=(sp,) * n_in,
         out_specs=(sp, sp, sp),
     ))

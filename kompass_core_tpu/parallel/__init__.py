@@ -3,7 +3,7 @@ from .fleet import (  # noqa: F401
     make_fleet_solver,
     make_sample_parallel_solver,
 )
-from .fleet_v2 import DeviceFleet  # noqa: F401
+from .fleet_v2 import DeviceFleet, FleetSafetyConfig  # noqa: F401
 from .multihost import (  # noqa: F401
     FleetRuntime,
     build_fleet_mesh,

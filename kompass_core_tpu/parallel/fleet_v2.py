@@ -38,6 +38,19 @@ from ..utils.runtime import enable_persistent_compilation_cache
 _PAD = 1e8
 
 
+@dataclasses.dataclass(frozen=True)
+class FleetSafetyConfig:
+    """Critical-zone emergency-stop parameters for the safety-fused fleet
+    tick (the fleet form of ``EmergencyChecker``'s constructor surface;
+    reference ``CriticalZoneChecker`` preset,
+    ``critical_zone_check.cpp:13-85``). Defaults match the reference's
+    benchmark configuration (``benchmark_runner.cpp:267-311``)."""
+
+    critical_angle_deg: float = 160.0
+    critical_distance: float = 0.3
+    slowdown_distance: float = 0.6
+
+
 class DeviceFleet:
     """N robots, one on-device control pipeline."""
 
@@ -55,6 +68,7 @@ class DeviceFleet:
         sensor_max_range: float = 10.0,
         peer_avoidance: bool = False,
         peer_ring_points: int = 8,
+        safety_config=None,  # FleetSafetyConfig, or one per robot
     ):
         enable_persistent_compilation_cache()
         self.num_robots = len(robots)
@@ -170,9 +184,32 @@ class DeviceFleet:
                 "n_real": self.num_robots,
                 "ring": int(peer_ring_points),
             }
+        # fused emergency stop (ops/fleet_solver.FleetSafety): every
+        # command — including every tick inside run_ticks_on_device —
+        # is critical-zone-gated on device, replacing the reference
+        # stack's separate per-robot EmergencyChecker dispatch
+        self._safety_cfgs = None
+        self._safety = None
+        if safety_config is not None:
+            if isinstance(safety_config, FleetSafetyConfig):
+                self._safety_cfgs = [safety_config] * self.num_robots
+            else:
+                self._safety_cfgs = list(safety_config)
+                if len(self._safety_cfgs) != self.num_robots:
+                    raise ValueError(
+                        "safety_config must be one FleetSafetyConfig or "
+                        "one per robot"
+                    )
+            # zone presets need shape/dims per robot; masks are built
+            # lazily in set_scan_angles (they depend on the angle grid)
+            self._safety_geoms = [
+                (r.geometry_type.value,
+                 np.asarray(r.geometry_params, np.float64))
+                for r in robots
+            ]
         self._tick_fn = make_fleet_tick(
             self.spec, mesh=mesh, chunk=self._chunk or None,
-            peer_cfg=self._peer_cfg,
+            peer_cfg=self._peer_cfg, safety=self._safety_cfgs is not None,
         )
         self._scan_rays = scan_rays
 
@@ -217,6 +254,7 @@ class DeviceFleet:
         if sensor_poses is not None:
             sp = np.asarray(sensor_poses, np.float32)
             sensor[: len(sp)] = sp
+        self._sensor_host = sensor.copy()  # zone presets reuse (x, y, yaw)
         self._cfg = FleetConfig(
             params12=jnp.asarray(params),
             limits9=jnp.asarray(limits_rows),
@@ -264,7 +302,10 @@ class DeviceFleet:
         )
 
     def set_scan_angles(self, angles: np.ndarray):
-        """Upload the (usually static) scan angle grid once."""
+        """Upload the (usually static) scan angle grid once. With a
+        ``safety_config``, also (re)build the per-robot critical-zone
+        presets — the cone masks are per-beam, so they live and die with
+        the angle grid."""
         ang = np.asarray(angles, np.float32)
         self._angles_src = ang.copy()
         if ang.ndim == 1:
@@ -274,6 +315,29 @@ class DeviceFleet:
             a2[: len(ang)] = ang
             ang = a2
         self._angles = self._put(jnp.asarray(ang))
+        if self._safety_cfgs is not None:
+            from ..ops.critical_zone import build_critical_zone
+            from ..ops.fleet_solver import build_fleet_safety
+
+            specs = []
+            for i, (shape, dims) in enumerate(self._safety_geoms):
+                c = self._safety_cfgs[i]
+                sx, sy, syaw = (float(v) for v in self._sensor_host[i])
+                specs.append(build_critical_zone(
+                    robot_shape_type=shape,
+                    robot_dimensions=dims,
+                    sensor_position_body=(sx, sy, 0.0),
+                    sensor_rotation_body=(
+                        0.0, 0.0, math.sin(syaw / 2.0), math.cos(syaw / 2.0)
+                    ),
+                    critical_angle_deg=c.critical_angle_deg,
+                    critical_distance=c.critical_distance,
+                    slowdown_distance=c.slowdown_distance,
+                    angles=np.asarray(ang[i], np.float64),
+                ))
+            self._safety = self._put(
+                build_fleet_safety(specs, self._n, self._scan_rays)
+            )
 
     # ------------------------------------------------------------------
 
@@ -437,6 +501,7 @@ class DeviceFleet:
             self._ticks_fns[k] = make_fleet_ticks_on_device(
                 self.spec, k, mesh=self.mesh, chunk=self._chunk or None,
                 peer_cfg=self._peer_cfg,
+                safety=self._safety_cfgs is not None,
             )
         fn = self._ticks_fns[k]
         ang_in = np.asarray(angles, np.float32)
@@ -452,9 +517,10 @@ class DeviceFleet:
         self._inputs[n:, 7:] = _PAD
         # ONE dispatch for the whole fleet: the robot axis runs as an
         # in-program lax.map over 64-row blocks (make_fleet_ticks_on_device)
+        safety_extra = (self._safety,) if self._safety is not None else ()
         self._carry, out_mat, fin = fn(
             self._paths, self._cfg, self._carry, self._angles,
-            self._inputs,
+            self._inputs, *safety_extra,
         )
         out_np = np.asarray(out_mat)[: self.num_robots]
         fin_np = np.asarray(fin)[: self.num_robots]
@@ -497,9 +563,10 @@ class DeviceFleet:
         # axis runs as an in-program lax.map over 64-row blocks
         # (make_fleet_tick chunk param; BATCH_CLIFF.json), so big fleets
         # get the batch-64 tiling optimum without per-chunk dispatches
+        safety_extra = (self._safety,) if self._safety is not None else ()
         self._carry, out_mat = self._tick_fn(
             self._paths, self._cfg, self._carry, self._angles,
-            self._inputs,
+            self._inputs, *safety_extra,
         )
         out_np = np.asarray(out_mat)[: self.num_robots]  # one fetch
         out = {k: out_np[:, i] for i, k in enumerate(OUT_FIELDS)}

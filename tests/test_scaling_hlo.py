@@ -95,3 +95,14 @@ def test_sample_parallel_compiles_to_all_reduce_only(mesh):
     # legally fuse adjacent combines, so pin a small closed range rather
     # than the exact count
     assert 1 <= counts["all-reduce"] <= 3
+
+
+def test_fleet_v2_safety_tick_has_zero_collectives(mesh):
+    """The safety-fused tick adds only row-local masked-min work (the
+    critical-zone gate); it must not change the zero-collective steady
+    state."""
+    counts = count_collectives(fleet_tick_hlo(mesh, safety=True))
+    assert counts == {}, (
+        f"safety-fused fleet tick sharded over 8 devices must be "
+        f"communication-free, found {counts}"
+    )
