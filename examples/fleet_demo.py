@@ -18,6 +18,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
 from kompass_core_tpu.datatypes import LaserScanData
 from kompass_core_tpu.models import (
@@ -29,11 +34,15 @@ from kompass_core_tpu.models import (
     RobotType,
 )
 from kompass_core_tpu.parallel import FleetRuntime, build_fleet_mesh
-from kompass_core_tpu.utils.runtime import require_backend_or_cpu
+from kompass_core_tpu.utils.runtime import (
+    enable_persistent_compilation_cache,
+    require_backend_or_cpu,
+)
 
 # fall back to CPU when the pinned remote backend is down (env vars alone
 # cannot re-pin after the sitecustomize — see CLAUDE.md)
 require_backend_or_cpu()
+enable_persistent_compilation_cache()
 
 
 def main(n_robots: int = 100, host_mode: bool = False, peers: bool = False):

@@ -18,6 +18,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 from kompass_core_tpu.control import DWA, DWAConfig, TrajectoryCostsWeights
 from kompass_core_tpu.datatypes import LaserScanData
 from kompass_core_tpu.datatypes.pose import PoseData
@@ -33,12 +38,16 @@ from kompass_core_tpu.models import (
 )
 from kompass_core_tpu.planning import GlobalPlanner, GlobalPlannerConfig
 from kompass_core_tpu.utils.emergency_stop import EmergencyChecker
-from kompass_core_tpu.utils.runtime import require_backend_or_cpu
+from kompass_core_tpu.utils.runtime import (
+    enable_persistent_compilation_cache,
+    require_backend_or_cpu,
+)
 
 # run on whatever accelerator is reachable; fall back to CPU when the
 # pinned remote backend is down (env vars alone cannot re-pin — see
 # CLAUDE.md)
 require_backend_or_cpu()
+enable_persistent_compilation_cache()
 
 # --- world: 10x10 room with a wall at y=5 (gap at x in [7, 9]) -------------
 

@@ -15,6 +15,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
 from kompass_core_tpu.models import (
     AngularCtrlLimits,
@@ -25,9 +30,13 @@ from kompass_core_tpu.models import (
     RobotType,
 )
 from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
-from kompass_core_tpu.utils.runtime import require_backend_or_cpu
+from kompass_core_tpu.utils.runtime import (
+    enable_persistent_compilation_cache,
+    require_backend_or_cpu,
+)
 
 require_backend_or_cpu()
+enable_persistent_compilation_cache()
 
 
 def main(k: int = 8):

@@ -19,6 +19,11 @@ Run: PYTHONPATH=. python examples/vision_follow_demo.py
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 from kompass_core_tpu.control import (
     VisionRGBDFollower,
     VisionRGBDFollowerConfig,

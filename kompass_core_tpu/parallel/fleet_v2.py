@@ -468,6 +468,26 @@ class DeviceFleet:
             jnp.float32(total),
         )
 
+    def tick_example_args(self):
+        """Example-args tuple matching the compiled tick program's calling
+        convention ``(paths, cfg, carry, angles, inputs[, safety])`` —
+        consumed by ``serving.export.export_fleet_tick`` (only shapes and
+        dtypes are recorded in the artifact). Requires ``set_paths`` and
+        ``set_scan_angles`` to have been called: the path tables and the
+        angle grid pin the artifact's static shapes."""
+        if self._paths is None or self._carry is None:
+            raise RuntimeError(
+                "call set_paths() first — the path tables define the "
+                "artifact's shapes"
+            )
+        if self._angles is None:
+            raise RuntimeError("call set_scan_angles() first")
+        extra = (self._safety,) if self._safety is not None else ()
+        return (
+            self._paths, self._cfg, self._carry, self._angles,
+            self._inputs, *extra,
+        )
+
     def run_ticks_on_device(self, k: int, states, vels, ranges, angles):
         """K carry-chained control ticks in ONE dispatch per chunk.
 

@@ -1,0 +1,246 @@
+"""AOT artifact export / load for production serving.
+
+A deployment wants to ship a *compiled program*, not a Python tracing
+path: pinned semantics, fast cold start, and no dependency on the
+planner construction code inside the serving process. ``jax.export``
+gives exactly that on TPU — it serializes the traced + lowered
+StableHLO of a jitted function together with its calling convention;
+the serving side deserializes and calls, skipping tracing entirely
+(and, with the persistent compilation cache, usually skipping XLA
+compilation too).
+
+The reference has no analog — its closest move is re-JITing the SYCL
+kernels at construction time every process start
+(``controllers/dwa.cpp:75-91``). This module is the TPU-first upgrade:
+the artifact is hermetic, versioned, and checked at load time.
+
+Artifact container format (one file)::
+
+    8 bytes   magic  b"KTPUART1"
+    4 bytes   little-endian u32 header length H
+    H bytes   JSON header {kind, jax_version, created_unix, meta, ...}
+    rest      jax.export serialized payload (StableHLO + conventions)
+
+The header is readable without jax (``read_artifact_header``), so a
+fleet orchestrator can inventory artifacts cheaply.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+import time
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+__all__ = [
+    "export_callable",
+    "export_packed_solver",
+    "export_fleet_tick",
+    "load_artifact",
+    "load_packed_solver",
+    "read_artifact_header",
+    "LoadedArtifact",
+]
+
+_MAGIC = b"KTPUART1"
+
+
+def _shape_specs(tree):
+    """Example pytree -> ShapeDtypeStruct pytree (values are not baked
+    into the artifact, only shapes/dtypes)."""
+
+    def spec(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            return x
+        a = np.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def export_callable(
+    fn: Callable,
+    example_args: Tuple,
+    path: str,
+    *,
+    kind: str = "callable",
+    meta: Optional[Dict[str, Any]] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export ``jax.jit(fn)(*example_args)`` as a serving artifact.
+
+    ``example_args``: concrete arrays or ShapeDtypeStructs — any pytree
+    prefix accepted by the function; only shapes/dtypes are recorded.
+    ``platforms``: lowering platforms (e.g. ``("cpu", "tpu")``) for a
+    multi-platform artifact; default = the current backend only.
+    Returns the written header dict.
+    """
+    from jax import export as jax_export
+
+    jitted = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(fn)
+    specs = tuple(_shape_specs(a) for a in example_args)
+    exported = jax_export.export(
+        jitted, platforms=tuple(platforms) if platforms else None
+    )(*specs)
+    payload = exported.serialize()
+
+    header = {
+        "kind": kind,
+        "jax_version": jax.__version__,
+        "created_unix": time.time(),
+        "platforms": list(exported.platforms),
+        "meta": meta or {},
+    }
+    blob = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(blob)))
+        f.write(blob)
+        f.write(payload)
+    return header
+
+
+def read_artifact_header(path: str) -> Dict[str, Any]:
+    """Read the JSON header only (no jax deserialization)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a kompass_core_tpu artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        return json.loads(f.read(hlen).decode("utf-8"))
+
+
+@dataclasses.dataclass
+class LoadedArtifact:
+    """A deserialized serving artifact. ``call`` runs the compiled
+    program (compiling on first use per device, served from the
+    persistent cache when enabled)."""
+
+    header: Dict[str, Any]
+    call: Callable
+
+    @property
+    def kind(self) -> str:
+        return self.header["kind"]
+
+    @property
+    def meta(self) -> Dict[str, Any]:
+        return self.header["meta"]
+
+
+def load_artifact(path: str) -> LoadedArtifact:
+    from jax import export as jax_export
+
+    _register_fleet_pytrees()
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a kompass_core_tpu artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        payload = f.read()
+    exported = jax_export.deserialize(payload)
+    return LoadedArtifact(header=header, call=jax.jit(exported.call))
+
+
+# ---------------------------------------------------------------------------
+# Framework-specific entry points
+# ---------------------------------------------------------------------------
+
+
+def export_packed_solver(
+    spec,
+    path: str,
+    *,
+    custom_costs: Sequence = (),
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export the packed single-buffer DWA solver for ``spec``.
+
+    The artifact's calling convention is one f32 ``[packed_input_size]``
+    buffer in, one packed output vector out — the same single-transfer
+    contract the live solver uses (``ops/solver.py`` packed interface).
+    The full ``SolverSpec`` is recorded in the header so the loader can
+    rebuild ``pack_solver_input`` / ``unpack_solver_output`` helpers.
+    """
+    from ..ops.solver import make_packed_dwa_solver, packed_input_size
+
+    fn = make_packed_dwa_solver(spec, custom_costs=custom_costs)
+    buf = jax.ShapeDtypeStruct((packed_input_size(spec),), np.float32)
+    meta = {"solver_spec": dataclasses.asdict(spec)}
+    return export_callable(
+        fn, (buf,), path, kind="packed_dwa_solver", meta=meta,
+        platforms=platforms,
+    )
+
+
+def load_packed_solver(path: str):
+    """Load a ``packed_dwa_solver`` artifact.
+
+    Returns ``(artifact, spec)`` — ``artifact.call(buf)`` runs the
+    solve; ``spec`` is the reconstructed ``SolverSpec`` for use with
+    ``pack_solver_input`` / ``unpack_solver_output``.
+    """
+    from ..ops.solver import SolverSpec
+
+    art = load_artifact(path)
+    if art.kind != "packed_dwa_solver":
+        raise ValueError(f"{path}: artifact kind {art.kind!r}, expected "
+                         "'packed_dwa_solver'")
+    d = dict(art.meta["solver_spec"])
+    if d.get("collision_box") is not None:
+        d["collision_box"] = tuple(d["collision_box"])
+    return art, SolverSpec(**d)
+
+
+_FLEET_PYTREES_REGISTERED = False
+
+
+def _register_fleet_pytrees():
+    """Register the fleet NamedTuple pytrees with jax.export so the tick
+    program's calling convention serializes. Stable names — they are part
+    of the artifact format; renaming breaks old artifacts."""
+    global _FLEET_PYTREES_REGISTERED
+    if _FLEET_PYTREES_REGISTERED:
+        return
+    from jax import export as jax_export
+
+    from ..ops import fleet_solver as fs
+
+    for cls in (fs.FleetPaths, fs.FleetCarry, fs.FleetConfig,
+                fs.FleetSafety):
+        jax_export.register_namedtuple_serialization(
+            cls, serialized_name=f"kompass_core_tpu.{cls.__name__}"
+        )
+    _FLEET_PYTREES_REGISTERED = True
+
+
+def export_fleet_tick(
+    fleet,
+    path: str,
+    *,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export a ``DeviceFleet``'s compiled tick program.
+
+    The artifact takes the fleet's carry pytree, the device-resident
+    scan-angle matrix and the packed per-tick input matrix ``[N, 4+3+R]``
+    (plus the safety pytree when the fleet was built with one) and
+    returns ``(carry', outputs[N, len(OUT_FIELDS)])`` — exactly the live
+    ``DeviceFleet.tick`` device program, minus the host-side pack/unpack.
+    """
+    _register_fleet_pytrees()
+    args = fleet.tick_example_args()
+    meta = {
+        "n_robots": int(fleet._n),
+        "scan_rays": int(fleet._scan_rays),
+        "safety": fleet._safety is not None,
+    }
+    return export_callable(
+        fleet._tick_fn, args, path, kind="fleet_tick", meta=meta,
+        platforms=platforms,
+    )

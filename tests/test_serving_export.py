@@ -1,0 +1,184 @@
+"""AOT serving artifacts: export + load roundtrips must reproduce the
+live programs bit-for-bit (jax.export records the same StableHLO the
+live jit lowers to — any drift means the artifact is not the program).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from kompass_core_tpu.ops.solver import (
+    SolverSpec,
+    get_packed_dwa_solver,
+    pack_solver_input,
+    packed_input_size,
+    unpack_solver_output,
+)
+from kompass_core_tpu.ops.window import sample_velocity_window
+from kompass_core_tpu.serving import (
+    export_fleet_tick,
+    export_packed_solver,
+    load_artifact,
+    load_packed_solver,
+    read_artifact_header,
+)
+
+SPEC = SolverSpec(
+    is_omni=False, n_vx=5, n_vy=1, n_omega=5, max_points=10,
+    num_ctrl_points=2, scan_size=32, seg_size=64,
+)
+
+
+def _packed_buffer(spec):
+    limits = np.zeros(9, np.float32)
+    limits[0:3] = (1.0, 5.0, 10.0)
+    limits[6:9] = (2.0, 3.0, 3.0)
+    vel = (0.42, 0.0, -0.13)
+    window = sample_velocity_window(vel, limits, 0.1, 5, 1, 5, False)
+    n_seg = 40
+    seg_x = np.full(64, 1e8, np.float32)
+    seg_x[:n_seg] = np.linspace(0, 3.9, n_seg)
+    seg_y = np.full(64, 1e8, np.float32)
+    seg_y[:n_seg] = 0.0
+    seg_arc = np.zeros(64, np.float32)
+    seg_arc[:n_seg] = np.linspace(0, 3.9, n_seg)
+    obs = np.full((spec.scan_size, 2), 1e8, np.float32)
+    obs[0] = [1.5, 0.3]
+    params = np.array(
+        [0.1, 0.2, 0.05, 2.0, 1.0, 1.0, 0.0, 0.0, 5.0, 0.0, 3.0, 10 / 3],
+        np.float32,
+    )
+    buf = np.zeros(packed_input_size(spec), np.float32)
+    pack_solver_input(
+        spec, buf, params_vec=params, state=(0.0, 0.0, 0.1), window=window,
+        obs_xy=obs, obs_count=1, seg_x=seg_x, seg_y=seg_y, seg_arc=seg_arc,
+        seg_count=n_seg, seg_total_len=3.9, ref_total_len=3.9,
+        active_points=10,
+    )
+    return buf
+
+
+def test_packed_solver_artifact_roundtrip(tmp_path):
+    path = str(tmp_path / "solver.ktpuart")
+    header = export_packed_solver(SPEC, path)
+    assert header["kind"] == "packed_dwa_solver"
+
+    buf = _packed_buffer(SPEC)
+    live = np.asarray(get_packed_dwa_solver(SPEC)(buf))
+
+    art, spec_loaded = load_packed_solver(path)
+    assert spec_loaded == SPEC  # full static geometry survives the header
+    served = np.asarray(art.call(buf))
+    np.testing.assert_array_equal(live, served)
+
+    # the decoded result is a real solve
+    out = unpack_solver_output(spec_loaded, served)
+    assert out[0] == 1.0  # found
+
+
+def test_artifact_header_is_cheap_and_versioned(tmp_path):
+    path = str(tmp_path / "solver.ktpuart")
+    export_packed_solver(SPEC, path)
+    header = read_artifact_header(path)  # no jax deserialization
+    import jax
+
+    assert header["jax_version"] == jax.__version__
+    assert header["platforms"]  # lowering platforms recorded
+    assert header["meta"]["solver_spec"]["scan_size"] == 32
+
+
+def test_load_packed_solver_rejects_other_kinds(tmp_path):
+    from kompass_core_tpu.serving import export_callable
+
+    path = str(tmp_path / "other.ktpuart")
+    export_callable(lambda x: x * 2, (np.float32(1.0),), path, kind="misc")
+    with pytest.raises(ValueError, match="kind"):
+        load_packed_solver(path)
+
+
+def test_not_an_artifact(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"definitely not an artifact")
+    with pytest.raises(ValueError, match="not a kompass_core_tpu artifact"):
+        read_artifact_header(str(p))
+
+
+def test_box_spec_roundtrips(tmp_path):
+    spec = dataclasses.replace(SPEC, collision_box=(0.5, 0.2))
+    path = str(tmp_path / "box.ktpuart")
+    export_packed_solver(spec, path)
+    _, spec_loaded = load_packed_solver(path)
+    assert spec_loaded == spec
+    assert isinstance(spec_loaded.collision_box, tuple)
+
+
+def test_fleet_tick_artifact_matches_live_program(tmp_path):
+    from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits, LinearCtrlLimits, Robot, RobotCtrlLimits,
+        RobotGeometry, RobotType,
+    )
+    from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
+
+    n_rays, n_robots = 72, 3
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(n_robots)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4, max_angular_samples=4,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0, goal_distance_weight=1.0,
+            smoothness_weight=0.0, jerk_weight=0.0,
+            obstacles_distance_weight=0.0,
+        ),
+        prediction_horizon=10, control_horizon=2, control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=n_rays, path_capacity=512,
+        max_segments=16,
+    )
+    fleet.set_paths(
+        [np.array([[0.0, float(i)], [3.0, float(i)]]) for i in range(n_robots)]
+    )
+    fleet.set_scan_angles(
+        np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
+    )
+    # one packed input matrix: states | vels | ranges
+    states = np.zeros((n_robots, 4), np.float32)
+    states[:, 1] = np.arange(n_robots)
+    fleet._inputs[:n_robots, :4] = states
+    fleet._inputs[:n_robots, 4:7] = 0.0
+    fleet._inputs[:n_robots, 7:] = 10.0
+
+    path = str(tmp_path / "fleet.ktpuart")
+    header = export_fleet_tick(fleet, path)
+    assert header["meta"]["n_robots"] == fleet._n
+
+    args = fleet.tick_example_args()
+    live_carry, live_out = fleet._tick_fn(*args)
+    art = load_artifact(path)
+    srv_carry, srv_out = art.call(*args)
+
+    np.testing.assert_array_equal(np.asarray(live_out), np.asarray(srv_out))
+    for a, b in zip(
+        jax_tree_leaves(live_carry), jax_tree_leaves(srv_carry)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def jax_tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
