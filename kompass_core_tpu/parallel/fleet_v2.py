@@ -488,6 +488,56 @@ class DeviceFleet:
             self._inputs, *extra,
         )
 
+    def state_dict(self) -> dict:
+        """Host snapshot of the fleet's mutable state — path tables,
+        follower carry, scan-angle grid — as a flat dict of numpy arrays
+        (``np.savez``-compatible). With the AOT artifacts
+        (``serving.export``) this completes the serving-restart story: a
+        new process loads the artifact + ``load_state_dict`` and resumes
+        the mission bit-for-bit, paying neither tracing nor host-side
+        path re-interpolation. (The reference is stateless per tick by
+        design, SURVEY §5 checkpoint/resume; a device-resident fleet is
+        not, so it owns its checkpoint format.)"""
+        if self._paths is None or self._carry is None:
+            raise RuntimeError("nothing to snapshot: call set_paths() first")
+        sd = {
+            "version": np.int32(1),
+            "n": np.int32(self._n),
+            "num_robots": np.int32(self.num_robots),
+            "scan_rays": np.int32(self._scan_rays),
+        }
+        for name, tree in (("paths", self._paths), ("carry", self._carry)):
+            for field, val in zip(type(tree)._fields, tree):
+                sd[f"{name}/{field}"] = np.asarray(val)
+        if self._angles_src is not None:
+            sd["angles_src"] = self._angles_src.copy()
+        return sd
+
+    def load_state_dict(self, sd: dict) -> None:
+        """Restore a ``state_dict`` snapshot into a fleet built with the
+        same construction parameters. The angle grid goes through
+        ``set_scan_angles`` so safety-zone presets are rebuilt; the path
+        tables and carry upload with the fleet's sharding."""
+        from ..ops.fleet_solver import FleetCarry, FleetPaths
+
+        if int(sd["version"]) != 1:
+            raise ValueError(f"unknown fleet state version {sd['version']}")
+        if int(sd["n"]) != self._n or int(sd["scan_rays"]) != self._scan_rays:
+            raise ValueError(
+                "snapshot shape mismatch: snapshot "
+                f"(n={int(sd['n'])}, rays={int(sd['scan_rays'])}) vs fleet "
+                f"(n={self._n}, rays={self._scan_rays}) — rebuild the "
+                "fleet with the snapshot's construction parameters"
+            )
+        if "angles_src" in sd:
+            self.set_scan_angles(np.asarray(sd["angles_src"]))
+        self._paths = self._put(FleetPaths(*(
+            jnp.asarray(sd[f"paths/{f}"]) for f in FleetPaths._fields
+        )))
+        self._carry = FleetCarry(*(
+            jnp.asarray(sd[f"carry/{f}"]) for f in FleetCarry._fields
+        ))
+
     def run_ticks_on_device(self, k: int, states, vels, ranges, angles):
         """K carry-chained control ticks in ONE dispatch per chunk.
 

@@ -11,6 +11,7 @@ from .export import (
     LoadedArtifact,
     export_callable,
     export_fleet_tick,
+    export_fleet_ticks_on_device,
     export_packed_solver,
     load_artifact,
     load_packed_solver,
@@ -21,6 +22,7 @@ __all__ = [
     "LoadedArtifact",
     "export_callable",
     "export_fleet_tick",
+    "export_fleet_ticks_on_device",
     "export_packed_solver",
     "load_artifact",
     "load_packed_solver",

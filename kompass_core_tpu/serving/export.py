@@ -234,6 +234,7 @@ def export_fleet_tick(
     ``DeviceFleet.tick`` device program, minus the host-side pack/unpack.
     """
     _register_fleet_pytrees()
+    _check_exportable_fleet(fleet)
     args = fleet.tick_example_args()
     meta = {
         "n_robots": int(fleet._n),
@@ -244,3 +245,48 @@ def export_fleet_tick(
         fleet._tick_fn, args, path, kind="fleet_tick", meta=meta,
         platforms=platforms,
     )
+
+
+def export_fleet_ticks_on_device(
+    fleet,
+    k: int,
+    path: str,
+    *,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export the K-tick RTT-amortized serving program
+    (``DeviceFleet.run_ticks_on_device``): the same calling convention as
+    the tick artifact, returning ``(carry', outputs[N, k, F],
+    final_states[N, 4])`` — K carry-chained control ticks per dispatch."""
+    from ..ops.fleet_solver import make_fleet_ticks_on_device
+
+    _register_fleet_pytrees()
+    _check_exportable_fleet(fleet)
+    fn = make_fleet_ticks_on_device(
+        fleet.spec, k, mesh=None, chunk=fleet._chunk or None,
+        peer_cfg=fleet._peer_cfg, safety=fleet._safety_cfgs is not None,
+    )
+    args = fleet.tick_example_args()
+    meta = {
+        "n_robots": int(fleet._n),
+        "scan_rays": int(fleet._scan_rays),
+        "safety": fleet._safety is not None,
+        "k_ticks": int(k),
+    }
+    return export_callable(
+        fn, args, path, kind="fleet_ticks_on_device", meta=meta,
+        platforms=platforms,
+    )
+
+
+def _check_exportable_fleet(fleet) -> None:
+    """Mesh-sharded fleets embed device shardings in their programs;
+    jax.export of sharded computations targets a fixed device assignment,
+    which is the wrong contract for a shippable artifact. Export the
+    single-device program and shard at the serving site instead."""
+    if getattr(fleet, "mesh", None) is not None:
+        raise NotImplementedError(
+            "export of mesh-sharded fleet programs is not supported — "
+            "build the fleet without a mesh for export, and apply the "
+            "mesh in the serving process"
+        )

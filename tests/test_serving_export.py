@@ -113,7 +113,11 @@ def test_box_spec_roundtrips(tmp_path):
     assert isinstance(spec_loaded.collision_box, tuple)
 
 
-def test_fleet_tick_artifact_matches_live_program(tmp_path):
+N_RAYS = 72
+N_ROBOTS = 3
+
+
+def _make_fleet():
     from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
     from kompass_core_tpu.models import (
         AngularCtrlLimits, LinearCtrlLimits, Robot, RobotCtrlLimits,
@@ -121,14 +125,13 @@ def test_fleet_tick_artifact_matches_live_program(tmp_path):
     )
     from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
 
-    n_rays, n_robots = 72, 3
     robots = [
         Robot(
             robot_type=RobotType.DIFFERENTIAL_DRIVE,
             geometry_type=RobotGeometry.Type.CYLINDER,
             geometry_params=np.array([0.1, 0.4]),
         )
-        for _ in range(n_robots)
+        for _ in range(N_ROBOTS)
     ]
     limits = RobotCtrlLimits(
         vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
@@ -145,22 +148,30 @@ def test_fleet_tick_artifact_matches_live_program(tmp_path):
         ),
         prediction_horizon=10, control_horizon=2, control_time_step=0.1,
     )
-    fleet = DeviceFleet(
-        robots, limits, config, scan_rays=n_rays, path_capacity=512,
+    return DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=512,
         max_segments=16,
     )
-    fleet.set_paths(
-        [np.array([[0.0, float(i)], [3.0, float(i)]]) for i in range(n_robots)]
-    )
-    fleet.set_scan_angles(
-        np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
-    )
+
+
+def _prime_fleet(fleet):
+    fleet.set_paths([
+        np.array([[0.0, float(i)], [3.0, float(i)]])
+        for i in range(N_ROBOTS)
+    ])
+    fleet.set_scan_angles(np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False))
     # one packed input matrix: states | vels | ranges
-    states = np.zeros((n_robots, 4), np.float32)
-    states[:, 1] = np.arange(n_robots)
-    fleet._inputs[:n_robots, :4] = states
-    fleet._inputs[:n_robots, 4:7] = 0.0
-    fleet._inputs[:n_robots, 7:] = 10.0
+    states = np.zeros((N_ROBOTS, 4), np.float32)
+    states[:, 1] = np.arange(N_ROBOTS)
+    fleet._inputs[:N_ROBOTS, :4] = states
+    fleet._inputs[:N_ROBOTS, 4:7] = 0.0
+    fleet._inputs[:N_ROBOTS, 7:] = 10.0
+
+
+def test_fleet_tick_artifact_matches_live_program(tmp_path):
+    fleet = _make_fleet()
+    _prime_fleet(fleet)
+    n_robots = N_ROBOTS
 
     path = str(tmp_path / "fleet.ktpuart")
     header = export_fleet_tick(fleet, path)
@@ -182,3 +193,80 @@ def jax_tree_leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+def test_fleet_ticks_on_device_artifact_matches_live(tmp_path):
+    from kompass_core_tpu.ops.fleet_solver import make_fleet_ticks_on_device
+    from kompass_core_tpu.serving import export_fleet_ticks_on_device
+
+    k = 4
+    fleet = _make_fleet()
+    _prime_fleet(fleet)
+    path = str(tmp_path / "fleet_k.ktpuart")
+    header = export_fleet_ticks_on_device(fleet, k, path)
+    assert header["meta"]["k_ticks"] == k
+
+    args = fleet.tick_example_args()
+    live_fn = make_fleet_ticks_on_device(
+        fleet.spec, k, chunk=fleet._chunk or None
+    )
+    live_carry, live_out, live_fin = live_fn(*args)
+    art = load_artifact(path)
+    srv_carry, srv_out, srv_fin = art.call(*args)
+    np.testing.assert_array_equal(np.asarray(live_out), np.asarray(srv_out))
+    np.testing.assert_array_equal(np.asarray(live_fin), np.asarray(srv_fin))
+    for a, b in zip(jax_tree_leaves(live_carry), jax_tree_leaves(srv_carry)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _tick_inputs(step):
+    states = np.zeros((N_ROBOTS, 4), np.float32)
+    states[:, 0] = 0.05 * step
+    states[:, 1] = np.arange(N_ROBOTS)
+    vels = np.full((N_ROBOTS, 3), 0.1, np.float32)
+    ranges = np.full((N_ROBOTS, N_RAYS), 10.0 - 0.01 * step, np.float32)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    return states, vels, ranges, angles
+
+
+def test_fleet_snapshot_resume_bit_exact(tmp_path):
+    """A fresh process restores a mid-mission snapshot and continues
+    bit-for-bit — the serving-restart contract (state_dict pairs with
+    the AOT artifact so neither tracing nor path re-interpolation runs
+    at restart)."""
+    fleet_a = _make_fleet()
+    _prime_fleet(fleet_a)
+    for step in range(4):
+        fleet_a.tick(*_tick_inputs(step))
+
+    sd = fleet_a.state_dict()
+    # must survive a disk roundtrip
+    f = tmp_path / "fleet_state.npz"
+    np.savez(f, **sd)
+    sd2 = dict(np.load(str(f)))
+
+    after_a = [fleet_a.tick(*_tick_inputs(4 + s)) for s in range(3)]
+
+    fleet_b = _make_fleet()
+    fleet_b.load_state_dict(sd2)
+    after_b = [fleet_b.tick(*_tick_inputs(4 + s)) for s in range(3)]
+
+    for out_a, out_b in zip(after_a, after_b):
+        for key in out_a:
+            np.testing.assert_array_equal(out_a[key], out_b[key])
+
+
+def test_load_state_dict_rejects_mismatched_fleet():
+    fleet = _make_fleet()
+    _prime_fleet(fleet)
+    sd = fleet.state_dict()
+    sd["scan_rays"] = np.int32(128)
+    fleet2 = _make_fleet()
+    with pytest.raises(ValueError, match="shape mismatch"):
+        fleet2.load_state_dict(sd)
+
+
+def test_state_dict_before_set_paths_raises():
+    fleet = _make_fleet()
+    with pytest.raises(RuntimeError, match="set_paths"):
+        fleet.state_dict()
