@@ -88,6 +88,12 @@ class DWAConfig(FollowerConfig):
     )
     max_num_threads: int = field(default=1)  # accepted for API parity; unused
     drop_samples: bool = field(default=True)
+    # Beyond-reference: constant-velocity obstacle prediction — collision
+    # and obstacle cost evaluate each obstacle at obs + v*t*dt along the
+    # rollout (see ops/solver.py SolverSpec.moving_obstacles). Off by
+    # default: the compiled program and packed layout then match the
+    # reference's static-world semantics exactly.
+    moving_obstacles: bool = field(default=False)
 
     def __attrs_post_init__(self):
         if self.control_horizon > self.prediction_horizon:
@@ -209,6 +215,7 @@ class DWA(Follower):
             seg_size=seg_size,
             drop_samples=bool(config.drop_samples),
             collision_box=collision_box,
+            moving_obstacles=bool(config.moving_obstacles),
         )
         self._solvers = {}  # scan_size bucket -> jitted solver
         self._custom_costs: List = []
@@ -381,13 +388,17 @@ class DWA(Follower):
         return np.stack([wx, wy], axis=1).astype(np.float32)
 
     def _gather_obstacles(
-        self, laser_scan, point_cloud, map_points_world
-    ) -> np.ndarray:
+        self, laser_scan, point_cloud, map_points_world, velocities=None
+    ):
         """World-frame [N, 2] obstacle points from whichever input was
         given, with non-finite points DROPPED: one NaN point would
         otherwise defeat every collision comparison (NaN < r^2 is false —
         nothing ever drops) and poison the obstacle cost, so the solver
-        would return found=True with cost=nan and an arbitrary winner."""
+        would return found=True with cost=nan and an arbitrary winner.
+
+        ``velocities`` [N, 2] (moving-obstacle mode) must align row-wise
+        with the given points and gets the same finite-row filter.
+        Returns ``(obs, vels_or_None)``."""
         if map_points_world is not None:
             obs = np.atleast_2d(np.asarray(map_points_world, np.float32))
             # an empty local map means obstacle-free planning, not a crash
@@ -396,10 +407,20 @@ class DWA(Follower):
             )
         else:
             obs = self._obstacle_points_world(laser_scan, point_cloud)
+        vels = None
+        if velocities is not None:
+            vels = np.atleast_2d(np.asarray(velocities, np.float32))[:, :2]
+            if len(vels) != len(obs):
+                raise ValueError(
+                    f"obstacle velocities ({len(vels)} rows) must align "
+                    f"with the obstacle points ({len(obs)} rows)"
+                )
         finite = np.isfinite(obs).all(axis=1)
         if not finite.all():
             obs = obs[finite]
-        return obs
+            if vels is not None:
+                vels = vels[finite]
+        return obs, vels
 
     def _rotate_in_place_result(self, heading_error: float) -> SamplingControlResult:
         """Pure-rotation shortcut for large heading error
@@ -435,15 +456,54 @@ class DWA(Follower):
     # main entry: one control tick
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def tracked_obstacle_disc(center_xy, radius, velocity_xy, ring: int = 8):
+        """(points [ring+1, 2], velocities [ring+1, 2]) world-frame
+        obstacle disc for one tracked moving object: its center plus
+        ``ring`` circumference points, every point carrying the object's
+        velocity — the same disc decomposition the fleet peer-avoidance
+        path uses (``ops/fleet_solver.py`` peer discs).
+
+        Glue between the vision tracker and the moving-obstacle solver:
+        ``FeatureBasedBboxTracker.get_raw_tracking()`` yields center +
+        size + Kalman-filtered velocity; stack one disc per tracked
+        object and pass to ``compute_velocity_commands(
+        map_points_world=pts, obstacle_velocities_world=vels)`` with
+        ``DWAConfig(moving_obstacles=True)``."""
+        cx, cy = float(center_xy[0]), float(center_xy[1])
+        ang = np.linspace(0.0, 2.0 * np.pi, int(ring), endpoint=False)
+        pts = np.concatenate(
+            [
+                np.array([[cx, cy]], np.float32),
+                np.stack(
+                    [cx + radius * np.cos(ang), cy + radius * np.sin(ang)],
+                    axis=1,
+                ).astype(np.float32),
+            ]
+        )
+        vels = np.broadcast_to(
+            np.asarray(velocity_xy, np.float32)[:2], pts.shape
+        ).copy()
+        return pts, vels
+
     def compute_velocity_commands(
         self, current_vel, laser_scan=None, point_cloud=None,
-        map_points_world=None,
+        map_points_world=None, obstacle_velocities_world=None,
     ) -> SamplingControlResult:
         """Full DWA tick (``DWA::findBestPath``, ``dwa.h:183-230``).
 
         ``map_points_world``: [N, >=2] obstacle points already in the world
         frame (the reference's local-map input path — its cloud overload
-        with global_frame=true, ``collision_check.h:119-125``)."""
+        with global_frame=true, ``collision_check.h:119-125``).
+
+        ``obstacle_velocities_world``: [N, 2] world-frame velocity per
+        obstacle point (row-aligned with whichever obstacle input was
+        given — typically tracked-object discs from the vision tracker's
+        Kalman velocity state). Requires
+        ``DWAConfig(moving_obstacles=True)``; the solver then evaluates
+        collision + obstacle cost against each obstacle's predicted
+        position ``obs + v * t * dt`` along the rollout. Omitted points
+        default to static (zero velocity)."""
         if self._path is None:
             raise ValueError(
                 "Global path not set; cannot run the DWA local planner"
@@ -461,13 +521,29 @@ class DWA(Follower):
 
         self._adapt_prediction_horizon()
 
-        obs = self._gather_obstacles(
-            laser_scan, point_cloud, map_points_world
+        if (
+            obstacle_velocities_world is not None
+            and not self._config.moving_obstacles
+        ):
+            raise ValueError(
+                "obstacle_velocities_world requires "
+                "DWAConfig(moving_obstacles=True) — the static-world "
+                "solver program has no velocity inputs"
+            )
+        obs, obs_vels = self._gather_obstacles(
+            laser_scan, point_cloud, map_points_world,
+            velocities=obstacle_velocities_world,
         )
         obs_count = len(obs)
         bucket = max(256, _round_up(obs_count, 256))
         obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
         obs_padded[:obs_count] = obs
+        vel_padded = None
+        if self._config.moving_obstacles:
+            # pads stay at ZERO velocity — a 1e8 pad point must not march
+            vel_padded = np.zeros((bucket, 2), dtype=np.float32)
+            if obs_vels is not None:
+                vel_padded[:obs_count] = obs_vels
 
         spec, solver, buf = self._solver_for(bucket)
 
@@ -505,6 +581,7 @@ class DWA(Follower):
             seg_total_len,
             self._path.total_path_length(),
             self._active_points,
+            obs_vel_xy=vel_padded,
         )
 
         out = np.asarray(solver(buf))
@@ -618,7 +695,7 @@ class DWA(Follower):
             raise ValueError("Global path not set")
         self.determine_target()
         self._adapt_prediction_horizon()
-        obs = self._gather_obstacles(
+        obs, _ = self._gather_obstacles(
             laser_scan, point_cloud, map_points_world
         )
         obs_count = len(obs)

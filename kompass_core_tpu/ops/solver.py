@@ -88,6 +88,15 @@ class SolverSpec:
     # ``collision_margin`` — the box surface distance then degenerates to
     # the exact point distance, reproducing the circle model bit-for-bit.
     dynamic_box: bool = False
+    # Moving-obstacle mode (beyond-reference; the reference's rollout
+    # assumes a static world, trajectory_sampler.cpp:118-179): each
+    # obstacle point carries a world-frame velocity and the collision /
+    # obstacle-cost sweeps evaluate it at its PREDICTED position
+    # obs + v * t * dt for rollout step t. Costs two extra FMAs per
+    # (pose, obstacle) pair in the hot sweep when enabled; with the flag
+    # off the compiled program is unchanged. XLA backend only (the
+    # Pallas alternates don't carry the time term).
+    moving_obstacles: bool = False
 
     @property
     def num_samples(self) -> int:
@@ -341,8 +350,36 @@ def _min_obstacle_dist_sq(px, py, obs_xy, pt_mask):
     return jnp.where(pt_mask[None, :], d2, _INF)
 
 
+def _min_obstacle_dist_sq_moving(px, py, obs_xy, obs_vel, time_step, pt_mask):
+    """[S, T] -> per-point min squared distance to any obstacle point at
+    its PREDICTED position ``obs + v * t * dt`` (constant-velocity
+    obstacle model). With ``obs_vel == 0`` this is arithmetically
+    identical to ``_min_obstacle_dist_sq`` (adding 0.0 is exact), so the
+    static model is the zero-velocity special case bit-for-bit.
+
+    Padded obstacle slots sit at +1e8 with zero velocity, so they never
+    win the min.
+    """
+    T = px.shape[1]
+    ox = _pad_sweep_pow2(obs_xy[:, 0])
+    oy = _pad_sweep_pow2(obs_xy[:, 1])
+    # velocity pads are ZERO (a +1e8 velocity would march a pad slot
+    # through the workspace)
+    vx = jnp.pad(obs_vel[:, 0], (0, ox.shape[0] - obs_vel.shape[0]))
+    vy = jnp.pad(obs_vel[:, 1], (0, oy.shape[0] - obs_vel.shape[0]))
+    t = (jnp.arange(T, dtype=jnp.float32) * time_step)[None, :, None]
+    # [S, T, O] fused reduce; the obstacle track ox + vx*t adds two FMAs
+    # per pair on top of the static sweep — still VPU-bound, still fused
+    d2 = jnp.min(
+        (px[:, :, None] - (ox[None, None, :] + vx[None, None, :] * t)) ** 2
+        + (py[:, :, None] - (oy[None, None, :] + vy[None, None, :] * t)) ** 2,
+        axis=-1,
+    )
+    return jnp.where(pt_mask[None, :], d2, _INF)
+
+
 def _min_box_dist_sq(spec, params, state, vels, px, py, obs_xy, pt_mask,
-                     box_hl=None, box_hw=None):
+                     box_hl=None, box_hw=None, obs_vel=None):
     """Exact oriented-rectangle surface distance: [S, T] min squared
     distance from the robot BOX body (half extents spec.collision_box or
     the traced ``box_hl``/``box_hw`` in dynamic-box mode, heading
@@ -363,8 +400,20 @@ def _min_box_dist_sq(spec, params, state, vels, px, py, obs_xy, pt_mask,
     s = jnp.sin(yaw)[:, :, None]
     ox = _pad_sweep_pow2(obs_xy[:, 0])
     oy = _pad_sweep_pow2(obs_xy[:, 1])
-    dxw = ox[None, None, :] - px[:, :, None]
-    dyw = oy[None, None, :] - py[:, :, None]
+    obx = ox[None, None, :]
+    oby = oy[None, None, :]
+    if obs_vel is not None:
+        # moving-obstacle mode: obstacle position at rollout step t
+        # (see _min_obstacle_dist_sq_moving; zero velocity == static)
+        vxo = jnp.pad(obs_vel[:, 0], (0, ox.shape[0] - obs_vel.shape[0]))
+        vyo = jnp.pad(obs_vel[:, 1], (0, oy.shape[0] - obs_vel.shape[0]))
+        t = (jnp.arange(T, dtype=jnp.float32) * params.time_step)[
+            None, :, None
+        ]
+        obx = obx + vxo[None, None, :] * t
+        oby = oby + vyo[None, None, :] * t
+    dxw = obx - px[:, :, None]
+    dyw = oby - py[:, :, None]
     bx = c * dxw + s * dyw  # body-frame obstacle coords
     by = -s * dxw + c * dyw
     ex = jnp.maximum(jnp.abs(bx) - hl, 0.0)
@@ -583,6 +632,7 @@ def dwa_solve(
     active_points,  # int32 scalar <= spec.max_points (adaptive horizon)
     custom_costs: Sequence = (),
     collision_box_dyn=None,  # [2] traced half-extents (spec.dynamic_box)
+    obs_vel=None,  # [R, 2] obstacle velocities (spec.moving_obstacles)
 ) -> SolveResult:
     """One DWA tick: returns the argmin trajectory over the dynamic window.
 
@@ -599,11 +649,22 @@ def dwa_solve(
     vels, valid = _build_velocity_grid(spec, window)
     px, py = _rollout(spec, params, state, vels)
 
+    moving = spec.moving_obstacles and obs_vel is not None
+    if spec.moving_obstacles and spec.backend != "xla":
+        raise NotImplementedError(
+            "moving_obstacles requires backend='xla' (the Pallas sweep "
+            "alternates don't carry the time term)"
+        )
+
     # single obstacle sweep shared by collision + obstacle cost
     t_idx = jnp.arange(spec.max_points)
     pt_mask = t_idx < active_points
     d2_seg = None
-    if spec.backend in ("pallas", "pallas_vpu"):
+    if moving:
+        d2_obs = _min_obstacle_dist_sq_moving(
+            px, py, obs_xy, obs_vel, params.time_step, pt_mask
+        )
+    elif spec.backend in ("pallas", "pallas_vpu"):
         # fused two-sweep kernel: one pass over the point axis computes
         # BOTH min-distance fields (~88% of the solve at the BASELINE
         # workload); "pallas" = MXU cross-term tiles, "pallas_vpu" =
@@ -638,7 +699,7 @@ def dwa_solve(
             bhl, bhw = collision_box_dyn[0], collision_box_dyn[1]
         d2_col = _min_box_dist_sq(
             spec, params, state, vels, px, py, obs_xy, pt_mask,
-            box_hl=bhl, box_hw=bhw,
+            box_hl=bhl, box_hw=bhw, obs_vel=obs_vel if moving else None,
         )
         admissible, truncate_ok, i_col, last_free = _admissibility(
             spec, params, d2_col, active_points, valid,
@@ -663,13 +724,24 @@ def dwa_solve(
         # one-hot masked sums instead of take_along_axis: the per-row
         # gather serializes under the fleet vmap (banned pattern)
         lf_sel = t_idx[None, :] == last_free[:, None]
-        # where-select before the sum: a bare multiply would turn any
-        # inf in unselected slots into NaN (inf * 0)
-        d2_lf = jnp.sum(
-            jnp.where(lf_sel, d2_obs, 0.0), axis=1, keepdims=True
-        )
-        frozen = truncate_ok[:, None] & (t_idx[None, :] > i_col[:, None])
-        d2_obs = jnp.where(frozen, d2_lf, d2_obs)
+        if moving:
+            # a frozen path point keeps its position but time still
+            # advances, so the obstacle track keeps moving relative to
+            # it — the static freeze-patch below would pin the distance
+            # at its last_free value. Re-sweep from the truncated
+            # (frozen) positions instead; only this mode pays the
+            # second sweep.
+            d2_obs = _min_obstacle_dist_sq_moving(
+                px, py, obs_xy, obs_vel, params.time_step, pt_mask
+            )
+        else:
+            # where-select before the sum: a bare multiply would turn
+            # any inf in unselected slots into NaN (inf * 0)
+            d2_lf = jnp.sum(
+                jnp.where(lf_sel, d2_obs, 0.0), axis=1, keepdims=True
+            )
+            frozen = truncate_ok[:, None] & (t_idx[None, :] > i_col[:, None])
+            d2_obs = jnp.where(frozen, d2_lf, d2_obs)
         if d2_seg is not None:
             # same freeze for the pallas-precomputed segment sweep — the
             # XLA path recomputes from the truncated px/py inside
@@ -884,6 +956,9 @@ def packed_input_size(spec: SolverSpec) -> int:
         + _window_block_size(spec)
         + 2 * spec.scan_size
         + 3 * spec.seg_size
+        # trailing [vx | vy] obstacle-velocity block (moving-obstacle
+        # mode only — appended so every static-spec offset is unchanged)
+        + (2 * spec.scan_size if spec.moving_obstacles else 0)
     )
 
 
@@ -904,11 +979,13 @@ def pack_solver_input(
     active_points: int,
     current_vel=None,
     limits_vec=None,
+    obs_vel_xy=None,  # [R, 2] world-frame obstacle velocities
 ):
     """Serialize one tick's dynamic inputs into the packed buffer (host).
 
     Pass ``window=None`` with ``current_vel``/``limits_vec`` when the spec
-    uses device-window mode."""
+    uses device-window mode. ``obs_vel_xy`` fills the trailing velocity
+    block of a ``moving_obstacles`` spec (omitted -> zeros == static)."""
     buf[0:3] = state
     buf[3] = obs_count
     buf[4] = seg_count
@@ -943,6 +1020,13 @@ def pack_solver_input(
     buf[o : o + g] = seg_x
     buf[o + g : o + 2 * g] = seg_y
     buf[o + 2 * g : o + 3 * g] = seg_arc
+    o += 3 * g
+    if spec.moving_obstacles:
+        if obs_vel_xy is None:
+            buf[o : o + 2 * r] = 0.0
+        else:
+            buf[o : o + r] = obs_vel_xy[:, 0]
+            buf[o + r : o + 2 * r] = obs_vel_xy[:, 1]
     return buf
 
 
@@ -1002,6 +1086,12 @@ def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
     seg_x = buf[o : o + g]
     seg_y = buf[o + g : o + 2 * g]
     seg_arc = buf[o + 2 * g : o + 3 * g]
+    o += 3 * g
+    obs_vel = None
+    if spec.moving_obstacles:
+        obs_vel = jnp.stack(
+            [buf[o : o + r], buf[o + r : o + 2 * r]], axis=1
+        )
 
     res = dwa_solve(
         spec,
@@ -1018,6 +1108,7 @@ def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
         ref_total_len,
         active_points,
         custom_costs=custom_costs,
+        obs_vel=obs_vel,
     )
     out = jnp.concatenate(
         [
@@ -1120,11 +1211,17 @@ def dwa_sample_debug(spec: SolverSpec, buf, custom_costs=()):
     seg_x = buf[o : o + g]
     seg_y = buf[o + g : o + 2 * g]
     seg_arc = buf[o + 2 * g : o + 3 * g]
+    o += 3 * g
+    obs_vel = None
+    if spec.moving_obstacles:
+        obs_vel = jnp.stack(
+            [buf[o : o + r], buf[o + r : o + 2 * r]], axis=1
+        )
 
     res = dwa_solve(
         spec, params, state, window, obs_xy, obs_count, seg_x, seg_y,
         seg_arc, seg_count, seg_total_len, ref_total_len, active_points,
-        custom_costs=custom_costs,
+        custom_costs=custom_costs, obs_vel=obs_vel,
     )
     vels, valid = _build_velocity_grid(spec, window)
     px, py = _rollout(spec, params, state, vels)
