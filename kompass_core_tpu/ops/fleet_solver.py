@@ -40,6 +40,13 @@ class FleetSpec:
     solver: SolverSpec
     path_capacity: int  # P: padded interpolated path points per robot
     max_segments: int  # NS: padded segment count per robot
+    # M tracked moving objects per robot (beyond-reference; pairs with
+    # SolverSpec.moving_obstacles): the tick input matrix gains a
+    # trailing [M, 4] (x, y, vx, vy) world-frame block per robot, each
+    # object enters the fused sweep at its constant-velocity predicted
+    # position, and the k-tick loop advects it between ticks. 0 = the
+    # input layout and compiled program are unchanged.
+    tracked_obstacles: int = 0
 
 
 class FleetPaths(NamedTuple):
@@ -343,6 +350,7 @@ def _fleet_robot_step(
     peer_count: int = 0,  # real peer points (static, for the count gate)
     row_id=None,  # this robot's fleet row (masks its own peer block)
     safety_row: FleetSafety = None,  # fused critical-zone check (one row)
+    tracked4=None,  # [M, 4] (x, y, vx, vy) tracked moving objects, world
 ):
     """One robot's full control tick on device.
 
@@ -414,11 +422,33 @@ def _fleet_robot_step(
         obs = obs_world
         R = obs.shape[0]
     obs_count = jnp.int32(jnp.minimum(R, spec.scan_size))
+    scan_len = obs.shape[0]
+    if tracked4 is not None:
+        # tracked moving objects (x, y, vx, vy): positions enter the
+        # sweep here; velocities ride the per-point obs_vel field below
+        # so the solver's moving sweep predicts obs + v*t*dt within the
+        # rollout. Pad slots sit at x >= 1e7 with zero velocity. NOT in
+        # the safety sweep (like peers: avoidance owns spacing — an
+        # emergency stop against a tracked mover would freeze the robot
+        # in the mover's path instead of steering off it).
+        obs = jnp.concatenate([obs, tracked4[:, 0:2]], axis=0)
+        obs_count = obs_count + jnp.sum(tracked4[:, 0] < 1e7).astype(
+            jnp.int32
+        )
     if peer_pts is not None:
         slots = jnp.arange(peer_pts.shape[0]) // peer_block
         pts = jnp.where((slots == row_id)[:, None], _PAD, peer_pts)
         obs = jnp.concatenate([obs, pts], axis=0)
         obs_count = obs_count + jnp.int32(peer_count)
+    obs_vel = None
+    if tracked4 is not None and spec.moving_obstacles:
+        vel_parts = [jnp.zeros((scan_len, 2), jnp.float32),
+                     tracked4[:, 2:4]]
+        if peer_pts is not None:
+            vel_parts.append(
+                jnp.zeros((peer_pts.shape[0], 2), jnp.float32)
+            )
+        obs_vel = jnp.concatenate(vel_parts, axis=0)
 
     # --- tracked segment window (dwa.cpp:208-233) ---
     # NOTE: path arrays are allocated seg_capacity wider than the path
@@ -462,6 +492,7 @@ def _fleet_robot_step(
         paths_row.total_len,
         active_points,
         collision_box_dyn=collision_box2 if spec.dynamic_box else None,
+        obs_vel=obs_vel,
     )
 
     # --- rotate-in-place / reached overrides ---
@@ -641,7 +672,16 @@ def make_fleet_tick(
             )
         states = inputs[:, 0:4]
         vels = inputs[:, 4:7]
-        ranges = inputs[:, 7:]
+        M = fleet_spec.tracked_obstacles
+        if M:
+            ranges = inputs[:, 7 : inputs.shape[1] - 4 * M]
+            tracked = inputs[:, inputs.shape[1] - 4 * M :].reshape(
+                inputs.shape[0], M, 4
+            )
+            trk_extra = (tracked,)
+        else:
+            ranges = inputs[:, 7:]
+            trk_extra = ()
         safety_extra = (safety_arg,) if safety else ()
 
         if peer_cfg is None:
@@ -651,10 +691,11 @@ def make_fleet_tick(
                 return _fleet_robot_step(
                     spec, paths_row, cfg_row, carry_row, s, v, r, a,
                     fleet_spec.solver.seg_size,
-                    safety_row=ex[0] if safety else None,
+                    tracked4=ex[0] if M else None,
+                    safety_row=ex[1 if M else 0] if safety else None,
                 )
 
-            extra = safety_extra
+            extra = trk_extra + safety_extra
         else:
             build_peers, peer_block, peer_count, row_ids = (
                 _peer_points_builder(peer_cfg, inputs.shape[0])
@@ -671,10 +712,11 @@ def make_fleet_tick(
                     peer_block=peer_block,
                     peer_count=peer_count,
                     row_id=rid,
-                    safety_row=ex[0] if safety else None,
+                    tracked4=ex[0] if M else None,
+                    safety_row=ex[1 if M else 0] if safety else None,
                 )
 
-            extra = (row_ids,) + safety_extra
+            extra = (row_ids,) + trk_extra + safety_extra
 
         runner = _mapped_over_chunks(jax.vmap(one), chunk)
         carry2, out = runner(
@@ -799,7 +841,15 @@ def make_fleet_ticks_on_device(
             )
         states = inputs[:, 0:4]
         vels = inputs[:, 4:7]
-        ranges = inputs[:, 7:]
+        M = fleet_spec.tracked_obstacles
+        if M:
+            ranges = inputs[:, 7 : inputs.shape[1] - 4 * M]
+            tracked_all = inputs[:, inputs.shape[1] - 4 * M :].reshape(
+                inputs.shape[0], M, 4
+            )
+        else:
+            ranges = inputs[:, 7:]
+            tracked_all = None
         n = inputs.shape[0]
         safety_extra = (safety_arg,) if safety else ()
         build_peers, block, count, row_ids = _peer_points_builder(
@@ -815,9 +865,26 @@ def make_fleet_ticks_on_device(
 
         dt_col = cfg.params12[:, 0]  # [N]
 
-        def body(c, _):
+        def body(c, i):
             carry_c, s_c, v_c = c
             peer_pts = build_peers(s_c)  # live positions, this tick
+            if M:
+                # tracked movers advect between ticks (see the non-peer
+                # k-tick body)
+                shift = tracked_all[:, :, 2:4] * (
+                    i.astype(jnp.float32) * dt_col[:, None, None]
+                )
+                pos = jnp.where(
+                    tracked_all[:, :, 0:1] < 1e7,
+                    tracked_all[:, :, 0:2] + shift,
+                    tracked_all[:, :, 0:2],
+                )
+                trk_i = jnp.concatenate(
+                    [pos, tracked_all[:, :, 2:4]], axis=2
+                )
+                trk_extra = (trk_i,)
+            else:
+                trk_extra = ()
 
             def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid,
                     obs_row, *ex):
@@ -827,13 +894,15 @@ def make_fleet_ticks_on_device(
                     fleet_spec.solver.seg_size, obs_world=obs_row,
                     peer_pts=peer_pts, peer_block=block,
                     peer_count=count, row_id=rid,
-                    safety_row=ex[0] if safety else None,
+                    tracked4=ex[0] if M else None,
+                    safety_row=ex[1 if M else 0] if safety else None,
                 )
 
             runner = _mapped_over_chunks(jax.vmap(one), chunk)
             new_carry, out = runner(
                 tuple(paths), tuple(cfg), tuple(carry_c), s_c, v_c,
-                ranges, angles, row_ids, obs_all, *safety_extra,
+                ranges, angles, row_ids, obs_all, *trk_extra,
+                *safety_extra,
             )
             new_carry, out = jax.tree_util.tree_map(
                 lambda a: a.reshape((n,) + a.shape[2:])
@@ -855,7 +924,8 @@ def make_fleet_ticks_on_device(
             return (FleetCarry(*new_carry), ns, nv), out
 
         (carry_f, s_f, _v_f), outs = jax.lax.scan(
-            body, (FleetCarry(*tuple(carry)), states, vels), None, length=k
+            body, (FleetCarry(*tuple(carry)), states, vels),
+            jnp.arange(k), length=k,
         )
         # [k, N, F] -> [N, k, F]
         return carry_f, jnp.transpose(outs, (1, 0, 2)), s_f
@@ -872,7 +942,16 @@ def make_fleet_ticks_on_device(
             )
         states = inputs[:, 0:4]
         vels = inputs[:, 4:7]
-        ranges = inputs[:, 7:]
+        M = fleet_spec.tracked_obstacles
+        if M:
+            ranges = inputs[:, 7 : inputs.shape[1] - 4 * M]
+            tracked_all = inputs[:, inputs.shape[1] - 4 * M :].reshape(
+                inputs.shape[0], M, 4
+            )
+            trk_extra = (tracked_all,)
+        else:
+            ranges = inputs[:, 7:]
+            trk_extra = ()
         safety_extra = (safety_arg,) if safety else ()
 
         def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, *ex):
@@ -882,13 +961,31 @@ def make_fleet_ticks_on_device(
             obs, _n = _scan_to_world_obs(
                 spec, r, a, sensor_pose, s[0], s[1], s[2]
             )
+            trk0 = ex[0] if M else None
+            safety_row = ex[1 if M else 0] if safety else None
 
-            def body(c, _):
+            def body(c, i):
                 carry_c, s_c, v_c = c
+                if M:
+                    # tracked movers advect between ticks (base position
+                    # at tick i) AND within each tick's rollout (the
+                    # moving sweep) — one consistent constant-velocity
+                    # model across the whole k-span, while the scan
+                    # world stays frozen at its tick-0 conversion
+                    shift = trk0[:, 2:4] * (
+                        i.astype(jnp.float32) * dt
+                    )
+                    pos = jnp.where(
+                        trk0[:, 0:1] < 1e7, trk0[:, 0:2] + shift,
+                        trk0[:, 0:2],
+                    )
+                    trk_i = jnp.concatenate([pos, trk0[:, 2:4]], axis=1)
+                else:
+                    trk_i = None
                 new_carry, out = _fleet_robot_step(
                     spec, paths_row, cfg_row, carry_c, s_c, v_c, r, a,
                     fleet_spec.solver.seg_size, obs_world=obs,
-                    safety_row=ex[0] if safety else None,
+                    tracked4=trk_i, safety_row=safety_row,
                 )
                 vx, vy, om = out[2], out[3], out[4]
                 cy, sy = jnp.cos(s_c[2]), jnp.sin(s_c[2])
@@ -902,14 +999,14 @@ def make_fleet_ticks_on_device(
                 return (new_carry, ns, nv), out
 
             (carry_f, s_f, _v_f), outs = jax.lax.scan(
-                body, (carry_row, s, v), None, length=k
+                body, (carry_row, s, v), jnp.arange(k), length=k
             )
             return carry_f, outs, s_f
 
         runner = _mapped_over_chunks(jax.vmap(one), chunk)
         carry2, outs, states_f = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
-            angles, *safety_extra,
+            angles, *trk_extra, *safety_extra,
         )
         n = inputs.shape[0]
         carry2, outs, states_f = jax.tree_util.tree_map(

@@ -69,6 +69,7 @@ class DeviceFleet:
         peer_avoidance: bool = False,
         peer_ring_points: int = 8,
         safety_config=None,  # FleetSafetyConfig, or one per robot
+        tracked_obstacles: int = 0,  # M moving-object slots per robot
     ):
         enable_persistent_compilation_cache()
         self.num_robots = len(robots)
@@ -156,11 +157,17 @@ class DeviceFleet:
             drop_samples=bool(config.drop_samples),
             device_window=True,
             dynamic_box=has_box,
+            # tracked movers ride the sweep at their predicted positions
+            # (ops/solver.py moving sweep; measured +8.4% device time on
+            # the flagship workload, MOVING_BENCH.json)
+            moving_obstacles=tracked_obstacles > 0,
         )
+        self._tracked = int(tracked_obstacles)
         self.spec = FleetSpec(
             solver=solver_spec,
             path_capacity=path_capacity,
             max_segments=max_segments,
+            tracked_obstacles=self._tracked,
         )
         # dispatch_chunk=0/None is the documented monolithic escape hatch
         # (one unchunked vmap over the whole fleet); only an ACTIVE chunk
@@ -284,8 +291,10 @@ class DeviceFleet:
         self._angles = None  # device-resident per-robot scan angles
         self._angles_src = None  # host copy for change detection
         self._inputs = np.zeros(
-            (self._n, 4 + 3 + scan_rays), np.float32
+            (self._n, 4 + 3 + scan_rays + 4 * self._tracked), np.float32
         )
+        if self._tracked:
+            self._reset_tracked_block()
         self.last_tick_seconds = 0.0
 
     def _put(self, tree):
@@ -488,6 +497,59 @@ class DeviceFleet:
             self._inputs, *extra,
         )
 
+    def _reset_tracked_block(self):
+        """Pad every tracked-object slot: position at the sentinel,
+        velocity zero (a pad must not march through the workspace)."""
+        M = self._tracked
+        blk = self._inputs[:, -4 * M :].reshape(self._n, M, 4)
+        blk[:, :, 0:2] = _PAD
+        blk[:, :, 2:4] = 0.0
+
+    def _write_tracked(self, tracked):
+        """Fill the per-robot tracked-object block of the input matrix.
+
+        ``tracked``: None (all slots empty this tick), a [num_robots, M',
+        4] array, or a sequence of per-robot [m_i, 4] arrays of world
+        (x, y, vx, vy) rows with m_i <= M."""
+        if self._tracked == 0:
+            if tracked is not None:
+                raise ValueError(
+                    "this fleet was built with tracked_obstacles=0 — "
+                    "pass tracked_obstacles=M to the DeviceFleet "
+                    "constructor to enable moving-object input"
+                )
+            return
+        self._reset_tracked_block()
+        if tracked is None:
+            return
+        M = self._tracked
+        blk = self._inputs[:, -4 * M :].reshape(self._n, M, 4)
+        rows = (
+            list(tracked)
+            if not isinstance(tracked, np.ndarray)
+            else list(tracked)
+        )
+        if len(rows) > self.num_robots:
+            raise ValueError(
+                f"{len(rows)} tracked rows for {self.num_robots} robots"
+            )
+        for i, row in enumerate(rows):
+            r = np.atleast_2d(np.asarray(row, np.float32))
+            if r.size == 0:
+                continue
+            if r.shape[1] != 4:
+                raise ValueError(
+                    "tracked rows must be [m, 4] (x, y, vx, vy); got "
+                    f"shape {r.shape} for robot {i}"
+                )
+            m = r.shape[0]
+            if m > M:
+                raise ValueError(
+                    f"robot {i}: {m} tracked objects > capacity {M} "
+                    "(raise tracked_obstacles)"
+                )
+            blk[i, :m] = r
+
     def state_dict(self) -> dict:
         """Host snapshot of the fleet's mutable state — path tables,
         follower carry, scan-angle grid — as a flat dict of numpy arrays
@@ -538,7 +600,8 @@ class DeviceFleet:
             jnp.asarray(sd[f"carry/{f}"]) for f in FleetCarry._fields
         ))
 
-    def run_ticks_on_device(self, k: int, states, vels, ranges, angles):
+    def run_ticks_on_device(self, k: int, states, vels, ranges, angles,
+                            tracked=None):
         """K carry-chained control ticks in ONE dispatch per chunk.
 
         The RTT-amortization API (VERDICT r2 #7): a single
@@ -580,11 +643,13 @@ class DeviceFleet:
         ):
             self.set_scan_angles(ang_in)
         n = self.num_robots
+        R = self._scan_rays
         s = np.asarray(states, np.float32)
         self._inputs[:n, : min(4, s.shape[1])] = s[:, :4]
         self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
-        self._inputs[:n, 7:] = np.asarray(ranges, np.float32)
-        self._inputs[n:, 7:] = _PAD
+        self._inputs[:n, 7 : 7 + R] = np.asarray(ranges, np.float32)
+        self._inputs[n:, 7 : 7 + R] = _PAD
+        self._write_tracked(tracked)
         # ONE dispatch for the whole fleet: the robot axis runs as an
         # in-program lax.map over 64-row blocks (make_fleet_ticks_on_device)
         safety_extra = (self._safety,) if self._safety is not None else ()
@@ -603,11 +668,15 @@ class DeviceFleet:
         self.last_tick_seconds = time.perf_counter() - t0
         return out
 
-    def tick(self, states, vels, ranges, angles):
+    def tick(self, states, vels, ranges, angles, tracked=None):
         """One fleet tick.
 
         states [num_robots, >=3], vels [num_robots, 3],
         ranges [num_robots, R], angles [R] or [num_robots, R].
+        ``tracked`` (fleets built with ``tracked_obstacles=M``): per-robot
+        moving objects as a [num_robots, M', 4] array or a sequence of
+        [m_i, 4] world (x, y, vx, vy) rows — each enters the robot's
+        sweep at its constant-velocity predicted position.
         Returns dict of numpy arrays per robot (found, reached, vx, vy,
         omega, cost)."""
         import time
@@ -622,11 +691,13 @@ class DeviceFleet:
             # wrong bearing
             self.set_scan_angles(ang_in)
         n = self.num_robots
+        R = self._scan_rays
         s = np.asarray(states, np.float32)
         self._inputs[:n, : min(4, s.shape[1])] = s[:, :4]
         self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
-        self._inputs[:n, 7:] = np.asarray(ranges, np.float32)
-        self._inputs[n:, 7:] = _PAD
+        self._inputs[:n, 7 : 7 + R] = np.asarray(ranges, np.float32)
+        self._inputs[n:, 7 : 7 + R] = _PAD
+        self._write_tracked(tracked)
         from ..ops.fleet_solver import OUT_FIELDS
 
         # ONE dispatch, ONE packed upload, ONE fetch per tick: the robot
