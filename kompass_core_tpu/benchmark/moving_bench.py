@@ -137,9 +137,11 @@ def main():
         # same-session drift control: static again, last
         "static_control": _measure(spec, "static_control"),
     }
+    # conservative ratio: divide by the SMALLER static estimate — the
+    # control detects drift, it must not shrink the reported overhead
     out["moving_over_static"] = (
         out["moving"]["us_per_solve"]
-        / max(out["static"]["us_per_solve"],
+        / min(out["static"]["us_per_solve"],
               out["static_control"]["us_per_solve"])
     )
     print(json.dumps(out))

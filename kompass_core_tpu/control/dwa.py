@@ -416,6 +416,12 @@ class DWA(Follower):
                     f"with the obstacle points ({len(obs)} rows)"
                 )
         finite = np.isfinite(obs).all(axis=1)
+        if vels is not None:
+            # a NaN velocity poisons the moving sweep exactly like a NaN
+            # position poisons the static one (obs + NaN*t is NaN at
+            # every t, NaN < r^2 is false, nothing ever collides) — and
+            # trackers do emit NaN velocities at track birth
+            finite &= np.isfinite(vels).all(axis=1)
         if not finite.all():
             obs = obs[finite]
             if vels is not None:
@@ -680,6 +686,7 @@ class DWA(Follower):
     def debug_velocity_search(
         self, current_vel, laser_scan=None, point_cloud=None,
         drop_samples=None, map_points_world=None,
+        obstacle_velocities_world=None,
     ):
         """Return every rollout + its cost/admissibility for visualization
         (role of ``DWA::debugVelocitySearch``/``getDebuggingSamples``,
@@ -695,13 +702,29 @@ class DWA(Follower):
             raise ValueError("Global path not set")
         self.determine_target()
         self._adapt_prediction_horizon()
-        obs, _ = self._gather_obstacles(
-            laser_scan, point_cloud, map_points_world
+        if (
+            obstacle_velocities_world is not None
+            and not self._config.moving_obstacles
+        ):
+            raise ValueError(
+                "obstacle_velocities_world requires "
+                "DWAConfig(moving_obstacles=True)"
+            )
+        obs, obs_vels = self._gather_obstacles(
+            laser_scan, point_cloud, map_points_world,
+            velocities=obstacle_velocities_world,
         )
         obs_count = len(obs)
         bucket = max(256, _round_up(obs_count, 256))
         obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
         obs_padded[:obs_count] = obs
+        vel_padded = None
+        if self._config.moving_obstacles:
+            # same velocity inputs as the production solve, so debug
+            # rankings match the executed command in moving mode too
+            vel_padded = np.zeros((bucket, 2), dtype=np.float32)
+            if obs_vels is not None:
+                vel_padded[:obs_count] = obs_vels
         spec, _solver, buf = self._solver_for(bucket)
         if drop_samples is not None and bool(drop_samples) != spec.drop_samples:
             # honor the override: debug the requested admissibility mode
@@ -724,6 +747,7 @@ class DWA(Follower):
             window, obs_padded, obs_count, seg_x, seg_y, seg_arc,
             end - start + 1, seg_total, self._path.total_path_length(),
             self._active_points,
+            obs_vel_xy=vel_padded,
         )
         # same custom costs as the production solver, so debug rankings
         # agree with the executed command

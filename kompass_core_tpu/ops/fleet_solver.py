@@ -431,7 +431,22 @@ def _fleet_robot_step(
         # the safety sweep (like peers: avoidance owns spacing — an
         # emergency stop against a tracked mover would freeze the robot
         # in the mover's path instead of steering off it).
-        obs = jnp.concatenate([obs, tracked4[:, 0:2]], axis=0)
+        #
+        # The movers ride the scan bucket's guaranteed-pad TAIL slots
+        # (the fleet sizes scan_size >= rays + M) instead of being
+        # concatenated: growing a pow2-full bucket by even one point
+        # pushes _pad_sweep_pow2 to the next power of two and ~doubles
+        # the dominant sweep's width.
+        m_rows = tracked4.shape[0]
+        n_rays = ranges.shape[0]
+        if n_rays + m_rows > scan_len:
+            raise ValueError(
+                f"scan bucket {scan_len} cannot hold {n_rays} rays + "
+                f"{m_rows} tracked slots — size scan_size >= rays + M"
+            )
+        obs = jnp.concatenate(
+            [obs[: scan_len - m_rows], tracked4[:, 0:2]], axis=0
+        )
         obs_count = obs_count + jnp.sum(tracked4[:, 0] < 1e7).astype(
             jnp.int32
         )
@@ -442,8 +457,10 @@ def _fleet_robot_step(
         obs_count = obs_count + jnp.int32(peer_count)
     obs_vel = None
     if tracked4 is not None and spec.moving_obstacles:
-        vel_parts = [jnp.zeros((scan_len, 2), jnp.float32),
-                     tracked4[:, 2:4]]
+        vel_parts = [
+            jnp.zeros((scan_len - tracked4.shape[0], 2), jnp.float32),
+            tracked4[:, 2:4],
+        ]
         if peer_pts is not None:
             vel_parts.append(
                 jnp.zeros((peer_pts.shape[0], 2), jnp.float32)

@@ -152,7 +152,12 @@ class DeviceFleet:
             n_omega=n_omega,
             max_points=int(config.prediction_horizon),
             num_ctrl_points=int(config.control_horizon),
-            scan_size=max(256, _round_up(scan_rays, 256)),
+            # tracked-mover slots share the scan bucket (they overwrite
+            # its guaranteed-pad tail — ops/fleet_solver), so the bucket
+            # must hold rays + M; when rays alone already fill a pow2
+            # bucket, any M widens the sweep to the next power of two
+            # (the same lane rule that prices peer avoidance)
+            scan_size=max(256, _round_up(scan_rays + tracked_obstacles, 256)),
             seg_size=seg_size,
             drop_samples=bool(config.drop_samples),
             device_window=True,
@@ -510,7 +515,13 @@ class DeviceFleet:
 
         ``tracked``: None (all slots empty this tick), a [num_robots, M',
         4] array, or a sequence of per-robot [m_i, 4] arrays of world
-        (x, y, vx, vy) rows with m_i <= M."""
+        (x, y, vx, vy) rows with m_i <= M. Rows containing any
+        non-finite value are treated as EMPTY slots — so a fixed-shape
+        array padded with np.nan is the supported way to express "robot
+        i tracks fewer than M' objects" (zero-padding would plant a
+        phantom static obstacle at the world origin), and a tracker's
+        NaN-velocity newborn tracks are dropped instead of poisoning the
+        sweep."""
         if self._tracked == 0:
             if tracked is not None:
                 raise ValueError(
@@ -524,11 +535,7 @@ class DeviceFleet:
             return
         M = self._tracked
         blk = self._inputs[:, -4 * M :].reshape(self._n, M, 4)
-        rows = (
-            list(tracked)
-            if not isinstance(tracked, np.ndarray)
-            else list(tracked)
-        )
+        rows = list(tracked)
         if len(rows) > self.num_robots:
             raise ValueError(
                 f"{len(rows)} tracked rows for {self.num_robots} robots"
@@ -542,13 +549,13 @@ class DeviceFleet:
                     "tracked rows must be [m, 4] (x, y, vx, vy); got "
                     f"shape {r.shape} for robot {i}"
                 )
-            m = r.shape[0]
-            if m > M:
+            if r.shape[0] > M:
                 raise ValueError(
-                    f"robot {i}: {m} tracked objects > capacity {M} "
-                    "(raise tracked_obstacles)"
+                    f"robot {i}: {r.shape[0]} tracked objects > capacity "
+                    f"{M} (raise tracked_obstacles)"
                 )
-            blk[i, :m] = r
+            r = r[np.isfinite(r).all(axis=1)]  # non-finite row == empty slot
+            blk[i, : r.shape[0]] = r
 
     def state_dict(self) -> dict:
         """Host snapshot of the fleet's mutable state — path tables,
@@ -584,12 +591,21 @@ class DeviceFleet:
 
         if int(sd["version"]) != 1:
             raise ValueError(f"unknown fleet state version {sd['version']}")
-        if int(sd["n"]) != self._n or int(sd["scan_rays"]) != self._scan_rays:
+        if (
+            int(sd["n"]) != self._n
+            or int(sd["scan_rays"]) != self._scan_rays
+            # same padded n does NOT imply same fleet: a 60-robot fleet
+            # padded to 64 snapshots pad rows with reached=True, which a
+            # 64-robot fleet would inherit as four robots stuck "done"
+            or int(sd["num_robots"]) != self.num_robots
+        ):
             raise ValueError(
                 "snapshot shape mismatch: snapshot "
-                f"(n={int(sd['n'])}, rays={int(sd['scan_rays'])}) vs fleet "
-                f"(n={self._n}, rays={self._scan_rays}) — rebuild the "
-                "fleet with the snapshot's construction parameters"
+                f"(robots={int(sd['num_robots'])}, n={int(sd['n'])}, "
+                f"rays={int(sd['scan_rays'])}) vs fleet "
+                f"(robots={self.num_robots}, n={self._n}, "
+                f"rays={self._scan_rays}) — rebuild the fleet with the "
+                "snapshot's construction parameters"
             )
         if "angles_src" in sd:
             self.set_scan_angles(np.asarray(sd["angles_src"]))

@@ -56,6 +56,11 @@ def _shape_specs(tree):
     def spec(x):
         if isinstance(x, jax.ShapeDtypeStruct):
             return x
+        # metadata-only: jax.Arrays expose shape/dtype without a device
+        # fetch — np.asarray here would pull whole device-resident fleet
+        # tables through a remote-attached tunnel just to discard them
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(tuple(x.shape), np.dtype(x.dtype))
         a = np.asarray(x)
         return jax.ShapeDtypeStruct(a.shape, a.dtype)
 

@@ -235,6 +235,30 @@ def test_tracked_input_validation():
         fleet.tick(s, v, r, a, tracked=[np.zeros((1, 3), np.float32)])
 
 
+def test_nan_tracked_rows_are_empty_slots():
+    """Rows with any non-finite value are the documented way to pad a
+    fixed-shape tracked array — they must behave exactly like absent
+    objects, not poison the sweep or plant phantom obstacles."""
+    fleet = _make(tracked=2)
+    s, v, r, a = _free_inputs()
+    free = fleet.tick(s, v, r, a)
+    nan_row = np.full((1, 2, 4), np.nan, np.float32)
+    padded = fleet.tick(s, v, r, a, tracked=nan_row)
+    for key in free:
+        np.testing.assert_array_equal(free[key], padded[key])
+
+
+def test_snapshot_rejects_different_num_robots():
+    fleet = _make(tracked=0)
+    s, v, r, a = _free_inputs()
+    fleet.tick(s, v, r, a)
+    sd = fleet.state_dict()
+    sd["num_robots"] = np.int32(2)  # same padded n, different real count
+    fleet2 = _make(tracked=0)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        fleet2.load_state_dict(sd)
+
+
 def test_stale_tracked_rows_cleared_between_ticks():
     """A tick without `tracked` must not reuse the previous tick's
     objects."""

@@ -214,6 +214,59 @@ def test_crossing_obstacle_avoided_only_with_prediction():
     assert d_moving > d_static
 
 
+def test_nan_velocity_rows_are_dropped():
+    """Trackers emit NaN velocities at track birth; such rows must be
+    filtered like NaN positions — a NaN entering the moving sweep makes
+    every distance NaN, defeats every collision comparison, and returns
+    found=True with cost=nan."""
+    dwa = _make_dwa(moving=True)
+    res = dwa.compute_velocity_commands(
+        (0.5, 0.0, 0.0),
+        map_points_world=np.array([[0.6, 0.0], [2.0, 2.0]]),
+        obstacle_velocities_world=np.array([[np.nan, 0.0], [0.0, -1.0]]),
+    )
+    assert res.is_found
+    assert np.isfinite(res.cost)
+    # the NaN-velocity obstacle at (0.6, 0) was dropped, so the fast
+    # straight samples survive; the finite-velocity mover remains active
+    clean = _make_dwa(moving=True)
+    res_clean = clean.compute_velocity_commands(
+        (0.5, 0.0, 0.0),
+        map_points_world=np.array([[2.0, 2.0]]),
+        obstacle_velocities_world=np.array([[0.0, -1.0]]),
+    )
+    np.testing.assert_array_equal(
+        res.trajectory.path_x, res_clean.trajectory.path_x
+    )
+
+
+def test_debug_velocity_search_sees_the_moving_world():
+    """Debug rankings must agree with the executed command in moving
+    mode: the winning cost from compute_velocity_commands equals the
+    best admissible cost debug reports for the same scene."""
+    obs = np.array([[1.0, 1.2]], np.float32)
+    vel = np.array([[0.0, -1.2]], np.float32)
+    dwa = _make_dwa(moving=True)
+    res = dwa.compute_velocity_commands(
+        (0.9, 0.0, 0.0), map_points_world=obs,
+        obstacle_velocities_world=vel,
+    )
+    _, _, costs, adm = dwa.debug_velocity_search(
+        (0.9, 0.0, 0.0), map_points_world=obs,
+        obstacle_velocities_world=vel,
+    )
+    assert res.cost == pytest.approx(float(np.min(costs[adm])), rel=1e-6)
+
+    # without the velocities, debug must NOT match (the static ranking
+    # is a different scene) — guards against silently dropping them
+    _, _, costs_s, adm_s = dwa.debug_velocity_search(
+        (0.9, 0.0, 0.0), map_points_world=obs
+    )
+    assert float(np.min(costs_s[adm_s])) != pytest.approx(
+        float(np.min(costs[adm])), rel=1e-6
+    )
+
+
 def test_velocities_without_flag_raise():
     dwa = _make_dwa(moving=False)
     with pytest.raises(ValueError, match="moving_obstacles"):

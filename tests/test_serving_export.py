@@ -88,6 +88,19 @@ def test_artifact_header_is_cheap_and_versioned(tmp_path):
     assert header["meta"]["solver_spec"]["scan_size"] == 32
 
 
+def test_multi_platform_artifact_runs_on_cpu(tmp_path):
+    """One artifact lowered for BOTH cpu and tpu (the deployment shape:
+    build once on a CPU box, serve on either) must execute on the CPU
+    backend and agree bit-for-bit with the live program."""
+    path = str(tmp_path / "multi.ktpuart")
+    header = export_packed_solver(SPEC, path, platforms=("cpu", "tpu"))
+    assert header["platforms"] == ["cpu", "tpu"]
+    buf = _packed_buffer(SPEC)
+    live = np.asarray(get_packed_dwa_solver(SPEC)(buf))
+    art, _ = load_packed_solver(path)
+    np.testing.assert_array_equal(live, np.asarray(art.call(buf)))
+
+
 def test_load_packed_solver_rejects_other_kinds(tmp_path):
     from kompass_core_tpu.serving import export_callable
 
