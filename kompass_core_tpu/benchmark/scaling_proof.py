@@ -120,11 +120,14 @@ def sample_parallel_hlo(mesh) -> str:
     return compiled_hlo(solver, args)
 
 
-def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False) -> str:
+def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False,
+                   tracked: int = 0) -> str:
     """Lower the device-resident fleet v2 steady-state tick program with
     its real argument trees (paths/config/carry/angles/inputs).
     ``safety=True`` compiles the safety-fused variant (the critical-zone
-    gate is row-local masked-min work and must stay collective-free)."""
+    gate is row-local masked-min work and must stay collective-free);
+    ``tracked=M`` the moving-obstacle variant (per-robot movers in the
+    sharded input matrix — also row-local)."""
     from ..control import DWAConfig, TrajectoryCostsWeights
     from ..models import (
         AngularCtrlLimits,
@@ -168,6 +171,7 @@ def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False) -> str:
         robots, limits, config, scan_rays=n_rays, path_capacity=512,
         max_segments=16, mesh=mesh,
         safety_config=FleetSafetyConfig() if safety else None,
+        tracked_obstacles=tracked,
     )
     fleet.set_paths(
         [np.array([[1.0 * i, 0.0], [1.0 * i, 2.5]]) for i in range(n_robots)]
@@ -175,7 +179,9 @@ def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False) -> str:
     fleet.set_scan_angles(
         np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
     )
-    inputs = np.zeros((fleet._n, 4 + 3 + n_rays), np.float32)
+    inputs = np.zeros(
+        (fleet._n, 4 + 3 + n_rays + 4 * tracked), np.float32
+    )
     safety_extra = (fleet._safety,) if safety else ()
     return compiled_hlo(
         fleet._tick_fn, fleet._paths, fleet._cfg, fleet._carry,
@@ -191,6 +197,7 @@ def build_proof(mesh) -> dict:
         "fleet_solver_packed": fleet_solver_hlo(mesh),
         "fleet_v2_tick": fleet_tick_hlo(mesh),
         "fleet_v2_tick_safety": fleet_tick_hlo(mesh, safety=True),
+        "fleet_v2_tick_tracked": fleet_tick_hlo(mesh, tracked=2),
         "sample_parallel_solver": sample_parallel_hlo(mesh),
     }
     entries = {}
@@ -202,7 +209,8 @@ def build_proof(mesh) -> dict:
             "hlo_instructions": hlo.count("\n"),
         }
     for name in (
-        "fleet_solver_packed", "fleet_v2_tick", "fleet_v2_tick_safety"
+        "fleet_solver_packed", "fleet_v2_tick", "fleet_v2_tick_safety",
+        "fleet_v2_tick_tracked",
     ):
         assert entries[name]["total_collectives"] == 0, (
             f"{name}: steady-state fleet program must contain zero "

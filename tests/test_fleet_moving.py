@@ -273,3 +273,64 @@ def test_stale_tracked_rows_cleared_between_ticks():
     np.testing.assert_array_equal(
         again["num_admissible"], free["num_admissible"]
     )
+
+
+def test_tracked_fleet_runs_on_a_mesh():
+    """Tracked movers shard with the robot axis: an 8-device mesh fleet
+    with per-robot movers must run and prune like the single-device
+    fleet (zero-collective property pinned in test_scaling_hlo.py)."""
+    import jax
+    from kompass_core_tpu.parallel import build_fleet_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = build_fleet_mesh()
+
+    def make(mesh_):
+        robots = [
+            Robot(
+                robot_type=RobotType.DIFFERENTIAL_DRIVE,
+                geometry_type=RobotGeometry.Type.CYLINDER,
+                geometry_params=np.array([0.2, 0.4]),
+            )
+            for _ in range(8)
+        ]
+        limits = RobotCtrlLimits(
+            vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=10.0,
+                                       max_decel=10.0),
+            omega_limits=AngularCtrlLimits(
+                max_vel=2.0, max_acc=6.0, max_decel=6.0, max_steer=np.pi
+            ),
+        )
+        config = DWAConfig(
+            max_linear_samples=4, max_angular_samples=4,
+            costs_weights=TrajectoryCostsWeights(
+                reference_path_distance_weight=2.0,
+                goal_distance_weight=1.0,
+                obstacles_distance_weight=0.5,
+            ),
+            prediction_horizon=10, control_horizon=2,
+            control_time_step=0.1,
+        )
+        fleet = DeviceFleet(
+            robots, limits, config, scan_rays=N_RAYS, path_capacity=1024,
+            max_segments=16, tracked_obstacles=1, mesh=mesh_,
+        )
+        fleet.set_paths(
+            [np.array([[0.0, 2.0 * i], [6.0, 2.0 * i]]) for i in range(8)]
+        )
+        fleet.set_scan_angles(
+            np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+        )
+        return fleet
+
+    s, v, r, a = _free_inputs(8)
+    # robot 0 gets a mover dead ahead; the rest none
+    tracked = [np.array([[0.6, 0.0, 0.0, 0.0]], np.float32)] + [
+        np.zeros((0, 4), np.float32)
+    ] * 7
+    out_mesh = make(mesh).tick(s, v, r, a, tracked=tracked)
+    out_single = make(None).tick(s, v, r, a, tracked=tracked)
+    for key in out_single:
+        np.testing.assert_array_equal(out_mesh[key], out_single[key])
+    assert out_mesh["num_admissible"][0] < out_mesh["num_admissible"][1]

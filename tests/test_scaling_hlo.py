@@ -106,3 +106,14 @@ def test_fleet_v2_safety_tick_has_zero_collectives(mesh):
         f"safety-fused fleet tick sharded over 8 devices must be "
         f"communication-free, found {counts}"
     )
+
+
+def test_fleet_v2_tracked_tick_has_zero_collectives(mesh):
+    """The moving-obstacle tick (per-robot tracked movers in the sharded
+    input matrix) is row-local like safety; it must not change the
+    zero-collective steady state."""
+    counts = count_collectives(fleet_tick_hlo(mesh, tracked=2))
+    assert counts == {}, (
+        f"tracked-mover fleet tick sharded over 8 devices must be "
+        f"communication-free, found {counts}"
+    )
