@@ -123,6 +123,103 @@ def _measure(spec, label, B=64):
             "compile_s": compile_s}
 
 
+def fleet_main(n: int = 64, rays: int = 512, tracked: int = 8):
+    """Measured cost of the TRACKED fleet tick at BASELINE shapes.
+
+    At 512 rays the scan bucket grows 512 -> 768 (rays + M rounded to
+    256) and the sweep's pow2 lane pad goes 512 -> 1024, so unlike the
+    packed path (velocities ride existing rows, +8.5%) the fleet form
+    pays sweep-width growth — the same lane rule that prices peer
+    avoidance. This measures it instead of guessing.
+    """
+    from ..control import DWAConfig, TrajectoryCostsWeights
+    from ..models import (
+        AngularCtrlLimits, LinearCtrlLimits, Robot, RobotCtrlLimits,
+        RobotGeometry, RobotType,
+    )
+    from ..parallel.fleet_v2 import DeviceFleet
+    from ..utils.runtime import enable_persistent_compilation_cache
+    from .runner import measure_throughput_slope, slope_variants_needed
+
+    enable_persistent_compilation_cache()
+    out = {}
+    for m_slots in (0, tracked):
+        robots = [
+            Robot(
+                robot_type=RobotType.DIFFERENTIAL_DRIVE,
+                geometry_type=RobotGeometry.Type.CYLINDER,
+                geometry_params=np.array([0.3, 0.4]),
+            )
+            for _ in range(n)
+        ]
+        limits = RobotCtrlLimits(
+            vx_limits=LinearCtrlLimits(
+                max_vel=1.0, max_acc=5.0, max_decel=10.0
+            ),
+            omega_limits=AngularCtrlLimits(
+                max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+            ),
+        )
+        config = DWAConfig(
+            max_linear_samples=45,
+            max_angular_samples=45,
+            costs_weights=TrajectoryCostsWeights(
+                reference_path_distance_weight=3.0,
+                goal_distance_weight=1.0,
+                smoothness_weight=1.0,
+                jerk_weight=1.0,
+                obstacles_distance_weight=2.0,
+            ),
+            prediction_horizon=30,
+            control_horizon=2,
+            control_time_step=0.1,
+        )
+        fleet = DeviceFleet(
+            robots, limits, config, scan_rays=rays, path_capacity=512,
+            max_segments=16, tracked_obstacles=m_slots,
+        )
+        paths, states = [], []
+        for i in range(n):
+            x0 = 2.0 * i
+            paths.append(np.array([[x0, 0.0], [x0, 5.0]]))
+            states.append([x0, 0.0, np.pi / 2, 0.0])
+        fleet.set_paths(paths)
+        states = np.array(states, np.float32)
+        angles = np.linspace(0, 2 * np.pi, rays, endpoint=False)
+        rng = np.random.default_rng(0)
+        variants = [
+            states
+            + np.float32(1e-4)
+            * rng.standard_normal(states.shape).astype(np.float32)
+            for _ in range(slope_variants_needed())
+        ]
+        vels = np.zeros((n, 3), np.float32)
+        ranges = np.full((n, rays), 10.0, np.float32)
+        if m_slots:
+            trk = [
+                np.array(
+                    [[2.0 * i + 1.0, 2.0, 0.0, -0.5]], np.float32
+                )
+                for i in range(n)
+            ]
+            dispatch = lambda s: fleet.tick(  # noqa: E731
+                s, vels, ranges, angles, tracked=trk
+            )
+        else:
+            dispatch = lambda s: fleet.tick(s, vels, ranges, angles)  # noqa: E731
+        name = f"fleet{n}_tracked_{m_slots}"
+        r = measure_throughput_slope(
+            name, dispatch, variants, lambda o: float(o["cost"][0]),
+        )
+        out[name] = {
+            "ms_per_tick": r["mean_ms"],
+            "us_per_robot": 1e3 * r["mean_ms"] / n,
+        }
+        print(name, round(r["mean_ms"], 3), "ms/tick", flush=True)
+    print(json.dumps(out))
+    return out
+
+
 def main():
     from ..utils.runtime import enable_persistent_compilation_cache
     from .baseline import baseline_solver_spec
@@ -149,4 +246,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--fleet" in sys.argv:
+        fleet_main()
+    else:
+        main()
