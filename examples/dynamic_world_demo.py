@@ -121,14 +121,14 @@ def main():
                 (vx, 0.0, 0.0),
                 map_points_world=np.zeros((0, 2), np.float32),
             )
-        if not res.is_found:
-            vx = 0.0
-            continue
-        vx = float(res.trajectory.vx[0])
-        om = float(res.trajectory.omega[0])
-        yaw += om * dt
-        x += vx * np.cos(yaw) * dt
-        y += vx * np.sin(yaw) * dt
+        if res.is_found:
+            vx = float(res.trajectory.vx[0])
+            om = float(res.trajectory.omega[0])
+            yaw += om * dt
+            x += vx * np.cos(yaw) * dt
+            y += vx * np.sin(yaw) * dt
+        else:
+            vx = 0.0  # robot holds; the WORLD keeps moving below
         ped = ped + ped_v * dt
         min_clearance = min(
             min_clearance, float(np.hypot(x - ped[0], y - ped[1]))

@@ -298,6 +298,30 @@ def main(repeats: int = 10):
         variants, ks=(8, 72), repeats=repeats,
     ))
 
+    # moving-obstacle variant of the same workload: the tunnel-immune
+    # cross-check for MOVING_BENCH.json's slope-measured +8.5%
+    import dataclasses
+
+    from ..ops.solver import packed_input_size as _pis
+
+    mov_spec = dataclasses.replace(spec, moving_obstacles=True)
+    rng_m = np.random.default_rng(5)
+    mov_variants = []
+    for v in variants:
+        b = np.asarray(jax.device_get(v))
+        mb = np.zeros(_pis(mov_spec), np.float32)
+        mb[: b.shape[0]] = b
+        mb[b.shape[0] :] = rng_m.uniform(
+            -1.5, 1.5, _pis(mov_spec) - b.shape[0]
+        ).astype(np.float32)
+        mov_variants.append(jax.device_put(mb))
+    _resident(mov_variants)
+    results.append(measure_device_loop(
+        "DWA_2025x30_moving_device_loop",
+        lambda k: make_dwa_device_loop(mov_spec, k),
+        mov_variants, ks=(8, 72), repeats=repeats,
+    ))
+
     from ..ops.critical_zone import build_critical_zone
 
     angles = np.arange(0.0, 2 * np.pi, 2 * np.pi / 3600)

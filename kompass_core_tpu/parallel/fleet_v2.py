@@ -535,6 +535,32 @@ class DeviceFleet:
             return
         M = self._tracked
         blk = self._inputs[:, -4 * M :].reshape(self._n, M, 4)
+        arr = np.asarray(tracked, np.float32) if not isinstance(
+            tracked, (list, tuple)
+        ) else None
+        if arr is not None and arr.ndim == 3:
+            # fixed-shape [num_robots, M', 4] fast path: one vectorized
+            # mask instead of a per-robot Python loop — this sits on the
+            # per-tick serving hot path (n=1024 fleets)
+            nr, mp, w = arr.shape
+            if w != 4:
+                raise ValueError(
+                    f"tracked rows must be [m, 4] (x, y, vx, vy); got "
+                    f"trailing dim {w}"
+                )
+            if nr > self.num_robots:
+                raise ValueError(
+                    f"{nr} tracked rows for {self.num_robots} robots"
+                )
+            if mp > M:
+                raise ValueError(
+                    f"{mp} tracked objects > capacity {M} "
+                    "(raise tracked_obstacles)"
+                )
+            ok = np.isfinite(arr).all(axis=2)  # non-finite row == empty
+            dst = blk[:nr, :mp]
+            np.copyto(dst, arr, where=ok[:, :, None])
+            return
         rows = list(tracked)
         if len(rows) > self.num_robots:
             raise ValueError(

@@ -233,23 +233,31 @@ def export_fleet_tick(
     """Export a ``DeviceFleet``'s compiled tick program.
 
     The artifact takes the fleet's carry pytree, the device-resident
-    scan-angle matrix and the packed per-tick input matrix ``[N, 4+3+R]``
-    (plus the safety pytree when the fleet was built with one) and
-    returns ``(carry', outputs[N, len(OUT_FIELDS)])`` — exactly the live
+    scan-angle matrix and the packed per-tick input matrix
+    ``[N, 4+3+R (+ 4*tracked_obstacles)]`` (plus the safety pytree when
+    the fleet was built with one) and returns
+    ``(carry', outputs[N, len(OUT_FIELDS)])`` — exactly the live
     ``DeviceFleet.tick`` device program, minus the host-side pack/unpack.
+    The header meta records ``tracked_obstacles`` so a consumer sizing
+    its input matrix from the header alone gets the right width.
     """
     _register_fleet_pytrees()
     _check_exportable_fleet(fleet)
     args = fleet.tick_example_args()
-    meta = {
-        "n_robots": int(fleet._n),
-        "scan_rays": int(fleet._scan_rays),
-        "safety": fleet._safety is not None,
-    }
+    meta = _fleet_meta(fleet)
     return export_callable(
         fleet._tick_fn, args, path, kind="fleet_tick", meta=meta,
         platforms=platforms,
     )
+
+
+def _fleet_meta(fleet) -> Dict[str, Any]:
+    return {
+        "n_robots": int(fleet._n),
+        "scan_rays": int(fleet._scan_rays),
+        "safety": fleet._safety is not None,
+        "tracked_obstacles": int(getattr(fleet, "_tracked", 0)),
+    }
 
 
 def export_fleet_ticks_on_device(
@@ -272,12 +280,7 @@ def export_fleet_ticks_on_device(
         peer_cfg=fleet._peer_cfg, safety=fleet._safety_cfgs is not None,
     )
     args = fleet.tick_example_args()
-    meta = {
-        "n_robots": int(fleet._n),
-        "scan_rays": int(fleet._scan_rays),
-        "safety": fleet._safety is not None,
-        "k_ticks": int(k),
-    }
+    meta = dict(_fleet_meta(fleet), k_ticks=int(k))
     return export_callable(
         fn, args, path, kind="fleet_ticks_on_device", meta=meta,
         platforms=platforms,
