@@ -208,6 +208,65 @@ def jax_tree_leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+def test_tracked_fleet_artifact_roundtrip(tmp_path):
+    """A moving-obstacle fleet's artifact must record the widened input
+    layout (meta.tracked_obstacles) and reproduce the live program."""
+    from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits, LinearCtrlLimits, Robot, RobotCtrlLimits,
+        RobotGeometry, RobotType,
+    )
+    from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
+
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(2)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0, max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4, max_angular_samples=4,
+        prediction_horizon=8, control_horizon=2, control_time_step=0.1,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0, goal_distance_weight=1.0,
+            obstacles_distance_weight=0.5,
+        ),
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16, tracked_obstacles=2,
+    )
+    fleet.set_paths([np.array([[0.0, float(i)], [3.0, float(i)]])
+                     for i in range(2)])
+    fleet.set_scan_angles(np.linspace(0, 2 * np.pi, N_RAYS,
+                                      endpoint=False))
+    fleet._inputs[:2, 7 : 7 + N_RAYS] = 10.0
+    fleet._write_tracked([np.array([[0.8, 0.0, 0.0, -0.5]], np.float32),
+                          np.zeros((0, 4), np.float32)])
+
+    path = str(tmp_path / "fleet_tracked.ktpuart")
+    header = export_fleet_tick(fleet, path)
+    assert header["meta"]["tracked_obstacles"] == 2
+    # header-only sizing must reconstruct the input width
+    m = header["meta"]
+    width = 4 + 3 + m["scan_rays"] + 4 * m["tracked_obstacles"]
+    assert fleet._inputs.shape[1] == width
+
+    args = fleet.tick_example_args()
+    live_carry, live_out = fleet._tick_fn(*args)
+    art = load_artifact(path)
+    srv_carry, srv_out = art.call(*args)
+    np.testing.assert_array_equal(np.asarray(live_out), np.asarray(srv_out))
+
+
 def test_fleet_ticks_on_device_artifact_matches_live(tmp_path):
     from kompass_core_tpu.ops.fleet_solver import make_fleet_ticks_on_device
     from kompass_core_tpu.serving import export_fleet_ticks_on_device
@@ -240,6 +299,51 @@ def _tick_inputs(step):
     ranges = np.full((N_ROBOTS, N_RAYS), 10.0 - 0.01 * step, np.float32)
     angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
     return states, vels, ranges, angles
+
+
+def test_artifact_cold_load_in_fresh_process(tmp_path):
+    """The serving claim, executed literally: a FRESH process that
+    imports only ``kompass_core_tpu.serving`` (never the solver /
+    tracing modules) loads the artifact and reproduces this process's
+    solve bit-for-bit."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    art_path = str(tmp_path / "solver.ktpuart")
+    export_packed_solver(SPEC, art_path)
+    buf = _packed_buffer(SPEC)
+    live = np.asarray(get_packed_dwa_solver(SPEC)(buf))
+    buf_path = str(tmp_path / "buf.npy")
+    out_path = str(tmp_path / "out.npy")
+    np.save(buf_path, buf)
+
+    code = f"""
+import sys
+import numpy as np
+import kompass_core_tpu.serving as serving
+banned = [m for m in sys.modules
+          if m.startswith("kompass_core_tpu.ops")
+          or m.startswith("kompass_core_tpu.control")]
+assert not banned, f"serving import pulled in tracing modules: {{banned}}"
+art = serving.load_artifact({art_path!r})
+out = np.asarray(art.call(np.load({buf_path!r})))
+np.save({out_path!r}, out)
+print("cold-load ok")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');" + code],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "cold-load ok" in r.stdout
+    np.testing.assert_array_equal(live, np.load(out_path))
 
 
 def test_fleet_snapshot_resume_bit_exact(tmp_path):
