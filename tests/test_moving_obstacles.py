@@ -287,6 +287,26 @@ def test_misaligned_velocities_raise():
         )
 
 
+def test_batched_fleet_solver_handles_moving_specs():
+    """The v1 batched packed path (parallel/fleet.make_fleet_solver —
+    what the multihost runtime dispatches) must accept a moving spec:
+    each row solves exactly as the single packed program does."""
+    from kompass_core_tpu.parallel.fleet import make_fleet_solver
+
+    m_spec = SPEC_MOVING
+    solver_one = make_packed_dwa_solver(m_spec)
+    bufs = np.stack([
+        _packed_case(m_spec),
+        _packed_case(m_spec),
+    ])
+    bufs[1, 0] += 0.01  # distinct robot states
+    batched = np.asarray(make_fleet_solver(m_spec)(bufs))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            batched[i], np.asarray(solver_one(bufs[i]))
+        )
+
+
 def test_tracked_obstacle_disc_geometry():
     pts, vels = DWA.tracked_obstacle_disc((2.0, 1.0), 0.4, (0.3, -0.5),
                                           ring=6)
