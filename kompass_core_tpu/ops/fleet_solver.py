@@ -351,6 +351,7 @@ def _fleet_robot_step(
     row_id=None,  # this robot's fleet row (masks its own peer block)
     safety_row: FleetSafety = None,  # fused critical-zone check (one row)
     tracked4=None,  # [M, 4] (x, y, vx, vy) tracked moving objects, world
+    peer_vel=None,  # [N*peer_block, 2] world peer velocities (prediction)
 ):
     """One robot's full control tick on device.
 
@@ -456,15 +457,32 @@ def _fleet_robot_step(
         obs = jnp.concatenate([obs, pts], axis=0)
         obs_count = obs_count + jnp.int32(peer_count)
     obs_vel = None
-    if tracked4 is not None and spec.moving_obstacles:
-        vel_parts = [
-            jnp.zeros((scan_len - tracked4.shape[0], 2), jnp.float32),
-            tracked4[:, 2:4],
-        ]
+    if spec.moving_obstacles and (
+        tracked4 is not None or peer_vel is not None
+    ):
+        if tracked4 is not None:
+            vel_parts = [
+                jnp.zeros((scan_len - tracked4.shape[0], 2), jnp.float32),
+                tracked4[:, 2:4],
+            ]
+        else:
+            vel_parts = [jnp.zeros((scan_len, 2), jnp.float32)]
         if peer_pts is not None:
-            vel_parts.append(
-                jnp.zeros((peer_pts.shape[0], 2), jnp.float32)
-            )
+            if peer_vel is not None:
+                # peer prediction: each peer disc point advects along
+                # its robot's live world velocity within the rollout
+                # (own block already masked to pads with zero velocity)
+                vel_parts.append(
+                    jnp.where(
+                        (jnp.arange(peer_vel.shape[0]) // peer_block
+                         == row_id)[:, None],
+                        0.0, peer_vel,
+                    )
+                )
+            else:
+                vel_parts.append(
+                    jnp.zeros((peer_pts.shape[0], 2), jnp.float32)
+                )
         obs_vel = jnp.concatenate(vel_parts, axis=0)
 
     # --- tracked segment window (dwa.cpp:208-233) ---
@@ -714,10 +732,15 @@ def make_fleet_tick(
 
             extra = trk_extra + safety_extra
         else:
-            build_peers, peer_block, peer_count, row_ids = (
+            build_peers, build_peer_vel, peer_block, peer_count, row_ids = (
                 _peer_points_builder(peer_cfg, inputs.shape[0])
             )
             peer_pts = build_peers(states)  # live positions, this tick
+            peer_vel = (
+                build_peer_vel(states, vels)
+                if peer_cfg.get("predict") and spec.moving_obstacles
+                else None
+            )
 
             def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, rid,
                     *ex):
@@ -731,6 +754,7 @@ def make_fleet_tick(
                     row_id=rid,
                     tracked4=ex[0] if M else None,
                     safety_row=ex[1 if M else 0] if safety else None,
+                    peer_vel=peer_vel,  # closed over, like peer_pts
                 )
 
             extra = (row_ids,) + trk_extra + safety_extra
@@ -770,7 +794,7 @@ def make_fleet_tick(
 def _peer_points_builder(peer_cfg, n_rows):
     """Closure pieces for the peer-avoidance point set (shared by the
     single-tick and k-tick programs): returns (fn(states)->[N*block, 2],
-    block, count, row_ids)."""
+    fn(states, vels)->[N*block, 2], block, count, row_ids)."""
     ring = int(peer_cfg["ring"])
     n_real = int(peer_cfg["n_real"])
     radii = jnp.asarray(np.asarray(peer_cfg["radii"], np.float32)[:n_rows])
@@ -792,10 +816,27 @@ def _peer_points_builder(peer_cfg, n_rows):
         )
         return jnp.where(valid, pts, _PAD).reshape(-1, 2)
 
+    def build_vel(states, vels):
+        """Per-point WORLD velocity for peer prediction: every point of
+        robot j's disc carries j's commanded velocity rotated into the
+        world frame (pad rows get zero — a pad must not march)."""
+        cy, sy = jnp.cos(states[:, 2]), jnp.sin(states[:, 2])
+        vw = jnp.stack(
+            [
+                vels[:, 0] * cy - vels[:, 1] * sy,
+                vels[:, 0] * sy + vels[:, 1] * cy,
+            ],
+            axis=1,
+        )
+        per_pt = jnp.broadcast_to(
+            vw[:, None, :], (n_rows, 1 + ring, 2)
+        )
+        return jnp.where(valid, per_pt, 0.0).reshape(-1, 2)
+
     block = 1 + ring
     count = max(n_real - 1, 0) * block
     row_ids = jnp.arange(n_rows, dtype=jnp.int32)
-    return build, block, count, row_ids
+    return build, build_vel, block, count, row_ids
 
 
 def make_fleet_ticks_on_device(
@@ -869,8 +910,11 @@ def make_fleet_ticks_on_device(
             tracked_all = None
         n = inputs.shape[0]
         safety_extra = (safety_arg,) if safety else ()
-        build_peers, block, count, row_ids = _peer_points_builder(
-            peer_cfg, n
+        build_peers, build_peer_vel, block, count, row_ids = (
+            _peer_points_builder(peer_cfg, n)
+        )
+        predict_peers = bool(
+            peer_cfg.get("predict") and spec.moving_obstacles
         )
 
         # world scan obstacles frozen at the tick-0 pose (per robot)
@@ -885,6 +929,9 @@ def make_fleet_ticks_on_device(
         def body(c, i):
             carry_c, s_c, v_c = c
             peer_pts = build_peers(s_c)  # live positions, this tick
+            # peer prediction: inside the k-loop the peers' velocities
+            # are the LIVE commanded ones from the previous tick
+            peer_vel = build_peer_vel(s_c, v_c) if predict_peers else None
             if M:
                 # tracked movers advect between ticks (see the non-peer
                 # k-tick body)
@@ -913,6 +960,7 @@ def make_fleet_ticks_on_device(
                     peer_count=count, row_id=rid,
                     tracked4=ex[0] if M else None,
                     safety_row=ex[1 if M else 0] if safety else None,
+                    peer_vel=peer_vel,  # closed over, like peer_pts
                 )
 
             runner = _mapped_over_chunks(jax.vmap(one), chunk)

@@ -70,6 +70,7 @@ class DeviceFleet:
         peer_ring_points: int = 8,
         safety_config=None,  # FleetSafetyConfig, or one per robot
         tracked_obstacles: int = 0,  # M moving-object slots per robot
+        peer_prediction: bool = False,  # peers advect within the rollout
     ):
         enable_persistent_compilation_cache()
         self.num_robots = len(robots)
@@ -162,10 +163,10 @@ class DeviceFleet:
             drop_samples=bool(config.drop_samples),
             device_window=True,
             dynamic_box=has_box,
-            # tracked movers ride the sweep at their predicted positions
-            # (ops/solver.py moving sweep; measured +8.4% device time on
-            # the flagship workload, MOVING_BENCH.json)
-            moving_obstacles=tracked_obstacles > 0,
+            # tracked movers / predicted peers ride the sweep at their
+            # constant-velocity positions (ops/solver.py moving sweep;
+            # measured cost in MOVING_BENCH.json)
+            moving_obstacles=tracked_obstacles > 0 or peer_prediction,
         )
         self._tracked = int(tracked_obstacles)
         self.spec = FleetSpec(
@@ -185,6 +186,11 @@ class DeviceFleet:
         # per-robot sweep grows by N*(ring+1) points (O(N^2) fleet-wide);
         # single-device fleets only (see make_fleet_tick).
         self._peer_cfg = None
+        if peer_prediction and not peer_avoidance:
+            raise ValueError(
+                "peer_prediction requires peer_avoidance=True (it "
+                "advects the peer discs the avoidance path creates)"
+            )
         if peer_avoidance:
             if mesh is not None:
                 raise ValueError(
@@ -195,6 +201,10 @@ class DeviceFleet:
                 "radii": radius,  # [padded N], pads masked by n_real
                 "n_real": self.num_robots,
                 "ring": int(peer_ring_points),
+                # peers advect along their live commanded velocities
+                # within each tick's rollout (moving sweep) — beyond the
+                # live-position re-derivation both modes share
+                "predict": bool(peer_prediction),
             }
         # fused emergency stop (ops/fleet_solver.FleetSafety): every
         # command — including every tick inside run_ticks_on_device —

@@ -235,6 +235,129 @@ def test_tracked_input_validation():
         fleet.tick(s, v, r, a, tracked=[np.zeros((1, 3), np.float32)])
 
 
+def _make_peer_fleet(predict, n_robots=2):
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.2, 0.4]),
+        )
+        for _ in range(n_robots)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.5, max_acc=10.0,
+                                   max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=2.0, max_acc=6.0, max_decel=6.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=8, max_angular_samples=8,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=2.0, goal_distance_weight=1.0,
+            obstacles_distance_weight=0.5,
+            smoothness_weight=0.0, jerk_weight=0.0,
+        ),
+        prediction_horizon=20, control_horizon=2, control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=1024,
+        max_segments=16, peer_avoidance=True, peer_prediction=predict,
+    )
+    # robot 0 drives +x along y=0; robot 1 drives -y, crossing 0's path
+    fleet.set_paths([
+        np.array([[0.0, 0.0], [6.0, 0.0]]),
+        np.array([[2.5, 2.0], [2.5, -4.0]]),
+    ][:n_robots])
+    fleet.set_scan_angles(np.linspace(0, 2 * np.pi, N_RAYS,
+                                      endpoint=False))
+    return fleet
+
+
+def test_peer_prediction_prunes_a_crossing_peer():
+    """Robot 1 is 2 m off robot 0's path but closing at 1.4 m/s: the
+    live-position model sees nothing to prune; the predictive model
+    prunes the fast-straight samples that meet robot 1's track."""
+    states = np.array(
+        [[0.0, 0.0, 0.0, 0.9], [2.5, 2.0, -np.pi / 2, 1.4]], np.float32
+    )
+    vels = np.array([[0.9, 0.0, 0.0], [1.4, 0.0, 0.0]], np.float32)
+    ranges = np.full((2, N_RAYS), 10.0, np.float32)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+
+    out_live = _make_peer_fleet(False).tick(states, vels, ranges, angles)
+    out_pred = _make_peer_fleet(True).tick(states, vels, ranges, angles)
+    assert out_pred["found"][0] and out_live["found"][0]
+    assert (
+        out_pred["num_admissible"][0] < out_live["num_admissible"][0]
+    ), "prediction must prune the samples crossing the peer's track"
+
+
+def test_peer_prediction_zero_velocity_matches_live_model():
+    """Stationary peers: the predicted track equals the live position,
+    so both programs must agree exactly."""
+    states = np.array(
+        [[0.0, 0.0, 0.0, 0.0], [2.5, 2.0, -np.pi / 2, 0.0]], np.float32
+    )
+    vels = np.zeros((2, 3), np.float32)
+    ranges = np.full((2, N_RAYS), 10.0, np.float32)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    out_live = _make_peer_fleet(False).tick(states, vels, ranges, angles)
+    out_pred = _make_peer_fleet(True).tick(states, vels, ranges, angles)
+    for key in out_live:
+        np.testing.assert_array_equal(out_live[key], out_pred[key])
+
+
+def test_peer_prediction_requires_avoidance():
+    robots = [Robot(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.2, 0.4]),
+    )]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=10.0,
+                                   max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=2.0, max_acc=6.0, max_decel=6.0, max_steer=np.pi
+        ),
+    )
+    with pytest.raises(ValueError, match="peer_avoidance"):
+        DeviceFleet(
+            robots, limits, DWAConfig(), scan_rays=N_RAYS,
+            peer_prediction=True,
+        )
+
+
+def test_peer_prediction_k_ticks_keep_crossing_robots_apart():
+    """The fleet-synchronous k-scan with prediction: two crossing robots
+    solve k=25 ticks in ONE dispatch; their integrated tracks must keep
+    a safe separation."""
+    fleet = _make_peer_fleet(True)
+    states = np.array(
+        [[0.0, 0.0, 0.0, 0.9], [2.5, 2.0, -np.pi / 2, 1.2]], np.float32
+    )
+    vels = np.array([[0.9, 0.0, 0.0], [1.2, 0.0, 0.0]], np.float32)
+    ranges = np.full((2, N_RAYS), 10.0, np.float32)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    out = fleet.run_ticks_on_device(25, states, vels, ranges, angles)
+    fin = out["final_states"]
+    # integrate both robots' executed commands and track separation
+    xy = states[:, 0:2].astype(np.float64)
+    yaw = states[:, 2].astype(np.float64).copy()
+    dt = 0.1
+    min_sep = np.inf
+    for i in range(25):
+        for r in range(2):
+            vx = float(out["vx"][r, i])
+            om = float(out["omega"][r, i])
+            yaw[r] += om * dt
+            xy[r, 0] += vx * np.cos(yaw[r]) * dt
+            xy[r, 1] += vx * np.sin(yaw[r]) * dt
+        min_sep = min(min_sep, float(np.hypot(*(xy[0] - xy[1]))))
+    np.testing.assert_allclose(fin[:, 0:2], xy, atol=1e-3)
+    assert min_sep > 2 * 0.2, f"robots came within {min_sep:.3f} m"
+
+
 def test_nan_tracked_rows_are_empty_slots():
     """Rows with any non-finite value are the documented way to pad a
     fixed-shape tracked array — they must behave exactly like absent
