@@ -470,13 +470,11 @@ def _fleet_robot_step(
         if peer_pts is not None:
             if peer_vel is not None:
                 # peer prediction: each peer disc point advects along
-                # its robot's live world velocity within the rollout
-                # (own block already masked to pads with zero velocity)
+                # its robot's live world velocity within the rollout —
+                # same own-block mask the position concat used above
                 vel_parts.append(
                     jnp.where(
-                        (jnp.arange(peer_vel.shape[0]) // peer_block
-                         == row_id)[:, None],
-                        0.0, peer_vel,
+                        (slots == row_id)[:, None], 0.0, peer_vel
                     )
                 )
             else:

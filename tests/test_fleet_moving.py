@@ -203,9 +203,11 @@ def test_k_tick_loop_advects_movers():
         for i in range(k):
             vx = float(out["vx"][0, i])
             om = float(out["omega"][0, i])
-            yaw += om * dt
+            # device integration order: position from the PRE-update yaw
+            # (ops/fleet_solver body()), then the heading update
             x += vx * np.cos(yaw) * dt
             y += vx * np.sin(yaw) * dt
+            yaw += om * dt
             m = mover0 + mover_v * (i + 1) * dt
             min_d = min(min_d, float(np.hypot(x - m[0], y - m[1])))
         return min_d, (x, y), out
@@ -350,9 +352,10 @@ def test_peer_prediction_k_ticks_keep_crossing_robots_apart():
         for r in range(2):
             vx = float(out["vx"][r, i])
             om = float(out["omega"][r, i])
-            yaw[r] += om * dt
+            # device integration order: position from the PRE-update yaw
             xy[r, 0] += vx * np.cos(yaw[r]) * dt
             xy[r, 1] += vx * np.sin(yaw[r]) * dt
+            yaw[r] += om * dt
         min_sep = min(min_sep, float(np.hypot(*(xy[0] - xy[1]))))
     np.testing.assert_allclose(fin[:, 0:2], xy, atol=1e-3)
     assert min_sep > 2 * 0.2, f"robots came within {min_sep:.3f} m"
