@@ -1,11 +1,14 @@
 """Measured cost of fleet mutual avoidance (PARITY.md beyond-reference row).
 
-Slope-times the 64-robot fleet tick with and without
-``peer_avoidance=True`` at BASELINE solve shapes (2025 samples x 30
-steps, 512-ray scans). 2026-08-20 result: 33.5 -> 45.5 ms e2e per tick
-(+36%) — the obstacle axis grows 512 -> 1088 -> 2048 pow2-padded points
-(ring=8). e2e here includes host packing + tunnel transfers, which both
-variants pay identically; the delta is the device-side sweep growth.
+Slope-times the 64-robot fleet tick without peers, with
+``peer_avoidance=True``, and with ``peer_prediction=True`` on top, at
+BASELINE solve shapes (2025 samples x 30 steps, 512-ray scans).
+2026-08-20 AM: 33.5 -> 45.5 ms e2e per tick (+36%) — the obstacle axis
+grows 512 -> 1088 -> 2048 pow2-padded points (ring=8). Same-day PM
+three-way run: 36.3 / 44.9 / 51.6 ms — prediction adds +15% over plain
+peers (the moving sweep's 2 FMAs over the enlarged axis). e2e includes
+host packing + tunnel transfers, which all variants pay identically;
+the deltas are device-side sweep growth.
 
 Run on the real TPU: python -m kompass_core_tpu.benchmark.peer_bench
 """
@@ -31,7 +34,7 @@ def main(n: int = 64, rays: int = 512):
 
     enable_persistent_compilation_cache()
     out = {}
-    for peer in (False, True):
+    for peer, predict in ((False, False), (True, False), (True, True)):
         robots = [
             Robot(
                 robot_type=RobotType.DIFFERENTIAL_DRIVE,
@@ -65,6 +68,7 @@ def main(n: int = 64, rays: int = 512):
         fleet = DeviceFleet(
             robots, limits, config, scan_rays=rays, path_capacity=512,
             max_segments=16, peer_avoidance=peer,
+            peer_prediction=predict,
         )
         paths, states = [], []
         for i in range(n):
@@ -83,7 +87,7 @@ def main(n: int = 64, rays: int = 512):
         ]
         vels = np.zeros((n, 3), np.float32)
         ranges = np.full((n, rays), 10.0, np.float32)
-        name = f"fleet{n}_peer_{peer}"
+        name = f"fleet{n}_peer_{peer}" + ("_predict" if predict else "")
         r = measure_throughput_slope(
             name,
             lambda s: fleet.tick(s, vels, ranges, angles),
