@@ -10,7 +10,7 @@ CROSSING pairs (X-shaped paths that intersect at the center) with
 discs on device, and the demo verifies no two robots ever get closer
 than the contact distance.
 
-Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots] [--host|--peers]
+Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots] [--host|--peers|--predict]
 """
 
 import sys
@@ -45,9 +45,10 @@ require_backend_or_cpu()
 enable_persistent_compilation_cache()
 
 
-def main(n_robots: int = 100, host_mode: bool = False, peers: bool = False):
-    if peers:
-        return main_peers(n_robots)
+def main(n_robots: int = 100, host_mode: bool = False, peers: bool = False,
+         predict: bool = False):
+    if peers or predict:
+        return main_peers(n_robots, predict=predict)
     robots = [
         Robot(
             robot_type=RobotType.ACKERMANN,
@@ -141,8 +142,10 @@ def main(n_robots: int = 100, host_mode: bool = False, peers: bool = False):
     return 0
 
 
-def main_peers(n_robots: int = 8):
-    """Fleet mutual avoidance: crossing pairs, on-device peer discs."""
+def main_peers(n_robots: int = 8, predict: bool = False):
+    """Fleet mutual avoidance: crossing pairs, on-device peer discs.
+    With ``predict``, peer discs also advect along their live commanded
+    velocities within every rollout (peer motion prediction)."""
     n_robots = max(2, (n_robots // 2) * 2)
     radius = 0.3
     robots = [
@@ -179,7 +182,7 @@ def main_peers(n_robots: int = 8):
 
     fleet = DeviceFleet(
         robots, limits, config, scan_rays=n_rays, path_capacity=512,
-        max_segments=16, peer_avoidance=True,
+        max_segments=16, peer_avoidance=True, peer_prediction=predict,
     )
     # crossing pairs: an X per pair. The second robot starts 1.2 m
     # earlier along its lane, so the two reach the intersection at
@@ -241,5 +244,6 @@ if __name__ == "__main__":
             int(args[0]) if args else 100,
             host_mode="--host" in sys.argv,
             peers="--peers" in sys.argv,
+            predict="--predict" in sys.argv,
         )
     )
