@@ -9,14 +9,12 @@ Run: python examples/aot_artifact_demo.py
 """
 
 import os
+import sys
 import tempfile
 
 import numpy as np
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from kompass_core_tpu.utils.runtime import (
     enable_persistent_compilation_cache,

@@ -462,6 +462,40 @@ class DWA(Follower):
     # main entry: one control tick
     # ------------------------------------------------------------------
 
+    def _obstacle_blocks(
+        self, laser_scan, point_cloud, map_points_world,
+        obstacle_velocities_world,
+    ):
+        """Shared obstacle assembly for the production solve AND the
+        debug path (one implementation so debug rankings can't drift
+        from the executed command): returns
+        (obs_padded [bucket, 2], obs_count, vel_padded_or_None, bucket).
+        Pads sit at 1e8 position with ZERO velocity — a pad point must
+        not march through the workspace."""
+        if (
+            obstacle_velocities_world is not None
+            and not self._config.moving_obstacles
+        ):
+            raise ValueError(
+                "obstacle_velocities_world requires "
+                "DWAConfig(moving_obstacles=True) — the static-world "
+                "solver program has no velocity inputs"
+            )
+        obs, obs_vels = self._gather_obstacles(
+            laser_scan, point_cloud, map_points_world,
+            velocities=obstacle_velocities_world,
+        )
+        obs_count = len(obs)
+        bucket = max(256, _round_up(obs_count, 256))
+        obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
+        obs_padded[:obs_count] = obs
+        vel_padded = None
+        if self._config.moving_obstacles:
+            vel_padded = np.zeros((bucket, 2), dtype=np.float32)
+            if obs_vels is not None:
+                vel_padded[:obs_count] = obs_vels
+        return obs_padded, obs_count, vel_padded, bucket
+
     @staticmethod
     def tracked_obstacle_disc(center_xy, radius, velocity_xy, ring: int = 8):
         """(points [ring+1, 2], velocities [ring+1, 2]) world-frame
@@ -527,30 +561,10 @@ class DWA(Follower):
 
         self._adapt_prediction_horizon()
 
-        if (
-            obstacle_velocities_world is not None
-            and not self._config.moving_obstacles
-        ):
-            raise ValueError(
-                "obstacle_velocities_world requires "
-                "DWAConfig(moving_obstacles=True) — the static-world "
-                "solver program has no velocity inputs"
-            )
-        obs, obs_vels = self._gather_obstacles(
+        obs_padded, obs_count, vel_padded, bucket = self._obstacle_blocks(
             laser_scan, point_cloud, map_points_world,
-            velocities=obstacle_velocities_world,
+            obstacle_velocities_world,
         )
-        obs_count = len(obs)
-        bucket = max(256, _round_up(obs_count, 256))
-        obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
-        obs_padded[:obs_count] = obs
-        vel_padded = None
-        if self._config.moving_obstacles:
-            # pads stay at ZERO velocity — a 1e8 pad point must not march
-            vel_padded = np.zeros((bucket, 2), dtype=np.float32)
-            if obs_vels is not None:
-                vel_padded[:obs_count] = obs_vels
-
         spec, solver, buf = self._solver_for(bucket)
 
         start, end = self._tracked_segment_window()
@@ -702,29 +716,13 @@ class DWA(Follower):
             raise ValueError("Global path not set")
         self.determine_target()
         self._adapt_prediction_horizon()
-        if (
-            obstacle_velocities_world is not None
-            and not self._config.moving_obstacles
-        ):
-            raise ValueError(
-                "obstacle_velocities_world requires "
-                "DWAConfig(moving_obstacles=True)"
-            )
-        obs, obs_vels = self._gather_obstacles(
+        # same obstacle/velocity assembly as the production solve
+        # (_obstacle_blocks), so debug rankings match the executed
+        # command in static AND moving mode
+        obs_padded, obs_count, vel_padded, bucket = self._obstacle_blocks(
             laser_scan, point_cloud, map_points_world,
-            velocities=obstacle_velocities_world,
+            obstacle_velocities_world,
         )
-        obs_count = len(obs)
-        bucket = max(256, _round_up(obs_count, 256))
-        obs_padded = np.full((bucket, 2), 1e8, dtype=np.float32)
-        obs_padded[:obs_count] = obs
-        vel_padded = None
-        if self._config.moving_obstacles:
-            # same velocity inputs as the production solve, so debug
-            # rankings match the executed command in moving mode too
-            vel_padded = np.zeros((bucket, 2), dtype=np.float32)
-            if obs_vels is not None:
-                vel_padded[:obs_count] = obs_vels
         spec, _solver, buf = self._solver_for(bucket)
         if drop_samples is not None and bool(drop_samples) != spec.drop_samples:
             # honor the override: debug the requested admissibility mode

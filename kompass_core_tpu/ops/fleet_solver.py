@@ -689,6 +689,7 @@ def make_fleet_tick(
             "local shard's states, and gathering peers would add a "
             "cross-chip collective to the steady-state tick"
         )
+    _check_tracked_spec(fleet_spec)
 
     def tick(paths, cfg, carry, angles, inputs, safety_arg=None):
         if spec.dynamic_box and cfg.collision_box2 is None:
@@ -789,6 +790,23 @@ def make_fleet_tick(
     ))
 
 
+def _check_tracked_spec(fleet_spec: FleetSpec) -> None:
+    """Tracked-mover slots without the moving sweep would silently
+    DROP the supplied velocities (movers frozen at current positions —
+    the planner drives through a crossing pedestrian's predicted path
+    with no error). DeviceFleet couples the flags; direct composers get
+    the same build-time guard the dynamic_box/safety paths have."""
+    if (
+        fleet_spec.tracked_obstacles
+        and not fleet_spec.solver.moving_obstacles
+    ):
+        raise ValueError(
+            "FleetSpec.tracked_obstacles > 0 requires "
+            "solver.moving_obstacles=True — without the moving sweep "
+            "the tracked velocities would be silently ignored"
+        )
+
+
 def _peer_points_builder(peer_cfg, n_rows):
     """Closure pieces for the peer-avoidance point set (shared by the
     single-tick and k-tick programs): returns (fn(states)->[N*block, 2],
@@ -884,6 +902,7 @@ def make_fleet_ticks_on_device(
             "local shard's states, and gathering peers would add a "
             "cross-chip collective to the steady-state tick"
         )
+    _check_tracked_spec(fleet_spec)
 
     def ticks_peer(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
                    angles, inputs, safety_arg=None):

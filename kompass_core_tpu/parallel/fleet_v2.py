@@ -548,6 +548,15 @@ class DeviceFleet:
         arr = np.asarray(tracked, np.float32) if not isinstance(
             tracked, (list, tuple)
         ) else None
+        if arr is not None and arr.ndim == 2:
+            # ambiguous: [M', 4] could mean "M' movers for one robot" or
+            # "one mover per robot" — silently picking one produces a
+            # wrong world model for the other reading
+            raise ValueError(
+                "2-D tracked arrays are ambiguous — pass a 3-D "
+                "[num_robots, M', 4] array or a sequence of per-robot "
+                "[m_i, 4] arrays"
+            )
         if arr is not None and arr.ndim == 3:
             # fixed-shape [num_robots, M', 4] fast path: one vectorized
             # mask instead of a per-robot Python loop — this sits on the

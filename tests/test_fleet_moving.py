@@ -385,6 +385,37 @@ def test_snapshot_rejects_different_num_robots():
         fleet2.load_state_dict(sd)
 
 
+def test_2d_tracked_array_rejected_as_ambiguous():
+    """[M', 4] could mean 'M' movers, one robot' or 'one mover per
+    robot' — must raise instead of silently picking a reading."""
+    fleet = _make(tracked=2)
+    s, v, r, a = _free_inputs()
+    with pytest.raises(ValueError, match="ambiguous"):
+        fleet.tick(
+            s, v, r, a,
+            tracked=np.array([[3, 1, 0, -0.5], [4, 2, 0, -0.5]],
+                             np.float32),
+        )
+
+
+def test_fleet_spec_guard_tracked_requires_moving():
+    """Direct composers: tracked slots without the moving sweep would
+    silently drop the velocities — build-time guard."""
+    import dataclasses
+
+    from kompass_core_tpu.ops.fleet_solver import make_fleet_tick
+
+    fleet = _make(tracked=1)
+    bad = dataclasses.replace(
+        fleet.spec,
+        solver=dataclasses.replace(
+            fleet.spec.solver, moving_obstacles=False
+        ),
+    )
+    with pytest.raises(ValueError, match="moving_obstacles"):
+        make_fleet_tick(bad)
+
+
 def test_stale_tracked_rows_cleared_between_ticks():
     """A tick without `tracked` must not reuse the previous tick's
     objects."""
