@@ -103,5 +103,118 @@ def main(n: int = 64, rays: int = 512):
     return out
 
 
+def mesh_collective_cost(n: int = 16, rays: int = 128, reps: int = 10):
+    """Per-tick cost of the peer all-gather on the 8-device VIRTUAL mesh
+    (VERDICT r4 #1 'measure the collective on the virtual mesh').
+
+    Times the peer tick three ways on the CPU mesh — single-device,
+    mesh-sharded with peers (1 all-gather/tick), mesh-sharded without
+    peers (0 collectives) — so the mesh-vs-single delta separates into
+    shard_map overhead (visible in the no-peer pair) and the gather
+    itself. A virtual mesh shares one host's cores, so these are
+    host-contention-bounded UPPER bounds on the real-ICI cost; the
+    gathered block is N*28 bytes (64 robots -> 1.8 kB), which on v5e
+    ICI is ~microseconds.
+
+    Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+         python -m kompass_core_tpu.benchmark.peer_bench --mesh
+    """
+    import time
+
+    import jax
+
+    # the session sitecustomize pins jax_platforms to the remote TPU
+    # backend via jax.config (env vars alone do not win); this harness
+    # is defined on the virtual CPU mesh, so force CPU the same way the
+    # test conftest does
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..control import DWAConfig, TrajectoryCostsWeights
+    from ..models import (
+        AngularCtrlLimits,
+        LinearCtrlLimits,
+        Robot,
+        RobotCtrlLimits,
+        RobotGeometry,
+        RobotType,
+    )
+    from ..parallel import build_fleet_mesh
+    from ..parallel.fleet_v2 import DeviceFleet
+
+    assert len(jax.devices()) >= 8, "needs the 8-device virtual mesh"
+
+    def build(peer, mesh):
+        robots = [
+            Robot(
+                robot_type=RobotType.DIFFERENTIAL_DRIVE,
+                geometry_type=RobotGeometry.Type.CYLINDER,
+                geometry_params=np.array([0.3, 0.4]),
+            )
+            for _ in range(n)
+        ]
+        limits = RobotCtrlLimits(
+            vx_limits=LinearCtrlLimits(
+                max_vel=1.0, max_acc=5.0, max_decel=10.0
+            ),
+            omega_limits=AngularCtrlLimits(
+                max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+            ),
+        )
+        config = DWAConfig(
+            max_linear_samples=10,
+            max_angular_samples=10,
+            costs_weights=TrajectoryCostsWeights(
+                reference_path_distance_weight=3.0,
+                goal_distance_weight=1.0,
+                obstacles_distance_weight=2.0,
+            ),
+            prediction_horizon=10,
+            control_horizon=2,
+            control_time_step=0.1,
+        )
+        fleet = DeviceFleet(
+            robots, limits, config, scan_rays=rays, path_capacity=512,
+            max_segments=16, peer_avoidance=peer, mesh=mesh,
+        )
+        fleet.set_paths(
+            [np.array([[2.0 * i, 0.0], [2.0 * i, 5.0]]) for i in range(n)]
+        )
+        return fleet
+
+    states = np.array(
+        [[2.0 * i, 0.0, np.pi / 2, 0.0] for i in range(n)], np.float32
+    )
+    vels = np.zeros((n, 3), np.float32)
+    ranges = np.full((n, rays), 10.0, np.float32)
+    angles = np.linspace(0, 2 * np.pi, rays, endpoint=False)
+
+    out = {}
+    for name, peer, mesh in (
+        ("peer_single_device", True, None),
+        ("peer_mesh8", True, build_fleet_mesh()),
+        ("nopeer_mesh8", False, build_fleet_mesh()),
+    ):
+        fleet = build(peer, mesh)
+        fleet.tick(states, vels, ranges, angles)  # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fleet.tick(states, vels, ranges, angles)
+        ms = 1e3 * (time.perf_counter() - t0) / reps
+        out[name] = round(ms, 3)
+        print(name, out[name], "ms/tick", flush=True)
+    out["note"] = (
+        "virtual 8-device CPU mesh (host-contention-bounded upper "
+        "bounds); gathered peer block is n*28 bytes/tick"
+    )
+    out["n_robots"] = n
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--mesh" in sys.argv:
+        mesh_collective_cost()
+    else:
+        main()

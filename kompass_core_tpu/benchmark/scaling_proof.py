@@ -121,7 +121,7 @@ def sample_parallel_hlo(mesh) -> str:
 
 
 def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False,
-                   tracked: int = 0) -> str:
+                   tracked: int = 0, peers: bool = False) -> str:
     """Lower the device-resident fleet v2 steady-state tick program with
     its real argument trees (paths/config/carry/angles/inputs).
     ``safety=True`` compiles the safety-fused variant (the critical-zone
@@ -172,6 +172,7 @@ def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False,
         max_segments=16, mesh=mesh,
         safety_config=FleetSafetyConfig() if safety else None,
         tracked_obstacles=tracked,
+        peer_avoidance=peers,
     )
     fleet.set_paths(
         [np.array([[1.0 * i, 0.0], [1.0 * i, 2.5]]) for i in range(n_robots)]
@@ -198,6 +199,7 @@ def build_proof(mesh) -> dict:
         "fleet_v2_tick": fleet_tick_hlo(mesh),
         "fleet_v2_tick_safety": fleet_tick_hlo(mesh, safety=True),
         "fleet_v2_tick_tracked": fleet_tick_hlo(mesh, tracked=2),
+        "fleet_v2_tick_peers_mesh": fleet_tick_hlo(mesh, peers=True),
         "sample_parallel_solver": sample_parallel_hlo(mesh),
     }
     entries = {}
@@ -220,6 +222,14 @@ def build_proof(mesh) -> dict:
     assert set(sp) == {"all-reduce"} and sp["all-reduce"] >= 1, (
         "sample-parallel combine must compile to all-reduce ops only, "
         f"found {sp}"
+    )
+    # mesh-sharded mutual avoidance (VERDICT r4 #1): the peer state is
+    # the ONLY thing crossing chips — exactly one bounded all-gather of
+    # the [N, 7] state+velocity block per tick, nothing else
+    pm = entries["fleet_v2_tick_peers_mesh"]["collective_counts"]
+    assert pm == {"all-gather": 1}, (
+        "mesh peer tick must contain exactly one all-gather and no "
+        f"other collectives, found {pm}"
     )
     return {
         "mesh_devices": n_dev,

@@ -673,9 +673,12 @@ def make_fleet_tick(
     points at its circumference radius, recomputed from the live states
     each tick — the per-robot sweep grows by N*(ring+1) points, so the
     cost is O(N^2) across the fleet; intended for co-located fleets up
-    to a few hundred robots. Single-device only (a sharded fleet would
-    need a cross-chip all_gather of states, breaking the
-    zero-collective steady state this module guarantees).
+    to a few hundred robots. Under a ``mesh`` the peer state is
+    gathered with exactly ONE bounded ``all_gather`` per tick — the
+    [N, 7] state+velocity block, N*28 bytes over ICI — and everything
+    downstream stays row-local, so the steady state is "one collective
+    per tick" instead of zero (pinned as ``fleet_v2_tick_peers_mesh``
+    in SCALING_HLO.json).
 
     ``safety``: build the tick with the fused critical-zone gate — the
     returned function takes a trailing ``FleetSafety`` pytree and every
@@ -683,12 +686,6 @@ def make_fleet_tick(
     Row-local masked min only: the compiled steady state stays
     collective-free under a mesh."""
     spec = fleet_spec.solver
-    if peer_cfg is not None and mesh is not None:
-        raise ValueError(
-            "peer avoidance requires mesh=None: each chip only holds its "
-            "local shard's states, and gathering peers would add a "
-            "cross-chip collective to the steady-state tick"
-        )
     _check_tracked_spec(fleet_spec)
 
     def tick(paths, cfg, carry, angles, inputs, safety_arg=None):
@@ -731,12 +728,34 @@ def make_fleet_tick(
 
             extra = trk_extra + safety_extra
         else:
-            build_peers, build_peer_vel, peer_block, peer_count, row_ids = (
-                _peer_points_builder(peer_cfg, inputs.shape[0])
+            n_loc = inputs.shape[0]
+            if mesh is not None:
+                # mesh-sharded mutual avoidance: each chip holds its
+                # local robot rows, so the peer disc inputs — the whole
+                # fleet's states + commanded velocities — are gathered
+                # with ONE bounded all_gather per tick ([N, 7] f32;
+                # SCALING_HLO.json pins "exactly one all-gather" for
+                # this program). Everything after the gather is
+                # row-local, exactly the single-device program.
+                n_glob = n_loc * mesh.shape[axis_name]
+                sv = jax.lax.all_gather(
+                    inputs[:, 0:7], axis_name, axis=0, tiled=True
+                )
+                states_g, vels_g = sv[:, 0:4], sv[:, 4:7]
+                row_ids = (
+                    jax.lax.axis_index(axis_name) * n_loc
+                    + jnp.arange(n_loc, dtype=jnp.int32)
+                )
+            else:
+                n_glob = n_loc
+                states_g, vels_g = states, vels
+                row_ids = jnp.arange(n_loc, dtype=jnp.int32)
+            build_peers, build_peer_vel, peer_block, peer_count, _rids = (
+                _peer_points_builder(peer_cfg, n_glob)
             )
-            peer_pts = build_peers(states)  # live positions, this tick
+            peer_pts = build_peers(states_g)  # live positions, this tick
             peer_vel = (
-                build_peer_vel(states, vels)
+                build_peer_vel(states_g, vels_g)
                 if peer_cfg.get("predict") and spec.moving_obstacles
                 else None
             )
@@ -896,12 +915,6 @@ def make_fleet_ticks_on_device(
     (carry', outs [N, k, len(OUT_FIELDS)], final_states [N, 4])``.
     """
     spec = fleet_spec.solver
-    if peer_cfg is not None and mesh is not None:
-        raise ValueError(
-            "peer avoidance requires mesh=None: each chip only holds its "
-            "local shard's states, and gathering peers would add a "
-            "cross-chip collective to the steady-state tick"
-        )
     _check_tracked_spec(fleet_spec)
 
     def ticks_peer(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
@@ -927,8 +940,21 @@ def make_fleet_ticks_on_device(
             tracked_all = None
         n = inputs.shape[0]
         safety_extra = (safety_arg,) if safety else ()
-        build_peers, build_peer_vel, block, count, row_ids = (
-            _peer_points_builder(peer_cfg, n)
+        if mesh is not None:
+            # mesh form: ONE all_gather of the live [N, 7] state+velocity
+            # block per tick INSIDE the k-loop (k bounded collectives per
+            # dispatch) keeps the fleet-synchronous peer model exact
+            # across shards — peers on other chips stay live, not frozen
+            n_glob = n * mesh.shape[axis_name]
+            row_ids = (
+                jax.lax.axis_index(axis_name) * n
+                + jnp.arange(n, dtype=jnp.int32)
+            )
+        else:
+            n_glob = n
+            row_ids = jnp.arange(n, dtype=jnp.int32)
+        build_peers, build_peer_vel, block, count, _rids = (
+            _peer_points_builder(peer_cfg, n_glob)
         )
         predict_peers = bool(
             peer_cfg.get("predict") and spec.moving_obstacles
@@ -945,10 +971,18 @@ def make_fleet_ticks_on_device(
 
         def body(c, i):
             carry_c, s_c, v_c = c
-            peer_pts = build_peers(s_c)  # live positions, this tick
+            if mesh is not None:
+                sv = jax.lax.all_gather(
+                    jnp.concatenate([s_c, v_c], axis=1), axis_name,
+                    axis=0, tiled=True,
+                )
+                s_g, v_g = sv[:, 0:4], sv[:, 4:7]
+            else:
+                s_g, v_g = s_c, v_c
+            peer_pts = build_peers(s_g)  # live positions, this tick
             # peer prediction: inside the k-loop the peers' velocities
             # are the LIVE commanded ones from the previous tick
-            peer_vel = build_peer_vel(s_c, v_c) if predict_peers else None
+            peer_vel = build_peer_vel(s_g, v_g) if predict_peers else None
             if M:
                 # tracked movers advect between ticks (see the non-peer
                 # k-tick body)
@@ -1097,15 +1131,14 @@ def make_fleet_ticks_on_device(
         )
         return FleetCarry(*carry2), outs, states_f
 
-    if peer_cfg is not None:
-        return jax.jit(ticks_peer)  # mesh rejected above
+    fn = ticks_peer if peer_cfg is not None else ticks
     if mesh is None:
-        return jax.jit(ticks)
+        return jax.jit(fn)
     from jax.sharding import PartitionSpec as P
 
     sp = P(axis_name)
     n_in = 6 if safety else 5
     return jax.jit(jax.shard_map(
-        ticks, mesh=mesh, in_specs=(sp,) * n_in,
+        fn, mesh=mesh, in_specs=(sp,) * n_in,
         out_specs=(sp, sp, sp),
     ))

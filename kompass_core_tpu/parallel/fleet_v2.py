@@ -183,8 +183,10 @@ class DeviceFleet:
         # others as live obstacle discs (center + circumference ring) in
         # the same fused sweep the scan rides — collision pruning AND the
         # obstacle cost both respect peers, zero host involvement. The
-        # per-robot sweep grows by N*(ring+1) points (O(N^2) fleet-wide);
-        # single-device fleets only (see make_fleet_tick).
+        # per-robot sweep grows by N*(ring+1) points (O(N^2) fleet-wide).
+        # Under a mesh the peer state crosses chips as ONE bounded
+        # all_gather ([N, 7] f32) per tick — the only collective in the
+        # steady state (SCALING_HLO.json fleet_v2_tick_peers_mesh).
         self._peer_cfg = None
         if peer_prediction and not peer_avoidance:
             raise ValueError(
@@ -192,11 +194,6 @@ class DeviceFleet:
                 "advects the peer discs the avoidance path creates)"
             )
         if peer_avoidance:
-            if mesh is not None:
-                raise ValueError(
-                    "peer_avoidance requires mesh=None (each chip only "
-                    "holds its local shard's states)"
-                )
             self._peer_cfg = {
                 "radii": radius,  # [padded N], pads masked by n_real
                 "n_real": self.num_robots,

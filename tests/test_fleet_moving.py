@@ -237,7 +237,7 @@ def test_tracked_input_validation():
         fleet.tick(s, v, r, a, tracked=[np.zeros((1, 3), np.float32)])
 
 
-def _make_peer_fleet(predict, n_robots=2):
+def _make_peer_fleet(predict, n_robots=2, mesh=None):
     robots = [
         Robot(
             robot_type=RobotType.DIFFERENTIAL_DRIVE,
@@ -265,6 +265,7 @@ def _make_peer_fleet(predict, n_robots=2):
     fleet = DeviceFleet(
         robots, limits, config, scan_rays=N_RAYS, path_capacity=1024,
         max_segments=16, peer_avoidance=True, peer_prediction=predict,
+        mesh=mesh,
     )
     # robot 0 drives +x along y=0; robot 1 drives -y, crossing 0's path
     fleet.set_paths([
@@ -359,6 +360,72 @@ def test_peer_prediction_k_ticks_keep_crossing_robots_apart():
         min_sep = min(min_sep, float(np.hypot(*(xy[0] - xy[1]))))
     np.testing.assert_allclose(fin[:, 0:2], xy, atol=1e-3)
     assert min_sep > 2 * 0.2, f"robots came within {min_sep:.3f} m"
+
+
+def test_peer_prediction_k_ticks_mesh_keeps_crossing_robots_apart():
+    """Mesh form of the crossing test (VERDICT r4 #1): the two crossing
+    robots land on DIFFERENT shards of the 8-device mesh (rows 0 and 1,
+    one robot per device after padding), the k-tick program all-gathers
+    the live peer state once per tick, and the integrated tracks must
+    keep the same safe separation — with every command bit-identical to
+    the single-device program."""
+    import jax
+    from kompass_core_tpu.parallel import build_fleet_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    states = np.array(
+        [[0.0, 0.0, 0.0, 0.9], [2.5, 2.0, -np.pi / 2, 1.2]], np.float32
+    )
+    vels = np.array([[0.9, 0.0, 0.0], [1.2, 0.0, 0.0]], np.float32)
+    ranges = np.full((2, N_RAYS), 10.0, np.float32)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+
+    mesh_fleet = _make_peer_fleet(True, mesh=build_fleet_mesh())
+    assert mesh_fleet._n == 8, "2 robots must pad to one row per device"
+    out = mesh_fleet.run_ticks_on_device(25, states, vels, ranges, angles)
+    out_single = _make_peer_fleet(True).run_ticks_on_device(
+        25, states, vels, ranges, angles
+    )
+    for key in out_single:
+        np.testing.assert_array_equal(out[key], out_single[key])
+
+    xy = states[:, 0:2].astype(np.float64)
+    yaw = states[:, 2].astype(np.float64).copy()
+    dt = 0.1
+    min_sep = np.inf
+    for i in range(25):
+        for r in range(2):
+            vx = float(out["vx"][r, i])
+            om = float(out["omega"][r, i])
+            xy[r, 0] += vx * np.cos(yaw[r]) * dt
+            xy[r, 1] += vx * np.sin(yaw[r]) * dt
+            yaw[r] += om * dt
+        min_sep = min(min_sep, float(np.hypot(*(xy[0] - xy[1]))))
+    assert min_sep > 2 * 0.2, f"robots came within {min_sep:.3f} m"
+
+
+def test_peer_avoidance_single_tick_mesh_matches_single_device():
+    """The mesh single-tick peer program (one all-gather, then the
+    row-local pipeline) must agree bit-for-bit with the single-device
+    peer program on the same crossing scenario."""
+    import jax
+    from kompass_core_tpu.parallel import build_fleet_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    states = np.array(
+        [[0.0, 0.0, 0.0, 0.9], [2.5, 2.0, -np.pi / 2, 1.4]], np.float32
+    )
+    vels = np.array([[0.9, 0.0, 0.0], [1.4, 0.0, 0.0]], np.float32)
+    ranges = np.full((2, N_RAYS), 10.0, np.float32)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    out_mesh = _make_peer_fleet(True, mesh=build_fleet_mesh()).tick(
+        states, vels, ranges, angles
+    )
+    out_single = _make_peer_fleet(True).tick(states, vels, ranges, angles)
+    for key in out_single:
+        np.testing.assert_array_equal(out_mesh[key], out_single[key])
 
 
 def test_nan_tracked_rows_are_empty_slots():

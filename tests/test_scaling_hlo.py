@@ -117,3 +117,17 @@ def test_fleet_v2_tracked_tick_has_zero_collectives(mesh):
         f"tracked-mover fleet tick sharded over 8 devices must be "
         f"communication-free, found {counts}"
     )
+
+
+def test_fleet_v2_peer_mesh_tick_has_exactly_one_all_gather(mesh):
+    """Mesh-sharded mutual avoidance (VERDICT r4 #1): the peer state —
+    the [N, 7] state+velocity block, N*28 bytes — is the ONLY thing that
+    crosses chips, as exactly one all-gather per tick. Any second
+    collective would mean the partitioner resharded something we claim
+    stays chip-local; zero would mean the peers silently stopped being
+    gathered."""
+    counts = count_collectives(fleet_tick_hlo(mesh, peers=True))
+    assert counts == {"all-gather": 1}, (
+        f"mesh peer tick must contain exactly one all-gather and "
+        f"nothing else, found {counts}"
+    )
