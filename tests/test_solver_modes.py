@@ -73,8 +73,11 @@ def test_omni_dwa_uses_lateral_motion():
     assert spec.is_omni and spec.n_vy >= 3
 
 
-def _truncate_scenario(drop: bool):
-    """One straight-ahead sample family with an obstacle at 1.0 m."""
+def _truncate_scenario(drop: bool, moving: bool = False):
+    """One straight-ahead sample family with an obstacle at 1.0 m.
+
+    ``moving=True`` runs the moving-obstacle sweep with the obstacle
+    drifting across the lane at 0.3 m/s (backends must agree on it)."""
     spec = SolverSpec(
         is_omni=False,
         n_vx=3,
@@ -85,6 +88,7 @@ def _truncate_scenario(drop: bool):
         scan_size=32,
         seg_size=64,
         drop_samples=drop,
+        moving_obstacles=moving,
     )
     limits = _limits().to_array()
     limits[3:6] = 0.0
@@ -114,6 +118,11 @@ def _truncate_scenario(drop: bool):
         acc_limits=(5.0, 0.0, 3.0),
         max_obstacles_dist=10 / 3,
     )
+    extra = {}
+    if moving:
+        vel = np.zeros((32, 2), np.float32)
+        vel[0] = [0.0, 0.3]  # the 1 m obstacle drifts across the lane
+        extra["obs_vel"] = jnp.asarray(vel)
     return dwa_solve(
         spec,
         params,
@@ -128,6 +137,7 @@ def _truncate_scenario(drop: bool):
         jnp.float32(3.9),
         jnp.float32(3.9),
         jnp.int32(20),
+        **extra,
     ), spec
 
 
