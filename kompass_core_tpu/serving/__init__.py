@@ -16,6 +16,7 @@ from .export import (
     load_artifact,
     load_packed_solver,
     read_artifact_header,
+    sharded_fleet_call,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "load_artifact",
     "load_packed_solver",
     "read_artifact_header",
+    "sharded_fleet_call",
 ]

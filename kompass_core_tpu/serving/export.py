@@ -291,10 +291,57 @@ def _check_exportable_fleet(fleet) -> None:
     """Mesh-sharded fleets embed device shardings in their programs;
     jax.export of sharded computations targets a fixed device assignment,
     which is the wrong contract for a shippable artifact. Export the
-    single-device program and shard at the serving site instead."""
+    single-device program and shard at the serving site with
+    ``sharded_fleet_call`` (demonstrated end-to-end in
+    ``tests/test_serving_export.py::test_artifact_shards_at_serving_site``
+    and ``examples/serving_mesh_shard_demo.py``)."""
     if getattr(fleet, "mesh", None) is not None:
         raise NotImplementedError(
             "export of mesh-sharded fleet programs is not supported — "
-            "build the fleet without a mesh for export, and apply the "
-            "mesh in the serving process"
+            "build the fleet without a mesh for export, and shard at the "
+            "serving site with serving.sharded_fleet_call"
         )
+
+
+def sharded_fleet_call(art: LoadedArtifact, args, devices):
+    """Serve a single-device fleet artifact across ``devices`` — the
+    shard-at-serving-site contract behind ``_check_exportable_fleet``.
+
+    The fleet tick is row-local per robot (zero cross-device collectives
+    in the compiled steady state, SCALING_HLO.json), so multi-chip
+    serving needs no sharded program at all: row-chunk every [N, ...]
+    leaf of ``args`` into ``len(devices)`` shards of the artifact's
+    exported row count, commit shard d to ``devices[d]``, and dispatch
+    the SAME loaded executable once per device (dispatches are async, so
+    shards run concurrently). Outputs are re-concatenated on host in
+    fleet row order — bit-identical to the monolithic single-device
+    call.
+
+    ``args``: the full-fleet argument tree in the artifact's calling
+    convention (``DeviceFleet.tick_example_args`` of a fleet built with
+    ``n_shards * art.meta['n_robots']`` robots and the same construction
+    parameters). Peer-avoidance programs are NOT shardable this way
+    (rows interact); use ``DeviceFleet(mesh=...)`` live for those."""
+    n_exp = int(art.meta["n_robots"])
+    leaves = jax.tree_util.tree_leaves(args)
+    n_tot = int(leaves[0].shape[0])
+    if n_tot != n_exp * len(devices):
+        raise ValueError(
+            f"args carry {n_tot} fleet rows; the artifact serves "
+            f"{n_exp} rows per call, so {len(devices)} devices need "
+            f"exactly {n_exp * len(devices)}"
+        )
+    host = jax.tree_util.tree_map(np.asarray, args)
+    shard_outs = []
+    for d, dev in enumerate(devices):
+        shard = jax.tree_util.tree_map(
+            lambda a, _d=d, _dev=dev: jax.device_put(
+                a[_d * n_exp : (_d + 1) * n_exp], _dev
+            ),
+            host,
+        )
+        shard_outs.append(art.call(*shard))  # async dispatch on dev
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+        *shard_outs,
+    )
