@@ -146,7 +146,13 @@ def fleet_main(n: int = 64, rays: int = 512, tracked: int = 8):
 
     enable_persistent_compilation_cache()
     out = {}
-    for m_slots in (0, tracked):
+    # (slots, split): plain control, tail-slot form (scan bucket grows
+    # rays -> rays+M, crossing a pow2 lane boundary at 512), and the
+    # round-5 split form (bucket stays at rays; movers in a narrow
+    # separate moving sweep — bit-identical outputs, see
+    # tests/test_fleet_moving.py split cases). VERDICT r4 #4: measure
+    # the alternative instead of reasoning about it.
+    for m_slots, split in ((0, False), (tracked, False), (tracked, True)):
         robots = [
             Robot(
                 robot_type=RobotType.DIFFERENTIAL_DRIVE,
@@ -180,6 +186,7 @@ def fleet_main(n: int = 64, rays: int = 512, tracked: int = 8):
         fleet = DeviceFleet(
             robots, limits, config, scan_rays=rays, path_capacity=512,
             max_segments=16, tracked_obstacles=m_slots,
+            split_mover_sweep=split,
         )
         paths, states = [], []
         for i in range(n):
@@ -210,7 +217,7 @@ def fleet_main(n: int = 64, rays: int = 512, tracked: int = 8):
             )
         else:
             dispatch = lambda s: fleet.tick(s, vels, ranges, angles)  # noqa: E731
-        name = f"fleet{n}_tracked_{m_slots}"
+        name = f"fleet{n}_tracked_{m_slots}" + ("_split" if split else "")
         r = measure_throughput_slope(
             name, dispatch, variants, lambda o: float(o["cost"][0]),
         )

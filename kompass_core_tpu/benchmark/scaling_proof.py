@@ -121,7 +121,8 @@ def sample_parallel_hlo(mesh) -> str:
 
 
 def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False,
-                   tracked: int = 0, peers: bool = False) -> str:
+                   tracked: int = 0, peers: bool = False,
+                   split: bool = False) -> str:
     """Lower the device-resident fleet v2 steady-state tick program with
     its real argument trees (paths/config/carry/angles/inputs).
     ``safety=True`` compiles the safety-fused variant (the critical-zone
@@ -173,6 +174,7 @@ def fleet_tick_hlo(mesh, n_robots: int = 8, safety: bool = False,
         safety_config=FleetSafetyConfig() if safety else None,
         tracked_obstacles=tracked,
         peer_avoidance=peers,
+        split_mover_sweep=split,
     )
     fleet.set_paths(
         [np.array([[1.0 * i, 0.0], [1.0 * i, 2.5]]) for i in range(n_robots)]
@@ -199,6 +201,9 @@ def build_proof(mesh) -> dict:
         "fleet_v2_tick": fleet_tick_hlo(mesh),
         "fleet_v2_tick_safety": fleet_tick_hlo(mesh, safety=True),
         "fleet_v2_tick_tracked": fleet_tick_hlo(mesh, tracked=2),
+        "fleet_v2_tick_tracked_split": fleet_tick_hlo(
+            mesh, tracked=2, split=True
+        ),
         "fleet_v2_tick_peers_mesh": fleet_tick_hlo(mesh, peers=True),
         "sample_parallel_solver": sample_parallel_hlo(mesh),
     }
@@ -212,7 +217,7 @@ def build_proof(mesh) -> dict:
         }
     for name in (
         "fleet_solver_packed", "fleet_v2_tick", "fleet_v2_tick_safety",
-        "fleet_v2_tick_tracked",
+        "fleet_v2_tick_tracked", "fleet_v2_tick_tracked_split",
     ):
         assert entries[name]["total_collectives"] == 0, (
             f"{name}: steady-state fleet program must contain zero "

@@ -47,6 +47,17 @@ class FleetSpec:
     # position, and the k-tick loop advects it between ticks. 0 = the
     # input layout and compiled program are unchanged.
     tracked_obstacles: int = 0
+    # Route tracked movers through a SEPARATE narrow moving sweep
+    # min-combined with the (static-width) scan sweep instead of the
+    # scan bucket's tail slots — bit-identical outputs (min over the
+    # same union; zero-velocity rows are bit-equal static), and the
+    # scan bucket stays at its rays-only size. MEASURED AND LOST
+    # (MOVING_BENCH.json r5_remeasure fleet_split_mover_sweep,
+    # same-session): 42.9 vs 41.3 ms/tick at 64 robots / 512 rays / 8
+    # slots — the separate sweep + min-combine costs more than the
+    # pow2 lane-boundary crossing it avoids. Tail-slot stays the
+    # default; this stays as the measured, bit-identical alternative.
+    split_mover_sweep: bool = False
 
 
 class FleetPaths(NamedTuple):
@@ -352,6 +363,7 @@ def _fleet_robot_step(
     safety_row: FleetSafety = None,  # fused critical-zone check (one row)
     tracked4=None,  # [M, 4] (x, y, vx, vy) tracked moving objects, world
     peer_vel=None,  # [N*peer_block, 2] world peer velocities (prediction)
+    split_movers: bool = False,  # movers via the narrow split sweep
 ):
     """One robot's full control tick on device.
 
@@ -424,6 +436,18 @@ def _fleet_robot_step(
         R = obs.shape[0]
     obs_count = jnp.int32(jnp.minimum(R, spec.scan_size))
     scan_len = obs.shape[0]
+    mover4 = None
+    if tracked4 is not None and split_movers:
+        # split form (FleetSpec.split_mover_sweep): the movers never
+        # touch the scan bucket — they run as a narrow separate moving
+        # sweep inside dwa_solve, min-combined with the static field.
+        # obs_count still counts them so the obstacle-cost gate matches
+        # the tail-slot form exactly.
+        mover4 = tracked4
+        obs_count = obs_count + jnp.sum(tracked4[:, 0] < 1e7).astype(
+            jnp.int32
+        )
+        tracked4 = None
     if tracked4 is not None:
         # tracked moving objects (x, y, vx, vy): positions enter the
         # sweep here; velocities ride the per-point obs_vel field below
@@ -526,6 +550,7 @@ def _fleet_robot_step(
         active_points,
         collision_box_dyn=collision_box2 if spec.dynamic_box else None,
         obs_vel=obs_vel,
+        mover4=mover4,
     )
 
     # --- rotate-in-place / reached overrides ---
@@ -724,6 +749,7 @@ def make_fleet_tick(
                     fleet_spec.solver.seg_size,
                     tracked4=ex[0] if M else None,
                     safety_row=ex[1 if M else 0] if safety else None,
+                    split_movers=fleet_spec.split_mover_sweep,
                 )
 
             extra = trk_extra + safety_extra
@@ -772,6 +798,7 @@ def make_fleet_tick(
                     row_id=rid,
                     tracked4=ex[0] if M else None,
                     safety_row=ex[1 if M else 0] if safety else None,
+                    split_movers=fleet_spec.split_mover_sweep,
                     peer_vel=peer_vel,  # closed over, like peer_pts
                 )
 
@@ -818,10 +845,12 @@ def _check_tracked_spec(fleet_spec: FleetSpec) -> None:
     if (
         fleet_spec.tracked_obstacles
         and not fleet_spec.solver.moving_obstacles
+        and not fleet_spec.split_mover_sweep
     ):
         raise ValueError(
             "FleetSpec.tracked_obstacles > 0 requires "
-            "solver.moving_obstacles=True — without the moving sweep "
+            "solver.moving_obstacles=True (tail-slot form) or "
+            "split_mover_sweep=True — without either moving sweep "
             "the tracked velocities would be silently ignored"
         )
 
@@ -1011,6 +1040,7 @@ def make_fleet_ticks_on_device(
                     peer_count=count, row_id=rid,
                     tracked4=ex[0] if M else None,
                     safety_row=ex[1 if M else 0] if safety else None,
+                    split_movers=fleet_spec.split_mover_sweep,
                     peer_vel=peer_vel,  # closed over, like peer_pts
                 )
 
@@ -1102,6 +1132,7 @@ def make_fleet_ticks_on_device(
                     spec, paths_row, cfg_row, carry_c, s_c, v_c, r, a,
                     fleet_spec.solver.seg_size, obs_world=obs,
                     tracked4=trk_i, safety_row=safety_row,
+                    split_movers=fleet_spec.split_mover_sweep,
                 )
                 vx, vy, om = out[2], out[3], out[4]
                 cy, sy = jnp.cos(s_c[2]), jnp.sin(s_c[2])

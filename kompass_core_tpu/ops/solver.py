@@ -370,7 +370,16 @@ def _min_obstacle_dist_sq_moving(px, py, obs_xy, obs_vel, time_step, pt_mask):
     vy = jnp.pad(obs_vel[:, 1], (0, oy.shape[0] - obs_vel.shape[0]))
     t = (jnp.arange(T, dtype=jnp.float32) * time_step)[None, :, None]
     # [S, T, O] fused reduce; the obstacle track ox + vx*t adds two FMAs
-    # per pair on top of the static sweep — still VPU-bound, still fused
+    # per pair on top of the static sweep — still VPU-bound, still fused.
+    # Force-materializing the [T, O] track via optimization_barrier was
+    # measured and FALSIFIED (2026-08-20, same-session control): 128.47
+    # vs 128.3 us/solve without — the +9% moving cost is the [T, O]
+    # operand's per-(s,t,o) read pattern, not refused track FMAs. The
+    # carry-chained device-loop pair (DEVICE_LOOP.json k264) shows the
+    # loop form at parity with static (~0.122 ms both): with the buffer
+    # loop-invariant except one scalar, XLA hoists the track work out of
+    # the scan — honest for throughput-loop serving, while this straight
+    # program's +9% is the honest per-dispatch cost.
     d2 = jnp.min(
         (px[:, :, None] - (ox[None, None, :] + vx[None, None, :] * t)) ** 2
         + (py[:, :, None] - (oy[None, None, :] + vy[None, None, :] * t)) ** 2,
@@ -634,6 +643,7 @@ def dwa_solve(
     custom_costs: Sequence = (),
     collision_box_dyn=None,  # [2] traced half-extents (spec.dynamic_box)
     obs_vel=None,  # [R, 2] obstacle velocities (spec.moving_obstacles)
+    mover4=None,  # [M, 4] (x, y, vx, vy) split moving-obstacle sweep
 ) -> SolveResult:
     """One DWA tick: returns the argmin trajectory over the dynamic window.
 
@@ -645,6 +655,18 @@ def dwa_solve(
     ``fn(vel_traj [S,T-1,3], px [S,T], py [S,T], active_points) -> [S]`` —
     the user-defined cost hook (reference ``DWA::addCustomCost``,
     ``dwa.h:103``).
+
+    ``mover4``: SPLIT moving-obstacle sweep — a narrow [M, 4]
+    (x, y, vx, vy) set swept with the constant-velocity time term and
+    min-combined with the main (static) obstacle field before
+    admissibility and the obstacle cost. Mathematically identical to
+    concatenating the movers into the main bucket with
+    ``moving_obstacles`` (min over a union; zero-velocity scan rows are
+    bit-equal static), but the main sweep stays at its static width and
+    op count — the fleet uses this to keep a pow2-full scan bucket from
+    crossing a lane boundary when mover slots are added
+    (``FleetSpec.split_mover_sweep``; MOVING_BENCH.json measures both
+    forms). Pad rows: position +1e8, velocity 0.
     """
     active_points = jnp.asarray(active_points, jnp.int32)
     vels, valid = _build_velocity_grid(spec, window)
@@ -694,6 +716,22 @@ def dwa_solve(
     else:
         d2_obs = _min_obstacle_dist_sq(px, py, obs_xy, pt_mask)
 
+    # split mover sweep: narrow moving set min-combined with the main
+    # field (see the docstring). In drop mode it folds in immediately;
+    # in truncate mode it stays separate so the static freeze-patch
+    # below applies only to the static part (movers re-sweep from the
+    # truncated positions — time keeps advancing past a frozen pose).
+    d2_mov = None
+    if mover4 is not None:
+        d2_mov = _min_obstacle_dist_sq_moving(
+            px, py, mover4[:, 0:2], mover4[:, 2:4], params.time_step,
+            pt_mask,
+        )
+        if spec.drop_samples:
+            d2_obs = jnp.minimum(d2_obs, d2_mov)
+            d2_mov = None  # fully folded in
+    d2_adm = d2_obs if d2_mov is None else jnp.minimum(d2_obs, d2_mov)
+
     if spec.collision_box is not None or (
         spec.dynamic_box and collision_box_dyn is not None
     ):
@@ -710,13 +748,20 @@ def dwa_solve(
             spec, params, state, vels, px, py, obs_xy, pt_mask,
             box_hl=bhl, box_hw=bhw, obs_vel=obs_vel if moving else None,
         )
+        if mover4 is not None:
+            # movers meet the exact box model too (their point d2 field
+            # above only drives the obstacle cost)
+            d2_col = jnp.minimum(d2_col, _min_box_dist_sq(
+                spec, params, state, vels, px, py, mover4[:, 0:2],
+                pt_mask, box_hl=bhl, box_hw=bhw, obs_vel=mover4[:, 2:4],
+            ))
         admissible, truncate_ok, i_col, last_free = _admissibility(
             spec, params, d2_col, active_points, valid,
             surface_distance=True,
         )
     else:
         admissible, truncate_ok, i_col, last_free = _admissibility(
-            spec, params, d2_obs, active_points, valid
+            spec, params, d2_adm, active_points, valid
         )
     if spec.drop_samples:
         # drop mode never truncates: skip the per-row gathers entirely
@@ -751,6 +796,15 @@ def dwa_solve(
                 jnp.where(lf_sel, d2_obs, 0.0), axis=1, keepdims=True
             )
             d2_obs = jnp.where(frozen, d2_lf, d2_obs)
+        if d2_mov is not None:
+            # split movers: like the moving branch above, a frozen point
+            # keeps its position while the mover track advances — re-sweep
+            # the narrow set from the truncated positions and combine
+            d2_mov = _min_obstacle_dist_sq_moving(
+                px, py, mover4[:, 0:2], mover4[:, 2:4],
+                params.time_step, pt_mask,
+            )
+            d2_obs = jnp.minimum(d2_obs, d2_mov)
         if d2_seg is not None:
             # same freeze for the pallas-precomputed segment sweep — the
             # XLA path recomputes from the truncated px/py inside

@@ -71,6 +71,7 @@ class DeviceFleet:
         safety_config=None,  # FleetSafetyConfig, or one per robot
         tracked_obstacles: int = 0,  # M moving-object slots per robot
         peer_prediction: bool = False,  # peers advect within the rollout
+        split_mover_sweep: bool = False,  # movers via a narrow split sweep
     ):
         enable_persistent_compilation_cache()
         self.num_robots = len(robots)
@@ -157,16 +158,29 @@ class DeviceFleet:
             # its guaranteed-pad tail — ops/fleet_solver), so the bucket
             # must hold rays + M; when rays alone already fill a pow2
             # bucket, any M widens the sweep to the next power of two
-            # (the same lane rule that prices peer avoidance)
-            scan_size=max(256, _round_up(scan_rays + tracked_obstacles, 256)),
+            # (the same lane rule that prices peer avoidance).
+            # split_mover_sweep=True keeps the bucket at rays only and
+            # runs the movers through a separate narrow moving sweep —
+            # bit-identical commands, but measured SLOWER than the
+            # tail-slot default (42.9 vs 41.3 ms/tick, MOVING_BENCH.json
+            # r5_remeasure); kept as the measured alternative
+            scan_size=max(256, _round_up(
+                scan_rays
+                + (0 if split_mover_sweep else tracked_obstacles), 256
+            )),
             seg_size=seg_size,
             drop_samples=bool(config.drop_samples),
             device_window=True,
             dynamic_box=has_box,
             # tracked movers / predicted peers ride the sweep at their
             # constant-velocity positions (ops/solver.py moving sweep;
-            # measured cost in MOVING_BENCH.json)
-            moving_obstacles=tracked_obstacles > 0 or peer_prediction,
+            # measured cost in MOVING_BENCH.json); split movers carry
+            # their velocities in the narrow sweep instead, so only
+            # peer prediction still needs the per-point velocity block
+            moving_obstacles=(
+                (tracked_obstacles > 0 and not split_mover_sweep)
+                or peer_prediction
+            ),
         )
         self._tracked = int(tracked_obstacles)
         self.spec = FleetSpec(
@@ -174,6 +188,7 @@ class DeviceFleet:
             path_capacity=path_capacity,
             max_segments=max_segments,
             tracked_obstacles=self._tracked,
+            split_mover_sweep=bool(split_mover_sweep),
         )
         # dispatch_chunk=0/None is the documented monolithic escape hatch
         # (one unchunked vmap over the whole fleet); only an ACTIVE chunk

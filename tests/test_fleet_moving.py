@@ -558,3 +558,100 @@ def test_tracked_fleet_runs_on_a_mesh():
     for key in out_single:
         np.testing.assert_array_equal(out_mesh[key], out_single[key])
     assert out_mesh["num_admissible"][0] < out_mesh["num_admissible"][1]
+
+
+def _make_split(split, n_robots=1, tracked=2, horizon=20):
+    """Same fleet, movers routed tail-slot (split=False) or through the
+    narrow split sweep (split=True)."""
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.2, 0.4]),
+        )
+        for _ in range(n_robots)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=10.0,
+                                   max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=2.0, max_acc=6.0, max_decel=6.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=8, max_angular_samples=8,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=2.0, goal_distance_weight=1.0,
+            obstacles_distance_weight=0.5,
+            smoothness_weight=0.0, jerk_weight=0.0,
+        ),
+        prediction_horizon=horizon, control_horizon=2,
+        control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=1024,
+        max_segments=16, tracked_obstacles=tracked,
+        split_mover_sweep=split,
+    )
+    fleet.set_paths([
+        np.array([[0.0, 2.0 * i], [6.0, 2.0 * i]])
+        for i in range(n_robots)
+    ])
+    fleet.set_scan_angles(np.linspace(0, 2 * np.pi, N_RAYS,
+                                      endpoint=False))
+    return fleet
+
+
+def test_split_mover_sweep_bit_identical_to_tail_slot():
+    """The split narrow sweep is a pure program-shape change: min over
+    the same point union, zero-velocity rows bit-equal static — so both
+    forms must produce BIT-IDENTICAL commands on identical inputs,
+    including crossing movers, empty slots, and NaN pads. (This is the
+    claim that lets MOVING_BENCH.json keep whichever form is faster.)"""
+    s, v, r, a = _free_inputs()
+    tracked_cases = [
+        None,
+        [np.array([[1.2, 0.0, 0.0, 0.0]], np.float32)],  # static wall
+        [np.array([[3.0, 2.0, 0.0, -0.8],
+                   [1.5, -1.0, 0.3, 0.4]], np.float32)],  # crossing
+        np.array([[[2.0, 1.0, -0.5, 0.0],
+                   [np.nan, np.nan, np.nan, np.nan]]], np.float32),
+    ]
+    tail = _make_split(False)
+    split = _make_split(True)
+    for trk in tracked_cases:
+        out_t = tail.tick(s, v, r, a, tracked=trk)
+        out_s = split.tick(s, v, r, a, tracked=trk)
+        for key in out_t:
+            np.testing.assert_array_equal(
+                out_t[key], out_s[key],
+                err_msg=f"split != tail-slot for case {trk!r}, {key}",
+            )
+
+
+def test_split_mover_sweep_k_ticks_bit_identical():
+    """The k-tick serving loop advects split movers exactly like
+    tail-slot movers (base position + v*i*dt per tick): k=12 one-dispatch
+    runs must match bit-for-bit."""
+    s, v, r, a = _free_inputs()
+    trk = [np.array([[3.0, 2.0, 0.0, -0.8]], np.float32)]
+    out_t = _make_split(False, tracked=1).run_ticks_on_device(
+        12, s, v, r, a, tracked=trk
+    )
+    out_s = _make_split(True, tracked=1).run_ticks_on_device(
+        12, s, v, r, a, tracked=trk
+    )
+    for key in out_t:
+        np.testing.assert_array_equal(out_t[key], out_s[key])
+
+
+def test_split_mover_scan_bucket_stays_at_rays():
+    """The whole point of the split form: the scan bucket must NOT grow
+    by the mover slots."""
+    tail = _make_split(False, tracked=8)
+    split = _make_split(True, tracked=8)
+    assert tail.spec.solver.scan_size == 256  # 64 rays + 8 -> round 256
+    assert split.spec.solver.scan_size == 256
+    # at a pow2-full bucket the difference appears
+    assert tail.spec.solver.moving_obstacles
+    assert not split.spec.solver.moving_obstacles  # velocities ride mover4

@@ -119,6 +119,17 @@ def test_fleet_v2_tracked_tick_has_zero_collectives(mesh):
     )
 
 
+def test_fleet_v2_split_tracked_tick_has_zero_collectives(mesh):
+    """The split mover sweep (narrow moving set beside the static scan
+    sweep) is row-local like the tail-slot form; it must keep the
+    zero-collective steady state."""
+    counts = count_collectives(fleet_tick_hlo(mesh, tracked=2, split=True))
+    assert counts == {}, (
+        f"split-mover fleet tick sharded over 8 devices must be "
+        f"communication-free, found {counts}"
+    )
+
+
 def test_fleet_v2_peer_mesh_tick_has_exactly_one_all_gather(mesh):
     """Mesh-sharded mutual avoidance (VERDICT r4 #1): the peer state —
     the [N, 7] state+velocity block, N*28 bytes — is the ONLY thing that
