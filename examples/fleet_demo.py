@@ -10,7 +10,13 @@ CROSSING pairs (X-shaped paths that intersect at the center) with
 discs on device, and the demo verifies no two robots ever get closer
 than the contact distance.
 
-Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots] [--host|--peers|--predict]
+Pass --mesh (with --peers/--predict) to run the same scenario with the
+robot axis sharded over an 8-device virtual CPU mesh: the peer state
+crosses chips as ONE bounded all_gather per tick (the steady state's
+only collective, SCALING_HLO.json `fleet_v2_tick_peers_mesh`), and the
+commands are bit-identical to the single-device program.
+
+Run: PYTHONPATH=. python examples/fleet_demo.py [num_robots] [--host|--peers|--predict|--mesh]
 """
 
 import sys
@@ -22,6 +28,21 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+if "--mesh" in _sys.argv:
+    # the mesh demo needs 8 virtual CPU devices, which must be
+    # configured BEFORE the first jax backend initialization (the
+    # require_backend_or_cpu() probe below would otherwise pin the
+    # single-chip remote backend first)
+    _flags = _os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        _os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    _os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
 from kompass_core_tpu.datatypes import LaserScanData
@@ -46,9 +67,9 @@ enable_persistent_compilation_cache()
 
 
 def main(n_robots: int = 100, host_mode: bool = False, peers: bool = False,
-         predict: bool = False):
-    if peers or predict:
-        return main_peers(n_robots, predict=predict)
+         predict: bool = False, mesh: bool = False):
+    if peers or predict or mesh:
+        return main_peers(n_robots, predict=predict, use_mesh=mesh)
     robots = [
         Robot(
             robot_type=RobotType.ACKERMANN,
@@ -142,10 +163,30 @@ def main(n_robots: int = 100, host_mode: bool = False, peers: bool = False,
     return 0
 
 
-def main_peers(n_robots: int = 8, predict: bool = False):
+def main_peers(n_robots: int = 8, predict: bool = False,
+               use_mesh: bool = False):
     """Fleet mutual avoidance: crossing pairs, on-device peer discs.
     With ``predict``, peer discs also advect along their live commanded
-    velocities within every rollout (peer motion prediction)."""
+    velocities within every rollout (peer motion prediction). With
+    ``use_mesh``, the fleet shards over an 8-device virtual CPU mesh —
+    mutual avoidance then runs ACROSS chips via one bounded all_gather
+    of the [N, 7] peer state per tick."""
+    mesh = None
+    if use_mesh:
+        import jax
+
+        # virtual CPU mesh (one real TPU chip in this environment);
+        # requires XLA_FLAGS=--xla_force_host_platform_device_count=8
+        jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < 8:
+            print(
+                "run with XLA_FLAGS=--xla_force_host_platform_device_"
+                "count=8 for the mesh demo; falling back to 1 device"
+            )
+        else:
+            from kompass_core_tpu.parallel import build_fleet_mesh
+
+            mesh = build_fleet_mesh()
     n_robots = max(2, (n_robots // 2) * 2)
     radius = 0.3
     robots = [
@@ -183,6 +224,7 @@ def main_peers(n_robots: int = 8, predict: bool = False):
     fleet = DeviceFleet(
         robots, limits, config, scan_rays=n_rays, path_capacity=512,
         max_segments=16, peer_avoidance=True, peer_prediction=predict,
+        mesh=mesh,
     )
     # crossing pairs: an X per pair. The second robot starts 1.2 m
     # earlier along its lane, so the two reach the intersection at
@@ -226,10 +268,15 @@ def main_peers(n_robots: int = 8, predict: bool = False):
         min_pair_d = min(min_pair_d, float(d.min()))
         if reached.all():
             break
+    where = (
+        f"sharded over {int(np.prod(mesh.devices.shape))} devices"
+        if mesh is not None else "single device"
+    )
     print(
-        f"fleet[peer-avoidance]: {int(reached.sum())}/{n_robots} robots "
-        f"reached crossing goals in {ticks} ticks; closest approach "
-        f"{min_pair_d:.2f} m (contact = {2 * radius:.2f} m)"
+        f"fleet[peer-avoidance, {where}]: {int(reached.sum())}/"
+        f"{n_robots} robots reached crossing goals in {ticks} ticks; "
+        f"closest approach {min_pair_d:.2f} m "
+        f"(contact = {2 * radius:.2f} m)"
     )
     assert min_pair_d > 2 * radius, "robots collided!"
     assert reached.sum() >= n_robots - 1
@@ -245,5 +292,6 @@ if __name__ == "__main__":
             host_mode="--host" in sys.argv,
             peers="--peers" in sys.argv,
             predict="--predict" in sys.argv,
+            mesh="--mesh" in sys.argv,
         )
     )
