@@ -776,7 +776,7 @@ def make_fleet_tick(
                 n_glob = n_loc
                 states_g, vels_g = states, vels
                 row_ids = jnp.arange(n_loc, dtype=jnp.int32)
-            build_peers, build_peer_vel, peer_block, peer_count, _rids = (
+            build_peers, build_peer_vel, peer_block, peer_count = (
                 _peer_points_builder(peer_cfg, n_glob)
             )
             peer_pts = build_peers(states_g)  # live positions, this tick
@@ -858,7 +858,9 @@ def _check_tracked_spec(fleet_spec: FleetSpec) -> None:
 def _peer_points_builder(peer_cfg, n_rows):
     """Closure pieces for the peer-avoidance point set (shared by the
     single-tick and k-tick programs): returns (fn(states)->[N*block, 2],
-    fn(states, vels)->[N*block, 2], block, count, row_ids)."""
+    fn(states, vels)->[N*block, 2], block, count). Row ids are the
+    CALLER's job — under a mesh they are global (axis_index * n_local +
+    arange), which an arange here could not express."""
     ring = int(peer_cfg["ring"])
     n_real = int(peer_cfg["n_real"])
     radii = jnp.asarray(np.asarray(peer_cfg["radii"], np.float32)[:n_rows])
@@ -899,8 +901,7 @@ def _peer_points_builder(peer_cfg, n_rows):
 
     block = 1 + ring
     count = max(n_real - 1, 0) * block
-    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
-    return build, build_vel, block, count, row_ids
+    return build, build_vel, block, count
 
 
 def make_fleet_ticks_on_device(
@@ -982,7 +983,7 @@ def make_fleet_ticks_on_device(
         else:
             n_glob = n
             row_ids = jnp.arange(n, dtype=jnp.int32)
-        build_peers, build_peer_vel, block, count, _rids = (
+        build_peers, build_peer_vel, block, count = (
             _peer_points_builder(peer_cfg, n_glob)
         )
         predict_peers = bool(

@@ -16,6 +16,7 @@ from .export import (
     load_artifact,
     load_packed_solver,
     read_artifact_header,
+    shard_fleet_args,
     sharded_fleet_call,
 )
 
@@ -28,5 +29,6 @@ __all__ = [
     "load_artifact",
     "load_packed_solver",
     "read_artifact_header",
+    "shard_fleet_args",
     "sharded_fleet_call",
 ]

@@ -257,6 +257,11 @@ def _fleet_meta(fleet) -> Dict[str, Any]:
         "scan_rays": int(fleet._scan_rays),
         "safety": fleet._safety is not None,
         "tracked_obstacles": int(getattr(fleet, "_tracked", 0)),
+        # rows interact in a peer-avoidance program — recorded so
+        # sharded_fleet_call can refuse to row-chunk it (shard-local
+        # avoidance would silently drive cross-shard robots through
+        # each other)
+        "peer_avoidance": getattr(fleet, "_peer_cfg", None) is not None,
     }
 
 
@@ -303,7 +308,7 @@ def _check_exportable_fleet(fleet) -> None:
         )
 
 
-def sharded_fleet_call(art: LoadedArtifact, args, devices):
+def sharded_fleet_call(art: LoadedArtifact, args, devices, shards=None):
     """Serve a single-device fleet artifact across ``devices`` — the
     shard-at-serving-site contract behind ``_check_exportable_fleet``.
 
@@ -321,7 +326,38 @@ def sharded_fleet_call(art: LoadedArtifact, args, devices):
     convention (``DeviceFleet.tick_example_args`` of a fleet built with
     ``n_shards * art.meta['n_robots']`` robots and the same construction
     parameters). Peer-avoidance programs are NOT shardable this way
-    (rows interact); use ``DeviceFleet(mesh=...)`` live for those."""
+    (rows interact — shard-local avoidance would silently drive
+    cross-shard robots through each other), so peer artifacts are
+    refused; use ``DeviceFleet(mesh=...)`` live for those.
+
+    Slicing + committing the tree costs one host->device upload of the
+    large static tables (paths/config/angles) per device per call — fine
+    for a one-shot, wrong for a serving loop. Loops should call
+    ``shard_fleet_args`` ONCE and pass the result as ``shards``; then
+    only the outputs move per call (update the per-shard carry/input
+    leaves in place on device or re-commit just those rows)."""
+    if art.meta.get("peer_avoidance"):
+        raise ValueError(
+            "this artifact was exported from a peer-avoidance fleet — "
+            "its rows interact, so row-chunked serving would give "
+            "shard-local-only avoidance; serve it whole, or run "
+            "DeviceFleet(mesh=...) live for multi-chip mutual avoidance"
+        )
+    if shards is None:
+        shards = shard_fleet_args(art, args, devices)
+    shard_outs = [art.call(*shard) for shard in shards]  # async per dev
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+        *shard_outs,
+    )
+
+
+def shard_fleet_args(art: LoadedArtifact, args, devices):
+    """Row-chunk the full-fleet argument tree into per-device committed
+    shards (one [n_exp, ...] tree per device, each resident on its
+    device). The static tables upload once here; a serving loop reuses
+    the shards across calls and only refreshes the small mutable leaves
+    (carry rows, the input matrix) between ticks."""
     n_exp = int(art.meta["n_robots"])
     leaves = jax.tree_util.tree_leaves(args)
     n_tot = int(leaves[0].shape[0])
@@ -332,16 +368,12 @@ def sharded_fleet_call(art: LoadedArtifact, args, devices):
             f"exactly {n_exp * len(devices)}"
         )
     host = jax.tree_util.tree_map(np.asarray, args)
-    shard_outs = []
-    for d, dev in enumerate(devices):
-        shard = jax.tree_util.tree_map(
+    return [
+        jax.tree_util.tree_map(
             lambda a, _d=d, _dev=dev: jax.device_put(
                 a[_d * n_exp : (_d + 1) * n_exp], _dev
             ),
             host,
         )
-        shard_outs.append(art.call(*shard))  # async dispatch on dev
-    return jax.tree_util.tree_map(
-        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
-        *shard_outs,
-    )
+        for d, dev in enumerate(devices)
+    ]

@@ -502,5 +502,71 @@ def test_sharded_fleet_call_in_process_places_shards():
         np.testing.assert_array_equal(np.asarray(live_out), out)
         for a, b in zip(live_carry, carry2):
             np.testing.assert_array_equal(np.asarray(a), b)
+        # serving-loop form: shard ONCE, reuse across calls — the static
+        # tables never re-upload
+        from kompass_core_tpu.serving import shard_fleet_args
+
+        shards = shard_fleet_args(art, args, devs)
+        carry3, out3 = sharded_fleet_call(art, args, devs, shards=shards)
+        np.testing.assert_array_equal(out3, out)
+        for a, b in zip(carry2, carry3):
+            np.testing.assert_array_equal(a, b)
     with pytest.raises(ValueError, match="fleet rows"):
         sharded_fleet_call(art, args, jax.devices()[:1])
+
+
+def test_sharded_fleet_call_refuses_peer_artifacts(tmp_path):
+    """Peer-avoidance rows interact — row-chunked serving would give
+    shard-local-only avoidance with no error. The artifact records the
+    flag and sharded serving must refuse it."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from kompass_core_tpu.control import DWAConfig, TrajectoryCostsWeights
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits, LinearCtrlLimits, Robot, RobotCtrlLimits,
+        RobotGeometry, RobotType,
+    )
+    from kompass_core_tpu.parallel.fleet_v2 import DeviceFleet
+    from kompass_core_tpu.serving import sharded_fleet_call
+
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(2)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0,
+                                   max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4, max_angular_samples=4,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0, goal_distance_weight=1.0,
+        ),
+        prediction_horizon=10, control_horizon=2, control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=256,
+        max_segments=8, peer_avoidance=True,
+    )
+    fleet.set_paths([
+        np.array([[0.0, float(i)], [3.0, float(i)]]) for i in range(2)
+    ])
+    fleet.set_scan_angles(np.linspace(0, 2 * np.pi, N_RAYS,
+                                      endpoint=False))
+    path = str(tmp_path / "peer_fleet.ktpuart")
+    header = export_fleet_tick(fleet, path)
+    assert header["meta"]["peer_avoidance"] is True
+    art = load_artifact(path)
+    with pytest.raises(ValueError, match="peer-avoidance"):
+        sharded_fleet_call(
+            art, fleet.tick_example_args(), jax.devices()[:2]
+        )
