@@ -628,6 +628,12 @@ OUT_FIELDS = (
 )
 
 
+# block-loop unroll factor for _mapped_over_chunks (trace-time knob;
+# see its docstring). 1 = lax.map (measured default); set >1 only via
+# benchmark/chunk_unroll_bench.py experiments.
+_CHUNK_UNROLL = 1
+
+
 def _chunk_leaves(tree, chunk):
     """Reshape every [N, ...] leaf to [N // chunk, chunk, ...]."""
     return jax.tree_util.tree_map(
@@ -646,7 +652,12 @@ def _mapped_over_chunks(vmapped, chunk):
 
     Ragged row counts are zero-padded to a full chunk IN-PROGRAM (static
     shapes) and the pad rows sliced off the outputs — pad rows compute
-    garbage in their own rows only (every per-robot op is row-local)."""
+    garbage in their own rows only (every per-robot op is row-local).
+
+    ``_CHUNK_UNROLL`` > 1 runs the block loop as ``lax.scan(unroll=u)``
+    instead of ``lax.map`` (same semantics; trades program size for
+    per-iteration loop overhead) — an experiment knob read at trace
+    time, measured by ``benchmark/chunk_unroll_bench.py``."""
 
     def run(*args):
         # inputs-derived leading dim (last arg may be a pytree, e.g. the
@@ -664,7 +675,13 @@ def _mapped_over_chunks(vmapped, chunk):
 
         padded = tuple(jax.tree_util.tree_map(pad_leaf, a) for a in args)
         chunked = tuple(_chunk_leaves(a, chunk) for a in padded)
-        out = jax.lax.map(lambda cs: vmapped(*cs), chunked)
+        if _CHUNK_UNROLL > 1:
+            _, out = jax.lax.scan(
+                lambda c, cs: (c, vmapped(*cs)), (), chunked,
+                unroll=_CHUNK_UNROLL,
+            )
+        else:
+            out = jax.lax.map(lambda cs: vmapped(*cs), chunked)
         if pad:
             # un-chunk + slice here so callers see [n, ...] directly
             out = jax.tree_util.tree_map(

@@ -655,3 +655,84 @@ def test_split_mover_scan_bucket_stays_at_rays():
     # at a pow2-full bucket the difference appears
     assert tail.spec.solver.moving_obstacles
     assert not split.spec.solver.moving_obstacles  # velocities ride mover4
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_split_tail_parity_random_configs(seed):
+    """Randomized config sweep: the split/tail bit-parity must hold
+    across sampling grids, horizons, ray counts, slot counts, fleet
+    sizes, and drop vs truncate — not just the hand-picked shapes the
+    targeted tests use."""
+    rng = np.random.default_rng(seed)
+    n_robots = int(rng.integers(1, 4))
+    tracked = int(rng.integers(1, 4))
+    rays = int(rng.choice([32, 64, 96]))
+    horizon = int(rng.integers(8, 25))
+    n_lin = int(rng.integers(3, 9))
+    n_ang = int(rng.integers(3, 9))
+    drop = bool(rng.integers(0, 2))
+
+    def build(split):
+        robots = [
+            Robot(
+                robot_type=RobotType.DIFFERENTIAL_DRIVE,
+                geometry_type=RobotGeometry.Type.CYLINDER,
+                geometry_params=np.array([0.2, 0.4]),
+            )
+            for _ in range(n_robots)
+        ]
+        limits = RobotCtrlLimits(
+            vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=10.0,
+                                       max_decel=10.0),
+            omega_limits=AngularCtrlLimits(
+                max_vel=2.0, max_acc=6.0, max_decel=6.0, max_steer=np.pi
+            ),
+        )
+        config = DWAConfig(
+            max_linear_samples=n_lin, max_angular_samples=n_ang,
+            costs_weights=TrajectoryCostsWeights(
+                reference_path_distance_weight=2.0,
+                goal_distance_weight=1.0,
+                obstacles_distance_weight=0.5,
+            ),
+            prediction_horizon=horizon, control_horizon=2,
+            control_time_step=0.1, drop_samples=drop,
+        )
+        fleet = DeviceFleet(
+            robots, limits, config, scan_rays=rays, path_capacity=1024,
+            max_segments=16, tracked_obstacles=tracked,
+            split_mover_sweep=split,
+        )
+        fleet.set_paths([
+            np.array([[0.0, 2.0 * i], [6.0, 2.0 * i]])
+            for i in range(n_robots)
+        ])
+        fleet.set_scan_angles(
+            np.linspace(0, 2 * np.pi, rays, endpoint=False)
+        )
+        return fleet
+
+    states = np.zeros((n_robots, 4), np.float32)
+    states[:, 1] = 2.0 * np.arange(n_robots)
+    vels = np.zeros((n_robots, 3), np.float32)
+    vels[:, 0] = 0.5
+    ranges = rng.uniform(1.5, 10.0, (n_robots, rays)).astype(np.float32)
+    angles = np.linspace(0, 2 * np.pi, rays, endpoint=False)
+    # random movers, some rows NaN-padded empty
+    trk = rng.uniform(-1.0, 5.0, (n_robots, tracked, 4)).astype(np.float32)
+    trk[:, :, 2:4] = rng.uniform(-0.8, 0.8, (n_robots, tracked, 2))
+    for i in range(n_robots):
+        if rng.integers(0, 2):
+            trk[i, rng.integers(0, tracked)] = np.nan
+
+    out_t = build(False).tick(states, vels, ranges, angles, tracked=trk)
+    out_s = build(True).tick(states, vels, ranges, angles, tracked=trk)
+    for key in out_t:
+        np.testing.assert_array_equal(
+            out_t[key], out_s[key],
+            err_msg=(
+                f"split != tail at seed={seed} cfg=(n={n_robots}, "
+                f"M={tracked}, rays={rays}, T={horizon}, "
+                f"{n_lin}x{n_ang}, drop={drop}) field={key}"
+            ),
+        )
