@@ -339,10 +339,20 @@ def _scan_to_world_obs(spec, ranges, angles, sensor_pose, x, y, yaw):
         [cy * bx - sy2 * by + x, sy2 * bx + cy * by + y], axis=1
     )
     R = obs.shape[0]
-    obs = jnp.concatenate(
-        [obs, jnp.full((spec.scan_size - R, 2), _PAD)], axis=0
-    ) if R < spec.scan_size else obs[: spec.scan_size]
-    return obs, min(R, spec.scan_size)
+    if R > spec.scan_size:
+        # silently dropping beams would blind the robot to obstacles
+        # only those beams see — the same hazard the tracked-slot
+        # overflow below raises for
+        raise ValueError(
+            f"{R} scan rays > spec.scan_size {spec.scan_size} — size the "
+            "scan bucket to hold every beam (DeviceFleet does this; "
+            "direct composers must too)"
+        )
+    if R < spec.scan_size:
+        obs = jnp.concatenate(
+            [obs, jnp.full((spec.scan_size - R, 2), _PAD)], axis=0
+        )
+    return obs, R
 
 
 def _fleet_robot_step(
@@ -653,6 +663,9 @@ def _mapped_over_chunks(vmapped, chunk):
     Ragged row counts are zero-padded to a full chunk IN-PROGRAM (static
     shapes) and the pad rows sliced off the outputs — pad rows compute
     garbage in their own rows only (every per-robot op is row-local).
+    Outputs are ALWAYS un-chunked back to [n, ...] here — callers never
+    see a chunk axis (a caller-side ``shape[0] != n`` heuristic broke
+    exactly when n // chunk == n, i.e. chunk=1).
 
     ``_CHUNK_UNROLL`` > 1 runs the block loop as ``lax.scan(unroll=u)``
     instead of ``lax.map`` (same semantics; trades program size for
@@ -682,11 +695,10 @@ def _mapped_over_chunks(vmapped, chunk):
             )
         else:
             out = jax.lax.map(lambda cs: vmapped(*cs), chunked)
-        if pad:
-            # un-chunk + slice here so callers see [n, ...] directly
-            out = jax.tree_util.tree_map(
-                lambda a: a.reshape((n + pad,) + a.shape[2:])[:n], out
-            )
+        # un-chunk (+ slice off pads) so callers see [n, ...] directly
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape((n + pad,) + a.shape[2:])[:n], out
+        )
         return out
 
     return run
@@ -703,9 +715,9 @@ def make_fleet_tick(
     -> (carry', outputs [N, len(OUT_FIELDS)]).
 
     ``chunk``: run the robot axis as a lax.map over chunk-row blocks
-    inside the program (see ``_mapped_over_chunks``); N must be a padded
-    multiple when N > chunk. Ignored under a mesh (the robot axis is
-    sharded instead).
+    inside the program (see ``_mapped_over_chunks``). Under a mesh the
+    chunking applies to each chip's LOCAL shard (DeviceFleet passes
+    chunk=None there and relies on per-chip sizing instead).
 
     ``peer_cfg``: fleet mutual avoidance (beyond-reference; see
     ``_fleet_robot_step``). Dict with ``radii`` (host [N] f32 —
@@ -729,6 +741,7 @@ def make_fleet_tick(
     collective-free under a mesh."""
     spec = fleet_spec.solver
     _check_tracked_spec(fleet_spec)
+    _check_peer_cfg(fleet_spec, peer_cfg)
 
     def tick(paths, cfg, carry, angles, inputs, safety_arg=None):
         if spec.dynamic_box and cfg.collision_box2 is None:
@@ -826,12 +839,7 @@ def make_fleet_tick(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles, *extra,
         )
-        n = inputs.shape[0]
-        # un-chunk ([M, C, ...] -> [N, ...]) when the map path ran
-        carry2, out = jax.tree_util.tree_map(
-            lambda a: a.reshape((n,) + a.shape[2:]) if a.shape[0] != n else a,
-            (carry2, out),
-        )
+        # _mapped_over_chunks always returns [N, ...] leaves.
         # keep the FleetCarry treedef: a plain-tuple carry fed back on the
         # next tick would change the jit cache key and force a retrace
         return FleetCarry(*carry2), out
@@ -851,6 +859,24 @@ def make_fleet_tick(
         tick, mesh=mesh, in_specs=(sp,) * n_in,
         out_specs=(sp, sp),
     ))
+
+
+def _check_peer_cfg(fleet_spec: FleetSpec, peer_cfg) -> None:
+    """peer_cfg['predict'] without the moving sweep would silently fall
+    back to frozen live-position peers (prediction off, no error) — the
+    same hazard class _check_tracked_spec guards for movers. DeviceFleet
+    couples the flags; direct composers get the build-time guard."""
+    if (
+        peer_cfg is not None
+        and peer_cfg.get("predict")
+        and not fleet_spec.solver.moving_obstacles
+    ):
+        raise ValueError(
+            "peer_cfg['predict']=True requires "
+            "solver.moving_obstacles=True — without the moving sweep "
+            "the peer discs would be swept at frozen positions and "
+            "prediction silently dropped"
+        )
 
 
 def _check_tracked_spec(fleet_spec: FleetSpec) -> None:
@@ -963,6 +989,7 @@ def make_fleet_ticks_on_device(
     """
     spec = fleet_spec.solver
     _check_tracked_spec(fleet_spec)
+    _check_peer_cfg(fleet_spec, peer_cfg)
 
     def ticks_peer(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
                    angles, inputs, safety_arg=None):
@@ -1068,11 +1095,6 @@ def make_fleet_ticks_on_device(
                 ranges, angles, row_ids, obs_all, *trk_extra,
                 *safety_extra,
             )
-            new_carry, out = jax.tree_util.tree_map(
-                lambda a: a.reshape((n,) + a.shape[2:])
-                if a.shape[0] != n else a,
-                (new_carry, out),
-            )
             vx, vy, om = out[:, 2], out[:, 3], out[:, 4]
             cy, sy = jnp.cos(s_c[:, 2]), jnp.sin(s_c[:, 2])
             ns = jnp.stack(
@@ -1172,11 +1194,6 @@ def make_fleet_ticks_on_device(
         carry2, outs, states_f = runner(
             tuple(paths), tuple(cfg), tuple(carry), states, vels, ranges,
             angles, *trk_extra, *safety_extra,
-        )
-        n = inputs.shape[0]
-        carry2, outs, states_f = jax.tree_util.tree_map(
-            lambda a: a.reshape((n,) + a.shape[2:]) if a.shape[0] != n else a,
-            (carry2, outs, states_f),
         )
         return FleetCarry(*carry2), outs, states_f
 

@@ -644,6 +644,7 @@ def dwa_solve(
     collision_box_dyn=None,  # [2] traced half-extents (spec.dynamic_box)
     obs_vel=None,  # [R, 2] obstacle velocities (spec.moving_obstacles)
     mover4=None,  # [M, 4] (x, y, vx, vy) split moving-obstacle sweep
+    return_all_paths: bool = False,  # also return per-sample (px, py)
 ) -> SolveResult:
     """One DWA tick: returns the argmin trajectory over the dynamic window.
 
@@ -868,7 +869,7 @@ def dwa_solve(
     take_row = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
         a, best, axis=0, keepdims=False
     )
-    return SolveResult(
+    res = SolveResult(
         found=found,
         cost=take_row(costs),
         best_index=best,
@@ -877,6 +878,11 @@ def dwa_solve(
         costs=costs,
         num_admissible=jnp.sum(admissible).astype(jnp.int32),
     )
+    if return_all_paths:
+        # px/py here are POST-truncation in truncate mode, so a debug
+        # consumer shows the same paths the costs were computed on
+        return res, (px, py)
+    return res
 
 
 def evaluate_trajectory_costs(
@@ -1090,15 +1096,24 @@ def pack_solver_input(
         else:
             buf[o : o + r] = obs_vel_xy[:, 0]
             buf[o + r : o + 2 * r] = obs_vel_xy[:, 1]
+    elif obs_vel_xy is not None:
+        # silently dropping velocities would plan through a crossing
+        # obstacle's predicted path with no error — the same hazard
+        # _check_tracked_spec guards on the fleet side
+        raise ValueError(
+            "obs_vel_xy given but the spec has moving_obstacles=False — "
+            "the static buffer has no velocity block; build the spec "
+            "with moving_obstacles=True"
+        )
     return buf
 
 
-def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
-    """Device-side unpack of the single input buffer + solve + packed output.
-
-    Output layout: [found, cost, best_index, num_admissible,
-                    vx[T-1], vy[T-1], omega[T-1], px[T], py[T]].
-    """
+def _unpack_inputs(spec: SolverSpec, buf):
+    """Parse the packed single-buffer layout — the ONE place that knows
+    it (shared by the production solver and the debug sampler, which
+    once drifted on the device-window block). Returns
+    (params, state, window, obs_xy, obs_count, seg_x, seg_y, seg_arc,
+    seg_count, seg_total_len, ref_total_len, active_points, obs_vel)."""
     from .window import VelocityWindow
 
     state = buf[0:3]
@@ -1155,6 +1170,20 @@ def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
         obs_vel = jnp.stack(
             [buf[o : o + r], buf[o + r : o + 2 * r]], axis=1
         )
+    return (params, state, window, obs_xy, obs_count, seg_x, seg_y,
+            seg_arc, seg_count, seg_total_len, ref_total_len,
+            active_points, obs_vel)
+
+
+def _unpack_and_solve(spec: SolverSpec, buf, custom_costs=()):
+    """Device-side unpack of the single input buffer + solve + packed output.
+
+    Output layout: [found, cost, best_index, num_admissible,
+                    vx[T-1], vy[T-1], omega[T-1], px[T], py[T]].
+    """
+    (params, state, window, obs_xy, obs_count, seg_x, seg_y, seg_arc,
+     seg_count, seg_total_len, ref_total_len, active_points,
+     obs_vel) = _unpack_inputs(spec, buf)
 
     res = dwa_solve(
         spec,
@@ -1236,58 +1265,28 @@ def dwa_sample_debug(spec: SolverSpec, buf, custom_costs=()):
     (role of ``DWA::debugVelocitySearch`` + ``getDebuggingSamples``,
     ``dwa.h:141-163``). Returns (px [S,T], py [S,T], costs [S],
     admissible [S]). ``custom_costs`` must match the production solver's
-    so debug rankings agree with the executed command."""
-    from .window import VelocityWindow
+    so debug rankings agree with the executed command. In truncate mode
+    the returned paths are the TRUNCATED rollouts (frozen past the
+    collision index) — the ones the costs were computed on."""
+    if spec.dynamic_box:
+        # same contract as make_packed_dwa_solver: the packed buffer has
+        # no per-robot half-extents, and the circle fallback would
+        # double-count a radius folded into collision_margin
+        raise ValueError(
+            "dynamic_box specs are not supported by the packed debug"
+            " interface; use the fleet tick (ops/fleet_solver) or a"
+            " static spec.collision_box"
+        )
+    (params, state, window, obs_xy, obs_count, seg_x, seg_y, seg_arc,
+     seg_count, seg_total_len, ref_total_len, active_points,
+     obs_vel) = _unpack_inputs(spec, buf)
 
-    state = buf[0:3]
-    obs_count = buf[3].astype(jnp.int32)
-    seg_count = buf[4].astype(jnp.int32)
-    seg_total_len = buf[5]
-    ref_total_len = buf[6]
-    active_points = buf[7].astype(jnp.int32)
-    p = buf[8:20]
-    params = SolverParams(*[p[i] for i in range(12)])
-    o = _HDR
-    nx, ny, nw = spec.n_vx, spec.n_vy, spec.n_omega
-    # window-block parsing MUST mirror _unpack_and_solve: device-window
-    # buffers carry (current_vel[3], limits[9]) in a block of
-    # _window_block_size floats, not the host grid layout
-    if spec.device_window:
-        window = _device_window(
-            spec, buf[o : o + 3], buf[o + 3 : o + 12], params.time_step
-        )
-    else:
-        window = VelocityWindow(
-            buf[o : o + nx],
-            buf[o + nx : o + 2 * nx] > 0.5,
-            buf[o + 2 * nx : o + 2 * nx + ny],
-            buf[o + 2 * nx + ny : o + 2 * nx + 2 * ny] > 0.5,
-            buf[o + 2 * nx + 2 * ny : o + 2 * nx + 2 * ny + nw],
-            buf[o + 2 * nx + 2 * ny + nw : o + 2 * nx + 2 * ny + 2 * nw]
-            > 0.5,
-        )
-    o += _window_block_size(spec)
-    r = spec.scan_size
-    obs_xy = jnp.stack([buf[o : o + r], buf[o + r : o + 2 * r]], axis=1)
-    o += 2 * r
-    g = spec.seg_size
-    seg_x = buf[o : o + g]
-    seg_y = buf[o + g : o + 2 * g]
-    seg_arc = buf[o + 2 * g : o + 3 * g]
-    o += 3 * g
-    obs_vel = None
-    if spec.moving_obstacles:
-        obs_vel = jnp.stack(
-            [buf[o : o + r], buf[o + r : o + 2 * r]], axis=1
-        )
-
-    res = dwa_solve(
+    res, (px, py) = dwa_solve(
         spec, params, state, window, obs_xy, obs_count, seg_x, seg_y,
         seg_arc, seg_count, seg_total_len, ref_total_len, active_points,
         custom_costs=custom_costs, obs_vel=obs_vel,
+        return_all_paths=True,
     )
-    vels, valid = _build_velocity_grid(spec, window)
-    px, py = _rollout(spec, params, state, vels)
     return px, py, res.costs, jnp.isfinite(res.costs)
 
 

@@ -1048,3 +1048,66 @@ def test_update_path_on_sharded_fleet():
     assert np.hypot(
         robots[2].state.x - new_goal[0], robots[2].state.y - new_goal[1]
     ) < 0.4
+
+
+def test_dispatch_chunk_one_matches_default():
+    """Regression (round-5 review): with dispatch_chunk=1 the in-program
+    block map produces [N, 1, ...] leaves whose leading dim EQUALS N, so
+    a shape-sniffing un-chunk heuristic silently skipped the reshape and
+    fed a malformed carry back into the next tick. _mapped_over_chunks
+    now always un-chunks; chunk=1 must be exactly equivalent to the
+    monolithic default."""
+    outs = []
+    for chunk in (64, 1, 0):
+        robots, fleet = _make(3, mesh=None)
+        if chunk != 64:
+            robots2, fleet = _make_with_chunk(3, chunk)
+        fleet.set_paths([
+            np.array([[0.0, 2.0 * i], [4.0, 2.0 * i]]) for i in range(3)
+        ])
+        angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+        states = np.array(
+            [[0.0, 2.0 * i, 0.0, 0.0] for i in range(3)], np.float32
+        )
+        res = []
+        for t in range(3):  # multiple ticks: the carry must round-trip
+            out = fleet.tick(
+                states, np.zeros((3, 3), np.float32),
+                np.full((3, N_RAYS), 10.0, np.float32), angles,
+            )
+            res.append(out)
+        outs.append(res)
+    for res in outs[1:]:
+        for a, b in zip(outs[0], res):
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key])
+
+
+def _make_with_chunk(n, chunk):
+    robots = [
+        Robot(
+            robot_type=RobotType.DIFFERENTIAL_DRIVE,
+            geometry_type=RobotGeometry.Type.CYLINDER,
+            geometry_params=np.array([0.1, 0.4]),
+        )
+        for _ in range(n)
+    ]
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0,
+                                   max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=4.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    config = DWAConfig(
+        max_linear_samples=4, max_angular_samples=4,
+        costs_weights=TrajectoryCostsWeights(
+            reference_path_distance_weight=3.0, goal_distance_weight=1.0,
+        ),
+        prediction_horizon=10, control_horizon=2, control_time_step=0.1,
+    )
+    fleet = DeviceFleet(
+        robots, limits, config, scan_rays=N_RAYS, path_capacity=512,
+        max_segments=16, dispatch_chunk=chunk,
+    )
+    return robots, fleet

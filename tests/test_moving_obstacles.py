@@ -359,3 +359,83 @@ def test_moving_flag_with_static_world_matches_static_dwa():
     np.testing.assert_array_equal(
         r_s.trajectory.omega, r_m.trajectory.omega
     )
+
+
+def test_pack_rejects_velocities_on_static_spec():
+    """Silently dropping obs_vel_xy would plan through a crossing
+    obstacle's predicted path — build-time guard (round-5 review)."""
+    import numpy as np
+
+    from kompass_core_tpu.ops.solver import pack_solver_input
+
+    spec = SPEC_STATIC
+    limits = np.zeros(9, np.float32)
+    limits[0:3] = (1.0, 5.0, 10.0)
+    limits[6:9] = (2.0, 3.0, 3.0)
+    window = sample_velocity_window(
+        (0.5, 0.0, 0.0), limits, 0.1, 5, 1, 5, False
+    )
+    buf = np.zeros(packed_input_size(spec), np.float32)
+    with pytest.raises(ValueError, match="moving_obstacles=False"):
+        pack_solver_input(
+            spec, buf,
+            params_vec=np.zeros(12, np.float32),
+            state=(0, 0, 0),
+            window=window,
+            obs_xy=np.full((spec.scan_size, 2), 1e8, np.float32),
+            obs_count=0,
+            seg_x=np.full(spec.seg_size, 1e8, np.float32),
+            seg_y=np.full(spec.seg_size, 1e8, np.float32),
+            seg_arc=np.zeros(spec.seg_size, np.float32),
+            seg_count=1,
+            seg_total_len=1.0,
+            ref_total_len=1.0,
+            active_points=spec.max_points,
+            obs_vel_xy=np.zeros((spec.scan_size, 2), np.float32),
+        )
+
+
+def test_peer_predict_requires_moving_sweep_build_guard():
+    """Direct composers: peer_cfg['predict'] without the moving sweep
+    would silently sweep peers at frozen positions — same guard class
+    as _check_tracked_spec (round-5 review)."""
+    from kompass_core_tpu.ops.fleet_solver import (
+        FleetSpec,
+        make_fleet_tick,
+        make_fleet_ticks_on_device,
+    )
+    from kompass_core_tpu.ops.solver import SolverSpec
+
+    spec = FleetSpec(
+        solver=SolverSpec(
+            is_omni=False, n_vx=3, n_vy=1, n_omega=3, max_points=8,
+            num_ctrl_points=2, scan_size=64, seg_size=64,
+            device_window=True, moving_obstacles=False,
+        ),
+        path_capacity=128, max_segments=4,
+    )
+    peer = {"radii": np.full(2, 0.2, np.float32), "n_real": 2,
+            "ring": 4, "predict": True}
+    with pytest.raises(ValueError, match="predict"):
+        make_fleet_tick(spec, peer_cfg=peer)
+    with pytest.raises(ValueError, match="predict"):
+        make_fleet_ticks_on_device(spec, 3, peer_cfg=peer)
+
+
+def test_scan_ray_overflow_raises_instead_of_truncating():
+    """More beams than the scan bucket would silently blind the robot
+    to part of its scan — trace-time guard (round-5 review)."""
+    import jax.numpy as jnp
+
+    from kompass_core_tpu.ops.fleet_solver import _scan_to_world_obs
+    from kompass_core_tpu.ops.solver import SolverSpec
+
+    spec = SolverSpec(
+        is_omni=False, n_vx=3, n_vy=1, n_omega=3, max_points=8,
+        num_ctrl_points=2, scan_size=64, seg_size=64,
+    )
+    with pytest.raises(ValueError, match="scan rays"):
+        _scan_to_world_obs(
+            spec, jnp.full(100, 5.0), jnp.zeros(100),
+            jnp.zeros(3), 0.0, 0.0, 0.0,
+        )
