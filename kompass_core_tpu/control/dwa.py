@@ -566,42 +566,8 @@ class DWA(Follower):
             obstacle_velocities_world,
         )
         spec, solver, buf = self._solver_for(bucket)
-
-        start, end = self._tracked_segment_window()
-        seg_len_actual = end - start + 1
-        from ..native import segment_block
-
-        seg_x, seg_y, seg_arc, seg_total_len = segment_block(
-            self._path.xs, self._path.ys, self._path.arc_lengths,
-            start, end, 1e8, spec.seg_size,
-        )
-
-        window = sample_velocity_window(
-            current_vel,
-            self._limits_array,
-            self._dt,
-            spec.n_vx,
-            spec.n_vy,
-            spec.n_omega,
-            spec.is_omni,
-        )
-
-        pack_solver_input(
-            spec,
-            buf,
-            self._params_vec(),
-            (self.current_state.x, self.current_state.y, self.current_state.yaw),
-            window,
-            obs_padded,
-            obs_count,
-            seg_x,
-            seg_y,
-            seg_arc,
-            seg_len_actual,
-            seg_total_len,
-            self._path.total_path_length(),
-            self._active_points,
-            obs_vel_xy=vel_padded,
+        self._assemble_solver_buffer(
+            spec, buf, current_vel, obs_padded, obs_count, vel_padded
         )
 
         out = np.asarray(solver(buf))
@@ -629,6 +595,33 @@ class DWA(Follower):
     # FollowerTemplate-style API (reference control/dwa.py:255-424)
     # ------------------------------------------------------------------
 
+    def _assemble_solver_buffer(self, spec, buf, current_vel, obs_padded,
+                                obs_count, vel_padded):
+        """Shared tracked-segment + velocity-window + pack sequence for
+        the production solve AND the debug sampler — one assembly so the
+        two can never drift again (they did once, on the device-window
+        block; round-5 review consolidated the remainder)."""
+        start, end = self._tracked_segment_window()
+        from ..native import segment_block
+
+        seg_x, seg_y, seg_arc, seg_total_len = segment_block(
+            self._path.xs, self._path.ys, self._path.arc_lengths,
+            start, end, 1e8, spec.seg_size,
+        )
+        window = sample_velocity_window(
+            current_vel, self._limits_array, self._dt,
+            spec.n_vx, spec.n_vy, spec.n_omega, spec.is_omni,
+        )
+        pack_solver_input(
+            spec, buf, self._params_vec(),
+            (self.current_state.x, self.current_state.y,
+             self.current_state.yaw),
+            window, obs_padded, obs_count, seg_x, seg_y, seg_arc,
+            end - start + 1, seg_total_len,
+            self._path.total_path_length(), self._active_points,
+            obs_vel_xy=vel_padded,
+        )
+
     def set_path(self, global_path, **_) -> None:
         """Accepts a ROS-like Path message (poses[].pose.position),
         an [N, >=2] array, or a ReferencePath."""
@@ -636,7 +629,12 @@ class DWA(Follower):
             path = global_path
         elif hasattr(global_path, "poses"):
             if len(global_path.poses) < 2:
+                # reject the degenerate route AND drop the got-path flag:
+                # leaving it set would let the next loop_step report
+                # 'End is reached' for a mission that was never loaded
+                # (history-dependent behavior, round-5 review)
                 self.clear_current_path()
+                self._got_path = False
                 return
             pts = [
                 (p.pose.position.x, p.pose.position.y, 0.0)
@@ -728,24 +726,8 @@ class DWA(Follower):
             # honor the override: debug the requested admissibility mode
             spec = dataclasses.replace(spec, drop_samples=bool(drop_samples))
             buf = np.zeros(packed_input_size(spec), dtype=np.float32)
-        start, end = self._tracked_segment_window()
-        from ..native import segment_block
-
-        seg_x, seg_y, seg_arc, seg_total = segment_block(
-            self._path.xs, self._path.ys, self._path.arc_lengths,
-            start, end, 1e8, spec.seg_size,
-        )
-        window = sample_velocity_window(
-            current_vel, self._limits_array, self._dt,
-            spec.n_vx, spec.n_vy, spec.n_omega, spec.is_omni,
-        )
-        pack_solver_input(
-            spec, buf, self._params_vec(),
-            (self.current_state.x, self.current_state.y, self.current_state.yaw),
-            window, obs_padded, obs_count, seg_x, seg_y, seg_arc,
-            end - start + 1, seg_total, self._path.total_path_length(),
-            self._active_points,
-            obs_vel_xy=vel_padded,
+        self._assemble_solver_buffer(
+            spec, buf, current_vel, obs_padded, obs_count, vel_padded
         )
         # same custom costs as the production solver, so debug rankings
         # agree with the executed command

@@ -409,6 +409,18 @@ class DeviceFleet:
                 i, ref.size(), P,
             )
             starts = starts[starts < n]
+        if len(starts) > NS:
+            # silent segment merging would arm the device follower's
+            # at_end / losing-goal failsafe segments early (the robot
+            # could stop mid-path reporting reached) — warn like the
+            # point-capacity overflow above
+            logging.getLogger("kompass_core_tpu").warning(
+                "fleet path %d has %d segments > max_segments %d; the "
+                "tail merges into the last device segment and the "
+                "losing-goal failsafe arms early — increase "
+                "FleetSpec.max_segments or path_segment_length",
+                i, len(starts), NS,
+            )
         ns = max(min(len(starts), NS), 1)
         seg_starts[:ns] = starts[:ns]
         seg_starts[ns:] = n  # padded starts point past the end
@@ -673,6 +685,35 @@ class DeviceFleet:
             jnp.asarray(sd[f"carry/{f}"]) for f in FleetCarry._fields
         ))
 
+    def _prepare_tick_inputs(self, states, vels, ranges, angles, tracked):
+        """Shared per-tick host assembly for ``tick`` and
+        ``run_ticks_on_device``: (re)upload the angle grid when it
+        actually changes (a silently-ignored new grid would place every
+        obstacle at the wrong bearing; the host compare is tiny next to
+        the device tick), fill the packed input matrix in place, and
+        return the trailing safety args. Guards the ticked-before-set-up
+        misuse with a clear error instead of a trace-time TypeError
+        minutes into remote-backend warmup."""
+        if self._paths is None or self._carry is None:
+            raise RuntimeError(
+                "call set_paths() before ticking — the fleet has no "
+                "path tables or follower carry yet"
+            )
+        ang_in = np.asarray(angles, np.float32)
+        if self._angles is None or not np.array_equal(
+            ang_in, self._angles_src
+        ):
+            self.set_scan_angles(ang_in)
+        n = self.num_robots
+        R = self._scan_rays
+        st = np.asarray(states, np.float32)
+        self._inputs[:n, : min(4, st.shape[1])] = st[:, :4]
+        self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
+        self._inputs[:n, 7 : 7 + R] = np.asarray(ranges, np.float32)
+        self._inputs[n:, 7 : 7 + R] = _PAD
+        self._write_tracked(tracked)
+        return (self._safety,) if self._safety is not None else ()
+
     def run_ticks_on_device(self, k: int, states, vels, ranges, angles,
                             tracked=None):
         """K carry-chained control ticks in ONE dispatch per chunk.
@@ -710,22 +751,11 @@ class DeviceFleet:
                 safety=self._safety_cfgs is not None,
             )
         fn = self._ticks_fns[k]
-        ang_in = np.asarray(angles, np.float32)
-        if self._angles is None or not np.array_equal(
-            ang_in, self._angles_src
-        ):
-            self.set_scan_angles(ang_in)
-        n = self.num_robots
-        R = self._scan_rays
-        s = np.asarray(states, np.float32)
-        self._inputs[:n, : min(4, s.shape[1])] = s[:, :4]
-        self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
-        self._inputs[:n, 7 : 7 + R] = np.asarray(ranges, np.float32)
-        self._inputs[n:, 7 : 7 + R] = _PAD
-        self._write_tracked(tracked)
         # ONE dispatch for the whole fleet: the robot axis runs as an
         # in-program lax.map over 64-row blocks (make_fleet_ticks_on_device)
-        safety_extra = (self._safety,) if self._safety is not None else ()
+        safety_extra = self._prepare_tick_inputs(
+            states, vels, ranges, angles, tracked
+        )
         self._carry, out_mat, fin = fn(
             self._paths, self._cfg, self._carry, self._angles,
             self._inputs, *safety_extra,
@@ -755,29 +785,15 @@ class DeviceFleet:
         import time
 
         t0 = time.perf_counter()
-        ang_in = np.asarray(angles, np.float32)
-        if self._angles is None or not np.array_equal(
-            ang_in, self._angles_src
-        ):
-            # (re)upload the angle grid when it actually changes — a
-            # silently-ignored new grid would place every obstacle at the
-            # wrong bearing
-            self.set_scan_angles(ang_in)
-        n = self.num_robots
-        R = self._scan_rays
-        s = np.asarray(states, np.float32)
-        self._inputs[:n, : min(4, s.shape[1])] = s[:, :4]
-        self._inputs[:n, 4:7] = np.asarray(vels, np.float32)
-        self._inputs[:n, 7 : 7 + R] = np.asarray(ranges, np.float32)
-        self._inputs[n:, 7 : 7 + R] = _PAD
-        self._write_tracked(tracked)
         from ..ops.fleet_solver import OUT_FIELDS
 
         # ONE dispatch, ONE packed upload, ONE fetch per tick: the robot
         # axis runs as an in-program lax.map over 64-row blocks
         # (make_fleet_tick chunk param; BATCH_CLIFF.json), so big fleets
         # get the batch-64 tiling optimum without per-chunk dispatches
-        safety_extra = (self._safety,) if self._safety is not None else ()
+        safety_extra = self._prepare_tick_inputs(
+            states, vels, ranges, angles, tracked
+        )
         self._carry, out_mat = self._tick_fn(
             self._paths, self._cfg, self._carry, self._angles,
             self._inputs, *safety_extra,

@@ -109,14 +109,22 @@ def export_callable(
     return header
 
 
+def _read_header_from(f, path: str) -> Dict[str, Any]:
+    """Parse the container prefix (magic + u32 length + JSON header),
+    leaving ``f`` positioned at the payload — the ONE place that knows
+    the on-disk format (shared by the cheap header read and the full
+    load)."""
+    magic = f.read(8)
+    if magic != _MAGIC:
+        raise ValueError(f"{path}: not a kompass_core_tpu artifact")
+    (hlen,) = struct.unpack("<I", f.read(4))
+    return json.loads(f.read(hlen).decode("utf-8"))
+
+
 def read_artifact_header(path: str) -> Dict[str, Any]:
     """Read the JSON header only (no jax deserialization)."""
     with open(path, "rb") as f:
-        magic = f.read(8)
-        if magic != _MAGIC:
-            raise ValueError(f"{path}: not a kompass_core_tpu artifact")
-        (hlen,) = struct.unpack("<I", f.read(4))
-        return json.loads(f.read(hlen).decode("utf-8"))
+        return _read_header_from(f, path)
 
 
 @dataclasses.dataclass
@@ -142,11 +150,7 @@ def load_artifact(path: str) -> LoadedArtifact:
 
     _register_fleet_pytrees()
     with open(path, "rb") as f:
-        magic = f.read(8)
-        if magic != _MAGIC:
-            raise ValueError(f"{path}: not a kompass_core_tpu artifact")
-        (hlen,) = struct.unpack("<I", f.read(4))
-        header = json.loads(f.read(hlen).decode("utf-8"))
+        header = _read_header_from(f, path)
         payload = f.read()
     exported = jax_export.deserialize(payload)
     return LoadedArtifact(header=header, call=jax.jit(exported.call))

@@ -141,3 +141,53 @@ def test_pid_textbook_values():
     assert u2 == pytest.approx(2.0 * 1 + 0.5 * 2 * 0.1)
     pid.reset()
     assert pid._integral == 0.0
+
+
+def test_dwa_degenerate_path_message_clears_got_path():
+    """A <2-pose Path message mid-mission must NOT leave the controller
+    reporting 'reached': the next loop_step should say no path is
+    available, exactly like a fresh controller (round-5 review)."""
+    import numpy as np
+
+    from kompass_core_tpu.control import DWA, DWAConfig
+    from kompass_core_tpu.models import (
+        AngularCtrlLimits, LinearCtrlLimits, Robot, RobotCtrlLimits,
+        RobotGeometry, RobotType,
+    )
+
+    robot = Robot(
+        robot_type=RobotType.DIFFERENTIAL_DRIVE,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.2, 0.4]),
+    )
+    limits = RobotCtrlLimits(
+        vx_limits=LinearCtrlLimits(max_vel=1.0, max_acc=5.0,
+                                   max_decel=10.0),
+        omega_limits=AngularCtrlLimits(
+            max_vel=2.0, max_acc=3.0, max_decel=3.0, max_steer=np.pi
+        ),
+    )
+    dwa = DWA(robot=robot, ctrl_limits=limits, config=DWAConfig())
+    dwa.set_path(np.array([[0.0, 0.0], [2.0, 0.0]]))
+    assert dwa.path
+
+    class _Pose:
+        class pose:
+            class position:
+                x = 0.0
+                y = 0.0
+
+    class _Msg:
+        poses = [_Pose()]  # degenerate: one pose
+
+    dwa.set_path(_Msg())
+    assert not dwa._got_path
+    from kompass_core_tpu.datatypes import LaserScanData
+
+    angles = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    out = dwa.loop_step(
+        current_state=robot.state,
+        laser_scan=LaserScanData(angles=angles,
+                                 ranges=np.full(32, 10.0)),
+    )
+    assert out is False

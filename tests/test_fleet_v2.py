@@ -1111,3 +1111,20 @@ def _make_with_chunk(n, chunk):
         max_segments=16, dispatch_chunk=chunk,
     )
     return robots, fleet
+
+
+def test_tick_before_set_paths_raises_clearly():
+    """Ticking an un-set-up fleet must fail with a clear RuntimeError,
+    not a trace-time TypeError after minutes of remote warmup."""
+    _, fleet = _make(2)
+    angles = np.linspace(0, 2 * np.pi, N_RAYS, endpoint=False)
+    with pytest.raises(RuntimeError, match="set_paths"):
+        fleet.tick(
+            np.zeros((2, 4), np.float32), np.zeros((2, 3), np.float32),
+            np.full((2, N_RAYS), 10.0, np.float32), angles,
+        )
+    with pytest.raises(RuntimeError, match="set_paths"):
+        fleet.run_ticks_on_device(
+            3, np.zeros((2, 4), np.float32), np.zeros((2, 3), np.float32),
+            np.full((2, N_RAYS), 10.0, np.float32), angles,
+        )
