@@ -170,7 +170,14 @@ def _banded_plan(spec: MapperSpec, angle_offset: float, tile: int, win: int):
     for g in range(th * tw):
         u = np.unique(tiled[g])
         if len(u) == 1:
-            lo[g] = (u[0] - margin) % B
+            # keep the multiple-of-16 promise the Pallas kernel makes to
+            # Mosaic (pl.multiple_of on the window start) — an unaligned
+            # start would silently slice wrong candidate rows; same
+            # slack guard as the general branch below
+            if 1 + 2 * margin + 15 > win:
+                wide[g] = True
+            else:
+                lo[g] = ((u[0] - margin) % B) // 16 * 16
             continue
         gaps = np.diff(u)
         wrap_gap = u[0] + B - u[-1]
@@ -737,12 +744,20 @@ def resample_scan_uniform(angles, ranges, num_bins, range_max):
     ranges = np.asarray(ranges, np.float64)
     step = 2 * np.pi / num_bins
     bins = np.minimum((angles / step).astype(np.int64), num_bins - 1)
-    # real no-echo beams clip to range_max (reference semantics); bins NO
-    # real beam maps into (a partial-FOV lidar's blind sector) stay 0.0 =
-    # invalid under the kernels' beam-validity convention — inventing a
-    # max-range beam there would stamp EMPTY through unobserved space
+    # real no-echo beams (+inf) clip to range_max (reference semantics);
+    # NaN DROPOUT beams contribute nothing — converting a dropout into a
+    # valid max-range beam would stamp EMPTY along terrain the sensor
+    # never observed (round-5 review; upstream clips propagate NaN
+    # through min/max, so dropouts reach this resampler). Bins NO real
+    # beam maps into (a partial-FOV lidar's blind sector, or all-dropout
+    # bins) stay 0.0 = invalid under the kernels' beam-validity
+    # convention.
+    valid = ~np.isnan(ranges)
     out = np.full(num_bins, np.inf)
-    np.minimum.at(out, bins, np.where(np.isfinite(ranges), ranges, range_max))
+    np.minimum.at(
+        out, bins[valid],
+        np.where(np.isinf(ranges[valid]), range_max, ranges[valid]),
+    )
     out = np.where(np.isfinite(out), out, 0.0)
     return out.astype(np.float32)
 

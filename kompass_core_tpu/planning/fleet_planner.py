@@ -135,7 +135,10 @@ def solve_fleet_prm(
         deliberate = round_i < max(1, cfg.optimize_rounds)
         if all_solved and not deliberate:
             break
-        if not deliberate and time.monotonic() >= deadline:
+        # planning_timeout strictly bounds wall time, INCLUDING the
+        # deliberate optimize rounds (GlobalPlanner.solve's rule; a
+        # first solve must still get one round) — round-5 review
+        if time.monotonic() >= deadline and (all_solved or round_i > 0):
             break
         key = jax.random.PRNGKey(base_seed + round_i)
         samples = jax.random.uniform(

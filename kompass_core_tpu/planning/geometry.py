@@ -27,9 +27,8 @@ def build_inflated_grid(
     Returns a bool grid [H, W] where True = blocked. Inflation is a disc
     dilation via ``lax.conv_general_dilated``.
     """
-    pts = np.asarray(obstacle_points, np.float64).reshape(
-        -1, obstacle_points.shape[-1]
-    )
+    pts = np.asarray(obstacle_points, np.float64)
+    pts = pts.reshape(-1, pts.shape[-1])
     # floor, not int-truncation: truncation would pull points up to one
     # cell left/below the origin into row/column 0 (point_free floors too)
     gx = np.floor((pts[:, 0] - origin_xy[0]) / resolution).astype(np.int64)

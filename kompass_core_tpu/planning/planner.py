@@ -957,13 +957,21 @@ def _solve_prm(planner: GlobalPlanner, prob, seed=0) -> Optional[np.ndarray]:
     # LazyPRM's `range` param (OMPL: max edge length) overrides the
     # connection radius; 0.0 = inherit the config radius
     radius = planner._param("range", 0.0) or cfg.connection_radius
+    # the check density must cover the radius ACTUALLY used: PRM* swaps
+    # in r_star and LazyPRM's `range` param can exceed
+    # connection_radius, which is what sized cfg.edge_check_points —
+    # undersampled long edges can tunnel through thin inflated walls
+    from .planners_ext import _edge_checks_for_radius
+
     dist, pred = _graph_shortest_path(
         planner._blocked,
         prob["origin"],
         prob["resolution"],
         pts,
         jnp.float32(radius),
-        edge_check_points=cfg.edge_check_points,
+        edge_check_points=_edge_checks_for_radius(
+            cfg, float(prob["resolution"]), float(radius)
+        ),
         num_relax_iters=relax_iters,
         knn_cap=int(planner._param("max_nearest_neighbors", 0) or 0),
     )
@@ -986,6 +994,13 @@ def _solve_rrt(planner: GlobalPlanner, prob, seed=0, rewire=False,
     cfg = planner._config
     key = jax.random.PRNGKey(seed)
     step = planner._param("range", 0.0) or cfg.step_size
+    # check density covers the extension length ACTUALLY used (the
+    # `range` param can exceed the step_size that sized the default)
+    from .planners_ext import _edge_checks_for_radius
+
+    checks = _edge_checks_for_radius(
+        cfg, float(prob["resolution"]), float(step)
+    )
     epsilon = float(planner._param("epsilon", 0.4)) if use_epsilon else 0.0
     nodes, parents, best, cost = _rrt_solve(
         planner._blocked,
@@ -1004,7 +1019,7 @@ def _solve_rrt(planner: GlobalPlanner, prob, seed=0, rewire=False,
                     if cascade else 0.0),
         key,
         max_iterations=cfg.max_iterations,
-        edge_check_points=cfg.edge_check_points,
+        edge_check_points=checks,
         rewire=rewire,
         informed=informed,
         cascade=cascade,
@@ -1062,6 +1077,11 @@ def _solve_rrt_connect(planner: GlobalPlanner, prob, seed=0) -> Optional[np.ndar
     cfg = planner._config
     key = jax.random.PRNGKey(seed)
     step = planner._param("range", 0.0) or cfg.step_size
+    from .planners_ext import _edge_checks_for_radius
+
+    checks = _edge_checks_for_radius(
+        cfg, float(prob["resolution"]), float(step)
+    )
     nodes, parents, found, bridge = _rrt_connect_solve(
         planner._blocked,
         prob["origin"],
@@ -1073,7 +1093,7 @@ def _solve_rrt_connect(planner: GlobalPlanner, prob, seed=0) -> Optional[np.ndar
         jnp.float32(step),
         key,
         max_iterations=cfg.max_iterations,
-        edge_check_points=cfg.edge_check_points,
+        edge_check_points=checks,
         connect_steps=int(planner._param("connect_steps", 8)),
     )
     if not bool(found):

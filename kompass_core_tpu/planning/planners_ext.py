@@ -591,7 +591,10 @@ def solve_fmt(planner, prob, seed=0) -> Optional[np.ndarray]:
         jnp.float32(r),
         jax.random.PRNGKey(seed),
         num_samples=K,
-        edge_check_points=cfg.edge_check_points,
+        # density must follow the RGG radius actually used, not the
+        # (smaller) config connection_radius — an undersampled long
+        # edge can tunnel through a thin inflated wall
+        edge_check_points=_edge_checks_for_radius(cfg, res, r),
     )
     if not np.isfinite(float(goal_cost)):
         return None

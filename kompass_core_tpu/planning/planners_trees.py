@@ -808,7 +808,8 @@ def solve_bfmt(planner, prob, seed=0) -> Optional[np.ndarray]:
         jnp.float32(r),
         jax.random.PRNGKey(seed),
         num_samples=K,
-        edge_check_points=cfg.edge_check_points,
+        # same rule as FMT*: sample density follows the RGG radius
+        edge_check_points=_edge_checks_for_radius(cfg, res, r),
     )
     if not np.isfinite(float(total)):
         return None

@@ -550,3 +550,21 @@ def test_banded_plan_eligibility_gates():
         MapperSpec(grid_height=64, grid_width=64, num_bins=180,
                    resolution=0.05), 0.0, 16, 128
     ) is None
+
+
+def test_resample_nan_dropout_is_invalid_not_max_range():
+    """A NaN dropout beam must contribute NOTHING (bin stays 0.0 =
+    invalid) — converting it into a valid max-range beam would stamp
+    EMPTY through terrain the sensor never observed. +inf no-echo beams
+    DO clip to range_max (reference semantics). Round-5 review."""
+    from kompass_core_tpu.ops.mapping import resample_scan_uniform
+
+    num_bins = 8
+    angles = np.arange(num_bins) * (2 * np.pi / num_bins)
+    ranges = np.full(num_bins, 5.0)
+    ranges[2] = np.nan  # dropout
+    ranges[5] = np.inf  # no echo
+    out = resample_scan_uniform(angles, ranges, num_bins, 10.0)
+    assert out[2] == 0.0, "NaN dropout must stay invalid"
+    assert out[5] == 10.0, "+inf no-echo clips to range_max"
+    np.testing.assert_allclose(out[[0, 1, 3, 4, 6, 7]], 5.0)
