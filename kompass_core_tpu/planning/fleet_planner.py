@@ -74,13 +74,10 @@ def fleet_shortest_paths(
 
 
 def _trace_fleet_path(nodes, pred_row, start_idx, goal_idx):
-    path = [int(goal_idx)]
-    while path[-1] != start_idx:
-        nxt = int(pred_row[path[-1]])
-        if nxt < 0 or nxt in path:
-            return None
-        path.append(nxt)
-    return np.asarray(nodes)[path[::-1]]
+    from .planner import _walk_predecessors
+
+    path = _walk_predecessors(pred_row, int(goal_idx), int(start_idx))
+    return None if path is None else np.asarray(nodes)[path]
 
 
 def solve_fleet_prm(

@@ -220,7 +220,9 @@ def _graph_shortest_path(
 
 def _walk_predecessors(pred, goal_idx=1, start_idx=0):
     """Node-index chain goal -> start through a predecessor array, with
-    cycle/-1 guards. Shared by the roadmap planners (PRM family, FMT*)."""
+    cycle/-1 guards; returns start -> goal order or None on a broken
+    chain. THE parent-walk for every planner (roadmap, tree, bidir,
+    fleet) — round-5 review consolidated six copies onto it."""
     path = [goal_idx]
     while path[-1] != start_idx:
         nxt = int(pred[path[-1]])
@@ -1029,13 +1031,10 @@ def _solve_rrt(planner: GlobalPlanner, prob, seed=0, rewire=False,
         return None
     nodes = np.asarray(nodes)
     parents = np.asarray(parents)
-    path = [int(best)]
-    while path[-1] != 0:
-        nxt = int(parents[path[-1]])
-        if nxt < 0 or nxt in path:
-            return None
-        path.append(nxt)
-    pts = np.vstack([nodes[path[::-1]], prob["goal"][None, :]])
+    path = _walk_predecessors(parents, int(best), 0)
+    if path is None:
+        return None
+    pts = np.vstack([nodes[path], prob["goal"][None, :]])
     if not check_edges:
         # lazy semantics: growth skipped motion checks; validate the traced
         # solution now (OMPL's lazy path-validation step). On failure,
@@ -1102,20 +1101,11 @@ def _solve_rrt_connect(planner: GlobalPlanner, prob, seed=0) -> Optional[np.ndar
     parents = np.asarray(parents)
     bridge = np.asarray(bridge)
 
-    def chain(tree, idx):
-        out = [int(idx)]
-        while out[-1] != 0:
-            nxt = int(parents[tree, out[-1]])
-            if nxt < 0 or nxt in out:
-                return None
-            out.append(nxt)
-        return out
-
-    c0 = chain(0, bridge[0])  # start tree: junction -> start
-    c1 = chain(1, bridge[1])  # goal tree: junction -> goal
+    c0 = _walk_predecessors(parents[0], int(bridge[0]), 0)  # start->junction
+    c1 = _walk_predecessors(parents[1], int(bridge[1]), 0)  # goal->junction
     if c0 is None or c1 is None:
         return None
-    pts = np.concatenate([nodes[0][c0[::-1]], nodes[1][c1]])
+    pts = np.concatenate([nodes[0][c0], nodes[1][c1[::-1]]])
     return pts
 
 

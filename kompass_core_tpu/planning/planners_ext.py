@@ -44,6 +44,30 @@ from .geometry import point_free, segment_free
 _PROJ = 32  # KPIECE projection-grid resolution per axis
 
 
+def _proj_cell_of(bounds_lo, span):
+    """Flattened projection-grid cell index fn (shared by the
+    discretization-guided kernels: KPIECE, bidir EST/SBL, PDST —
+    round-5 review consolidated three copies)."""
+
+    def cell_of(p):
+        c = jnp.floor((p - bounds_lo) / span * _PROJ).astype(jnp.int32)
+        c = jnp.clip(c, 0, _PROJ - 1)
+        return c[..., 1] * _PROJ + c[..., 0]
+
+    return cell_of
+
+
+def _proj_border(occupied_flat):
+    """Border mask on the flattened projection grid: occupied cells with
+    at least one unoccupied 4-neighbor."""
+    occ2d = occupied_flat.reshape(_PROJ, _PROJ)
+    pad = jnp.pad(occ2d, 1, constant_values=False)
+    nbr_all = (
+        pad[:-2, 1:-1] & pad[2:, 1:-1] & pad[1:-1, :-2] & pad[1:-1, 2:]
+    )
+    return (occ2d & ~nbr_all).reshape(-1)
+
+
 def _gumbel_pick(key, log_weights):
     """Categorical sample via Gumbel-argmax. -inf weights are never
     picked (unless all are)."""
@@ -230,10 +254,7 @@ def kpiece_solve(
     N = max_iterations + 2
     span = jnp.maximum(bounds_hi - bounds_lo, 1e-6)
 
-    def cell_of(p):
-        c = jnp.floor((p - bounds_lo) / span * _PROJ).astype(jnp.int32)
-        c = jnp.clip(c, 0, _PROJ - 1)
-        return c[..., 1] * _PROJ + c[..., 0]
+    cell_of = _proj_cell_of(bounds_lo, span)
 
     nodes = jnp.zeros((N, 2), jnp.float32).at[0].set(start)
     parents = jnp.full((N,), -1, jnp.int32)
@@ -248,14 +269,7 @@ def kpiece_solve(
         alive = jnp.arange(N) < count
 
         occupied = visits > 0
-        # border cell: an occupied cell with at least one unoccupied
-        # 4-neighbor (computed on the [P, P] image with shifts)
-        occ2d = occupied.reshape(_PROJ, _PROJ)
-        pad = jnp.pad(occ2d, 1, constant_values=False)
-        nbr_all = (
-            pad[:-2, 1:-1] & pad[2:, 1:-1] & pad[1:-1, :-2] & pad[1:-1, 2:]
-        )
-        border = (occ2d & ~nbr_all).reshape(-1)
+        border = _proj_border(occupied)
         # KPIECE cell selection: border cells with prob border_fraction,
         # scored down by visit count
         pref = jnp.where(border, border_fraction, 1.0 - border_fraction)
@@ -500,15 +514,13 @@ def fmt_solve(
 
 
 def _trace_tree(nodes, parents, best, goal) -> Optional[np.ndarray]:
+    from .planner import _walk_predecessors
+
     nodes = np.asarray(nodes)
-    parents = np.asarray(parents)
-    path = [int(best)]
-    while path[-1] != 0:
-        nxt = int(parents[path[-1]])
-        if nxt < 0 or nxt in path:
-            return None
-        path.append(nxt)
-    return np.vstack([nodes[path[::-1]], np.asarray(goal)[None, :]])
+    path = _walk_predecessors(np.asarray(parents), int(best), 0)
+    if path is None:
+        return None
+    return np.vstack([nodes[path], np.asarray(goal)[None, :]])
 
 
 def _tree_args(planner, prob):

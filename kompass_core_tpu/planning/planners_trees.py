@@ -54,6 +54,8 @@ from .planners_ext import (
     _informed_batch,
     _mu_free,
     _edge_checks_for_radius,
+    _proj_border,
+    _proj_cell_of,
     _rgg_radius,
     _trace_tree,
     _tree_args,
@@ -272,10 +274,7 @@ def bidir_tree_solve(
     N = max_iterations + 2
     span = jnp.maximum(bounds_hi - bounds_lo, 1e-6)
 
-    def cell_of(p):
-        c = jnp.floor((p - bounds_lo) / span * _PROJ).astype(jnp.int32)
-        c = jnp.clip(c, 0, _PROJ - 1)
-        return c[..., 1] * _PROJ + c[..., 0]
+    cell_of = _proj_cell_of(bounds_lo, span)
 
     nodes = (
         jnp.zeros((2, N, 2), jnp.float32).at[0, 0].set(start).at[1, 0].set(goal)
@@ -298,12 +297,7 @@ def bidir_tree_solve(
             return _gumbel_pick(k1, logw)
         occupied = visits[tree] > 0
         if selection == "border":
-            occ2d = occupied.reshape(_PROJ, _PROJ)
-            pad = jnp.pad(occ2d, 1, constant_values=False)
-            nbr_all = (
-                pad[:-2, 1:-1] & pad[2:, 1:-1] & pad[1:-1, :-2] & pad[1:-1, 2:]
-            )
-            border = (occ2d & ~nbr_all).reshape(-1)
+            border = _proj_border(occupied)
             pref = jnp.where(border, border_fraction, 1.0 - border_fraction)
             logc = jnp.where(
                 occupied,
@@ -429,10 +423,7 @@ def pdst_stride_solve(
     N = max_iterations + 2
     span = jnp.maximum(bounds_hi - bounds_lo, 1e-6)
 
-    def cell_of(p):
-        c = jnp.floor((p - bounds_lo) / span * _PROJ).astype(jnp.int32)
-        c = jnp.clip(c, 0, _PROJ - 1)
-        return c[..., 1] * _PROJ + c[..., 0]
+    cell_of = _proj_cell_of(bounds_lo, span)
 
     nodes = jnp.zeros((N, 2), jnp.float32).at[0].set(start)
     parents = jnp.full((N,), -1, jnp.int32)
@@ -679,20 +670,13 @@ def _trace_bidir(nodes, parents, bridge) -> Optional[np.ndarray]:
     parents = np.asarray(parents)
     bridge = np.asarray(bridge)
 
-    def chain(tree, idx):
-        out = [int(idx)]
-        while out[-1] != 0:
-            nxt = int(parents[tree, out[-1]])
-            if nxt < 0 or nxt in out:
-                return None
-            out.append(nxt)
-        return out
+    from .planner import _walk_predecessors
 
-    c0 = chain(0, bridge[0])
-    c1 = chain(1, bridge[1])
+    c0 = _walk_predecessors(parents[0], int(bridge[0]), 0)
+    c1 = _walk_predecessors(parents[1], int(bridge[1]), 0)
     if c0 is None or c1 is None:
         return None
-    return np.concatenate([nodes[0][c0[::-1]], nodes[1][c1]])
+    return np.concatenate([nodes[0][c0], nodes[1][c1[::-1]]])
 
 
 def _solve_bidir(planner, prob, seed=0, selection="est", check_edges=True):
@@ -818,20 +802,13 @@ def solve_bfmt(planner, prob, seed=0) -> Optional[np.ndarray]:
     parent_r = np.asarray(parent_r)
     meet = int(meet)
 
-    def chain(parent, idx, root):
-        out = [idx]
-        while out[-1] != root:
-            nxt = int(parent[out[-1]])
-            if nxt < 0 or nxt in out:
-                return None
-            out.append(nxt)
-        return out
+    from .planner import _walk_predecessors
 
-    fwd = chain(parent_f, meet, 0)   # meet -> start
-    rev = chain(parent_r, meet, 1)   # meet -> goal
+    fwd = _walk_predecessors(parent_f, meet, 0)  # start -> meet
+    rev = _walk_predecessors(parent_r, meet, 1)  # goal -> meet
     if fwd is None or rev is None:
         return None
-    return pts[fwd[::-1] + rev[1:]]
+    return pts[fwd + rev[::-1][1:]]
 
 
 # ---------------------------------------------------------------------------
