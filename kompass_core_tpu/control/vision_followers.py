@@ -502,6 +502,16 @@ class RGBDFollowerCore(RGBFollowerCore):
         return self._hold_result()
 
     def _try_search(self):
+        # reference quirk kept verbatim (rgbd_follower.cpp:219-241,
+        # round-5 review confirmed the interplay): search resets the
+        # wait clock and _try_wait clears the search queue, so with
+        # search enabled the recovery OSCILLATES wait/search every other
+        # tick — the queue regenerates each search tick and only its
+        # first command ever executes (the robot rotates one way at half
+        # cadence; the pi/-2pi/pi reversal never happens), and give-up
+        # takes ~2x target_search_timeout. Also upstream: the sweep is
+        # (re)generated BEFORE the timeout check, so the give-up tick
+        # builds a queue it immediately discards.
         if not self.config.enable_search:
             return None
         self._recorded_wait_time = 0.0

@@ -179,6 +179,12 @@ class TrackedPose2D:
         return self.yaw
 
     def update(self, dt: float):
+        # reference quirk kept verbatim (control.h:165-172): the
+        # integration rotates (vx, vy) by yaw as BODY-frame velocities,
+        # but the tracker feeds WORLD-frame Kalman velocities with
+        # yaw = atan2(vy, vx) (tracking.h getTrackedPose) — a target
+        # moving diagonally is simulated veering off its true course
+        # within each prediction horizon; every real tick re-anchors it
         c, s = math.cos(self.yaw), math.sin(self.yaw)
         self.x += (self.vx * c - self.vy * s) * dt
         self.y += (self.vx * s + self.vy * c) * dt

@@ -64,6 +64,13 @@ def sample_velocity_window(
     )
     dt = float(time_step)
 
+    # NO clamp of the current velocity into the limit band — reference
+    # parity (trajectory_sampler.cpp:328-372 + the `vx <= max_vx` sample
+    # walk): a robot reported FASTER than max_vel + dec*dt yields
+    # min > max and therefore ZERO valid samples, exactly like the
+    # reference's empty for-loop. The device-window fleet path
+    # (ops/solver._device_window) deliberately diverges by clamping v0
+    # so over-speed fleet robots keep receiving braking commands.
     max_vx = min(vx_max_l, vx0 + vx_acc * dt)
     min_vx = max(-vx_max_l, vx0 - vx_dec * dt)
     if is_omni:

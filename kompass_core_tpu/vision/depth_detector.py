@@ -108,6 +108,11 @@ class DepthDetector:
             return None
         crop = depth_img[y0:y1, x0:x1]
         depths = crop.astype(np.float64).ravel() * self.depth_conversion_factor
+        # reference parity (depth_detector.cpp:95, inclusive >= with a
+        # 0.0 min_depth default): zero-valued no-return pixels PASS the
+        # range filter, so a hole-dominated crop medians toward the
+        # camera origin — callers with realsense-style sensors should
+        # set min_depth above 0 to exclude the zero sentinel
         depths = depths[(depths >= self.min_depth) & (depths <= self.max_depth)]
         if depths.size <= 1:
             return None

@@ -127,6 +127,11 @@ class FeatureBasedBboxTracker:
     # --- update (tracker.cpp:119-190) ---
 
     def update_tracking(self, detected_boxes: List[Bbox3D]) -> bool:
+        if self._tracked is None:
+            # public-API guard: update before set_initial_tracking_* has
+            # nothing to associate against — report "not tracking" like
+            # the other None-tolerant accessors instead of crashing
+            return False
         label_boxes = [b for b in detected_boxes if b.label == self._label]
         if not label_boxes:
             return False
