@@ -230,6 +230,13 @@ class LocalMapper:
         robot_pose: PoseData,
         scan: Union[LaserScanData, PointCloudData],
     ):
+        if self.processed and self.is_pointcloud != isinstance(
+            scan, PointCloudData
+        ):
+            # the grid programs are modality-specific; switching sensor
+            # type mid-run re-initializes (EmergencyChecker does the
+            # same) instead of crashing on the wrong attribute set
+            self.processed = False
         if not self.processed:
             self.is_pointcloud = isinstance(scan, PointCloudData)
             if self.is_pointcloud:
@@ -242,7 +249,14 @@ class LocalMapper:
         # capture the PREVIOUS pose before rebinding: the Bayesian grid
         # shift is the relative motion previous -> current
         previous_pose = self._pose_robot_in_world
-        self._pose_robot_in_world = robot_pose
+        # COPY the pose: a caller mutating one PoseData in place each
+        # tick would otherwise alias previous == current, zeroing the
+        # Bayesian re-projection shift while the robot moves
+        self._pose_robot_in_world = PoseData(
+            x=robot_pose.x, y=robot_pose.y, z=robot_pose.z,
+            qx=robot_pose.qx, qy=robot_pose.qy, qz=robot_pose.qz,
+            qw=robot_pose.qw,
+        )
         self.lower_right_corner_pose = transform_point_from_local_to_global(
             self._local_lower_right_corner_point, robot_pose
         )

@@ -79,8 +79,10 @@ def make_fleet_solver(
         # shapes) and sliced off — pad rows solve to found=False.
         def per_chip(local):
             n_loc = local.shape[0]
-            csz = chunk_size or 64
-            if n_loc <= csz:
+            # honor the documented chunk_size=None monolithic escape
+            # hatch under a mesh too (it was silently coerced to 64)
+            csz = chunk_size
+            if not csz or n_loc <= csz:
                 return batched(local)
             pad = (-n_loc) % csz
             padded = (
@@ -197,8 +199,14 @@ class FleetPlanner:
         self.num_robots = num_robots
         self.mesh = mesh
         self.solver = make_fleet_solver(spec, mesh, axis_name)
+        # pad rows to the mesh size (shard_map divisibility contract,
+        # like FleetRuntime._ensure_solver): a 100-robot fleet on 8
+        # chips would otherwise fail at the first step() with an opaque
+        # sharding error. Pad rows are all-zero -> found=False.
+        n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        self._n_rows = ((num_robots + n_dev - 1) // n_dev) * n_dev
         self.inputs = np.zeros(
-            (num_robots, packed_input_size(spec)), dtype=np.float32
+            (self._n_rows, packed_input_size(spec)), dtype=np.float32
         )
 
     def set_scenario(self, robot_index: int, **kwargs):
@@ -207,4 +215,4 @@ class FleetPlanner:
         pack_solver_input(self.spec, self.inputs[robot_index], **kwargs)
 
     def step(self) -> np.ndarray:
-        return np.asarray(self.solver(self.inputs))
+        return np.asarray(self.solver(self.inputs))[: self.num_robots]

@@ -186,6 +186,11 @@ class FleetRuntime:
         ctrl._adapt_prediction_horizon()
 
         obs = ctrl._obstacle_points_world(scan, None)
+        # same non-finite-row filter as the single-robot path
+        # (dwa._gather_obstacles): one NaN point (e.g. a NaN scan ANGLE —
+        # ranges are sanitized upstream, angles are not) would defeat
+        # every collision comparison and poison the obstacle cost
+        obs = obs[np.isfinite(obs).all(axis=1)]
         obs_padded = np.full((spec.scan_size, 2), 1e8, np.float32)
         obs_padded[: len(obs)] = obs[: spec.scan_size]
         start, end = ctrl._tracked_segment_window()
@@ -233,6 +238,13 @@ class FleetRuntime:
         the per-robot stage (~165 us) is too fine-grained for Python
         thread handoff to pay off below ~16 cores.
         """
+        if len(states) != self.num_robots or len(scans) != self.num_robots:
+            # zip/Executor.map would silently truncate to the shortest
+            # input — the last robots would get no command and no error
+            raise ValueError(
+                f"tick needs {self.num_robots} states and scans, got "
+                f"{len(states)} states / {len(scans)} scans"
+            )
         t0 = time.perf_counter()
         from ..control.dwa import _round_up
 

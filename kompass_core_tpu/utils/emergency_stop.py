@@ -37,6 +37,13 @@ class EmergencyChecker:
         use_gpu: bool = False,  # accepted for API parity; single backend here
         **_,
     ) -> None:
+        from .runtime import enable_persistent_compilation_cache
+
+        # jitted-front-end convention (CLAUDE.md): the persistent cache
+        # is not automatic — a checker-only process would otherwise
+        # re-trace its zone programs against the remote backend on every
+        # run (minutes through the tunnel, looks like a hang)
+        enable_persistent_compilation_cache()
         self._scan_model = scan_model or ScanModelConfig()
         self._emergency_distance = float(emergency_distance)
         self._slowdown_distance = float(slowdown_distance)
