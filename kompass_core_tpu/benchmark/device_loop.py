@@ -288,6 +288,10 @@ def _resident(bufs):
 def main(repeats: int = 10):
     import jax
 
+    from ..utils.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     n_var = 2 * repeats + 2
     results = []
 
