@@ -784,28 +784,16 @@ def make_fleet_tick(
 
             extra = trk_extra + safety_extra
         else:
-            n_loc = inputs.shape[0]
-            if mesh is not None:
-                # mesh-sharded mutual avoidance: each chip holds its
-                # local robot rows, so the peer disc inputs — the whole
-                # fleet's states + commanded velocities — are gathered
-                # with ONE bounded all_gather per tick ([N, 7] f32;
-                # SCALING_HLO.json pins "exactly one all-gather" for
-                # this program). Everything after the gather is
-                # row-local, exactly the single-device program.
-                n_glob = n_loc * mesh.shape[axis_name]
-                sv = jax.lax.all_gather(
-                    inputs[:, 0:7], axis_name, axis=0, tiled=True
-                )
-                states_g, vels_g = sv[:, 0:4], sv[:, 4:7]
-                row_ids = (
-                    jax.lax.axis_index(axis_name) * n_loc
-                    + jnp.arange(n_loc, dtype=jnp.int32)
-                )
-            else:
-                n_glob = n_loc
-                states_g, vels_g = states, vels
-                row_ids = jnp.arange(n_loc, dtype=jnp.int32)
+            # mesh-sharded mutual avoidance: each chip holds its local
+            # robot rows, so the peer disc inputs — the whole fleet's
+            # states + commanded velocities — are gathered with ONE
+            # bounded all_gather per tick ([N, 7] f32; SCALING_HLO.json
+            # pins "exactly one all-gather" for this program).
+            # Everything after the gather is row-local, exactly the
+            # single-device program.
+            states_g, vels_g, n_glob, row_ids = _gather_peer_state(
+                mesh, axis_name, inputs[:, 0:7]
+            )
             build_peers, build_peer_vel, peer_block, peer_count = (
                 _peer_points_builder(peer_cfg, n_glob)
             )
@@ -896,6 +884,29 @@ def _check_tracked_spec(fleet_spec: FleetSpec) -> None:
             "split_mover_sweep=True — without either moving sweep "
             "the tracked velocities would be silently ignored"
         )
+
+
+def _gather_peer_state(mesh, axis_name, sv_loc):
+    """The one peer-state layout both peer programs share: a local
+    [n_loc, 7] state+velocity block -> ([N_glob, 4] states, [N_glob, 3]
+    vels, n_glob, this shard's global row ids). On a mesh this is ONE
+    bounded tiled ``all_gather`` — THE steady-state collective the
+    SCALING_HLO.json proofs count; off-mesh it is a pure split. Used by
+    the single-tick program (gathering ``inputs[:, 0:7]`` once per tick)
+    and the k-tick loop body (gathering the live carried state each
+    tick), so a layout change cannot desynchronize the two."""
+    n_loc = sv_loc.shape[0]
+    if mesh is None:
+        return (
+            sv_loc[:, 0:4], sv_loc[:, 4:7], n_loc,
+            jnp.arange(n_loc, dtype=jnp.int32),
+        )
+    sv = jax.lax.all_gather(sv_loc, axis_name, axis=0, tiled=True)
+    row_ids = (
+        jax.lax.axis_index(axis_name) * n_loc
+        + jnp.arange(n_loc, dtype=jnp.int32)
+    )
+    return sv[:, 0:4], sv[:, 4:7], n_loc * mesh.shape[axis_name], row_ids
 
 
 def _peer_points_builder(peer_cfg, n_rows):
@@ -1014,19 +1025,11 @@ def make_fleet_ticks_on_device(
             tracked_all = None
         n = inputs.shape[0]
         safety_extra = (safety_arg,) if safety else ()
-        if mesh is not None:
-            # mesh form: ONE all_gather of the live [N, 7] state+velocity
-            # block per tick INSIDE the k-loop (k bounded collectives per
-            # dispatch) keeps the fleet-synchronous peer model exact
-            # across shards — peers on other chips stay live, not frozen
-            n_glob = n * mesh.shape[axis_name]
-            row_ids = (
-                jax.lax.axis_index(axis_name) * n
-                + jnp.arange(n, dtype=jnp.int32)
-            )
-        else:
-            n_glob = n
-            row_ids = jnp.arange(n, dtype=jnp.int32)
+        # n_glob sizes the peer point set; the gather itself happens
+        # per tick inside the k-loop body (k bounded collectives per
+        # dispatch) via the same _gather_peer_state layout as the
+        # single-tick program
+        n_glob = n * (mesh.shape[axis_name] if mesh is not None else 1)
         build_peers, build_peer_vel, block, count = (
             _peer_points_builder(peer_cfg, n_glob)
         )
@@ -1045,14 +1048,13 @@ def make_fleet_ticks_on_device(
 
         def body(c, i):
             carry_c, s_c, v_c = c
-            if mesh is not None:
-                sv = jax.lax.all_gather(
-                    jnp.concatenate([s_c, v_c], axis=1), axis_name,
-                    axis=0, tiled=True,
-                )
-                s_g, v_g = sv[:, 0:4], sv[:, 4:7]
-            else:
-                s_g, v_g = s_c, v_c
+            # mesh form: ONE all_gather of the live [N, 7] state+velocity
+            # block per tick keeps the fleet-synchronous peer model exact
+            # across shards — peers on other chips stay live, not frozen.
+            # row_ids is loop-invariant; XLA hoists it out of the scan.
+            s_g, v_g, _, row_ids = _gather_peer_state(
+                mesh, axis_name, jnp.concatenate([s_c, v_c], axis=1)
+            )
             peer_pts = build_peers(s_g)  # live positions, this tick
             # peer prediction: inside the k-loop the peers' velocities
             # are the LIVE commanded ones from the previous tick

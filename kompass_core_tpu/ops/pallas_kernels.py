@@ -245,7 +245,7 @@ def fused_min_dist_sq_moving_pallas(ptf_8n, obsf_o8, seg_g2, snorm,
 
 
 def fused_min_dist_sq_pallas(pts_2n, obs_o2, onorm, seg_g2, snorm,
-                             variant="mxu"):
+                             variant="mxu", interpret=False):
     """[2, N] points vs [O, 2] obstacles and [G, 2] segment points ->
     ([N], [N]) min squared distances. N % _BLK == 0; O, G % _TO == 0
     (caller pads with +1e8 sentinels)."""
@@ -271,6 +271,7 @@ def fused_min_dist_sq_pallas(pts_2n, obs_o2, onorm, seg_g2, snorm,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ),
+        interpret=interpret,  # CPU parity tests run the kernel body
     )(pts_2n, obs_o2, onorm, seg_g2, snorm)
     return outo[0], outs[0]
 
@@ -327,7 +328,8 @@ def fused_min_dist_sq(px, py, obs_xy, seg_x, seg_y, pt_mask, variant="mxu",
         pts = jnp.pad(pts, ((0, 0), (0, n_pad - n)))
         obs_p, onorm = prep(obs_xy)
         d2o, d2s = fused_min_dist_sq_pallas(
-            pts, obs_p, onorm, seg_p, snorm, variant=variant
+            pts, obs_p, onorm, seg_p, snorm, variant=variant,
+            interpret=interpret,
         )
     else:
         tau = jnp.broadcast_to(

@@ -786,10 +786,25 @@ def dwa_solve(
             # it — the static freeze-patch below would pin the distance
             # at its last_free value. Re-sweep from the truncated
             # (frozen) positions instead; only this mode pays the
-            # second sweep.
-            d2_obs = _min_obstacle_dist_sq_moving(
-                px, py, obs_xy, obs_vel, params.time_step, pt_mask
-            )
+            # second sweep. The re-sweep uses the SAME backend kernel
+            # as the admissibility sweep — mixing the Pallas 7-feature
+            # dot with the XLA sub/square form would compute the cost
+            # from a differently-rounded field than the admissibility
+            # decision (and silently bill the dominant sweep to XLA in
+            # any pallas-backend benchmark)
+            if spec.backend in ("pallas", "pallas_vpu", "pallas_v1"):
+                from .pallas_kernels import fused_min_dist_sq
+
+                d2_obs, d2_seg = fused_min_dist_sq(
+                    px, py, obs_xy, seg_x, seg_y, pt_mask,
+                    variant="vpu" if spec.backend == "pallas_vpu"
+                    else "mxu",
+                    obs_vel=obs_vel, time_step=params.time_step,
+                )
+            else:
+                d2_obs = _min_obstacle_dist_sq_moving(
+                    px, py, obs_xy, obs_vel, params.time_step, pt_mask
+                )
         else:
             # where-select before the sum: a bare multiply would turn
             # any inf in unselected slots into NaN (inf * 0)

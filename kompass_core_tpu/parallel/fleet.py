@@ -212,6 +212,14 @@ class FleetPlanner:
     def set_scenario(self, robot_index: int, **kwargs):
         """Fill one robot's packed input row (same args as
         ``pack_solver_input`` minus spec/buf)."""
+        # the input matrix carries mesh pad rows beyond num_robots whose
+        # results step() discards — writing one must be an error, not a
+        # silently dropped scenario
+        if not 0 <= robot_index < self.num_robots:
+            raise IndexError(
+                f"robot_index {robot_index} out of range for a "
+                f"{self.num_robots}-robot fleet"
+            )
         pack_solver_input(self.spec, self.inputs[robot_index], **kwargs)
 
     def step(self) -> np.ndarray:

@@ -996,12 +996,21 @@ def _solve_rrt(planner: GlobalPlanner, prob, seed=0, rewire=False,
     cfg = planner._config
     key = jax.random.PRNGKey(seed)
     step = planner._param("range", 0.0) or cfg.step_size
-    # check density covers the extension length ACTUALLY used (the
-    # `range` param can exceed the step_size that sized the default)
+    # check density covers the LONGEST edge actually checked: the
+    # steering extension is <= step (the `range` param can exceed the
+    # step_size that sized the default), but with rewiring the
+    # choose-parent/rewire edges span up to rewire_factor * 2 * step —
+    # sizing for step alone spaces those checks up to ~2x the map
+    # resolution and a one-cell inflated wall can slip between them
     from .planners_ext import _edge_checks_for_radius
 
+    checked_span = float(step)
+    if rewire:
+        checked_span *= 2.0 * max(
+            float(planner._param("rewire_factor", 1.0)), 0.5
+        )
     checks = _edge_checks_for_radius(
-        cfg, float(prob["resolution"]), float(step)
+        cfg, float(prob["resolution"]), checked_span
     )
     epsilon = float(planner._param("epsilon", 0.4)) if use_epsilon else 0.0
     nodes, parents, best, cost = _rrt_solve(

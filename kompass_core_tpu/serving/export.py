@@ -340,7 +340,18 @@ def sharded_fleet_call(art: LoadedArtifact, args, devices, shards=None):
     ``shard_fleet_args`` ONCE and pass the result as ``shards``; then
     only the outputs move per call (update the per-shard carry/input
     leaves in place on device or re-commit just those rows)."""
-    if art.meta.get("peer_avoidance"):
+    # absence of the marker must NOT read as "no peers": artifacts
+    # exported before the peer_avoidance header field existed would
+    # silently get exactly the shard-local avoidance this guard is for
+    peer = art.meta.get("peer_avoidance")
+    if peer is None:
+        raise ValueError(
+            "artifact header has no 'peer_avoidance' field (exported by "
+            "an older build) — cannot prove its rows don't interact, so "
+            "row-chunked serving is refused; re-export with the current "
+            "build, or serve the artifact whole on one device"
+        )
+    if peer:
         raise ValueError(
             "this artifact was exported from a peer-avoidance fleet — "
             "its rows interact, so row-chunked serving would give "

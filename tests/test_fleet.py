@@ -171,3 +171,26 @@ def test_mesh_chunked_map_matches_plain():
     for i in range(n):
         found, cost, *_ = unpack_solver_output(SPEC, out_c[i])
         assert found and np.isfinite(cost)
+
+
+def test_fleet_planner_rejects_pad_row_indices():
+    """Mesh padding rows beyond num_robots exist only to satisfy the
+    shard_map divisibility contract; set_scenario writing one must raise
+    (the result would be silently discarded by step()) — round-5 review."""
+    import jax
+    from jax.sharding import Mesh
+
+    from kompass_core_tpu.ops.solver import SolverSpec
+    from kompass_core_tpu.parallel.fleet import FleetPlanner
+
+    spec = SolverSpec(
+        is_omni=False, n_vx=3, n_vy=1, n_omega=3, max_points=6,
+        num_ctrl_points=3, scan_size=16, seg_size=8, drop_samples=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("robots",))
+    fp = FleetPlanner(spec, num_robots=5, mesh=mesh)
+    assert fp.inputs.shape[0] == 8  # padded to the mesh
+    with pytest.raises(IndexError, match="out of range"):
+        fp.set_scenario(5)
+    with pytest.raises(IndexError, match="out of range"):
+        fp.set_scenario(-1)

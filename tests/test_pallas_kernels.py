@@ -209,3 +209,39 @@ def test_pallas_backend_truncate_parity_vs_xla(monkeypatch):
         rtol=1e-5, atol=1e-6,
     )
     assert int(res_pallas.best_index) == int(res_xla.best_index)
+
+
+@pytest.mark.parametrize("variant", ["mxu", "vpu"])
+def test_fused_static_kernel_interpret_matches_xla(variant):
+    """The STATIC kernel body in Pallas interpret mode on CPU must match
+    the XLA sweeps — the ``interpret`` kwarg is plumbed through the
+    static (``obs_vel=None``) path too, not just the moving one
+    (round-5 review: it used to be silently ignored there, so a CPU
+    caller got a Mosaic lowering attempt instead of interpret mode)."""
+    from kompass_core_tpu.ops.pallas_kernels import fused_min_dist_sq
+
+    rng = np.random.default_rng(7)
+    S, T, O, G = 40, 12, 64, 48
+    px = jnp.asarray(rng.uniform(-5, 5, (S, T)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-5, 5, (S, T)).astype(np.float32))
+    obs = jnp.asarray(rng.uniform(-8, 8, (O, 2)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(-5, 5, G).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-5, 5, G).astype(np.float32))
+    pt_mask = jnp.arange(T) < 9
+
+    d2o, d2s = fused_min_dist_sq(
+        px, py, obs, sx, sy, pt_mask, variant=variant, interpret=True,
+    )
+    ref_o = _min_obstacle_dist_sq(px, py, obs, pt_mask)
+    ref_s = _min_obstacle_dist_sq(
+        px, py, jnp.stack([sx, sy], axis=1), pt_mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2o)[:, :9], np.asarray(ref_o)[:, :9],
+        rtol=1e-4, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2s)[:, :9], np.asarray(ref_s)[:, :9],
+        rtol=1e-4, atol=5e-4,
+    )
+    assert np.isinf(np.asarray(d2o)[:, 9:]).all()

@@ -609,3 +609,40 @@ def test_clearance_objective_prefers_wider_berth(robot):
     path_clr = p_clr.solve()
     assert path_len is not None and path_clr is not None
     assert p_clr._min_clearance(path_clr) >= p_clr._min_clearance(path_len)
+
+
+def test_rewire_edge_check_density_covers_rewire_radius(robot, monkeypatch):
+    """RRT*-family choose-parent/rewire edges span up to
+    rewire_factor * 2 * step — the edge-check density must be sized for
+    THAT span, not the steering step, or a rewire edge crossing a
+    one-cell inflated wall can sample right past it (round-5 review)."""
+    from kompass_core_tpu.planning import planners_ext
+
+    seen = []
+    orig = planners_ext._edge_checks_for_radius
+
+    def spy(cfg, res, radius):
+        seen.append(float(radius))
+        return orig(cfg, res, radius)
+
+    monkeypatch.setattr(planners_ext, "_edge_checks_for_radius", spy)
+    meta, wall = make_wall_map()
+    cfg = GlobalPlannerConfig(
+        planner_id="RRTstar", num_samples=128, seed=3,
+        max_iterations=256, step_size=0.8,
+    )
+    planner = GlobalPlanner(robot, config=cfg)
+    planner.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    planner.solve()
+    # default rewire_factor=1.0 -> checked span 2 * step
+    assert seen and max(seen) >= 2.0 * 0.8 - 1e-6
+    # plain RRT keeps the step-sized span (no rewire edges exist)
+    seen.clear()
+    cfg2 = GlobalPlannerConfig(
+        planner_id="RRT", num_samples=128, seed=3,
+        max_iterations=256, step_size=0.8,
+    )
+    p2 = GlobalPlanner(robot, config=cfg2)
+    p2.setup_problem(meta, 2.0, 2.0, 0.0, 2.0, 8.0, 0.0, wall)
+    p2.solve()
+    assert seen and max(seen) <= 0.8 + 1e-6

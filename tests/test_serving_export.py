@@ -570,3 +570,22 @@ def test_sharded_fleet_call_refuses_peer_artifacts(tmp_path):
         sharded_fleet_call(
             art, fleet.tick_example_args(), jax.devices()[:2]
         )
+
+
+def test_sharded_fleet_call_refuses_artifacts_without_peer_marker():
+    """Artifacts exported before the ``peer_avoidance`` header field
+    existed must be REFUSED, not silently treated as peer-free — a
+    pre-marker peer artifact would otherwise get exactly the
+    shard-local-only avoidance the guard exists to prevent (round-5
+    review)."""
+    import jax
+
+    from kompass_core_tpu.serving import sharded_fleet_call
+    from kompass_core_tpu.serving.export import LoadedArtifact
+
+    art = LoadedArtifact(
+        header={"kind": "fleet_tick", "meta": {"n_robots": 1}},
+        call=lambda *a: a,
+    )
+    with pytest.raises(ValueError, match="older build"):
+        sharded_fleet_call(art, (), jax.devices()[:1])
