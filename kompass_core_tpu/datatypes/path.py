@@ -173,6 +173,16 @@ class ReferencePath:
         parameterization, spline fit per axis, resample at
         ``s = k * ds`` for ``k = 0 .. floor(L/ds)``, then finite-difference
         curvature.
+
+        Endpoint note: when L is not a multiple of ds, the resampled
+        path ends at ``floor(L/ds) * ds`` — up to one step short of the
+        true endpoint. This matches the reference: its "add the last
+        point" branch (``path.cpp:249-254``) requires ``idx < new_size``
+        but the comb loop has already filled all ``new_size`` slots, so
+        the branch fires only when FP accumulation of ``s += ds``
+        overshoots L early (and then leaves that point's prefix arc
+        length zero-initialized). Goal tolerance absorbs the gap in both
+        implementations.
         """
         ds = float(max_interpolation_point_dist)
         x64 = self.xs.astype(np.float64)

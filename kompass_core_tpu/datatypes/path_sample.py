@@ -36,6 +36,10 @@ class PathPoint:
         )
 
     def __truediv__(self, value: Union[int, float]) -> "PathPoint":
+        # reference quirk kept verbatim (datatypes/path.py:44-45): the
+        # heading is NOT divided — (p1 + p2) / 2 yields the SUM of the
+        # endpoint headings. Callers needing a true midpoint construct it
+        # explicitly (see py_path_tools/executor._augment_path_points)
         return PathPoint(x=self.x / value, y=self.y / value, heading=self.heading)
 
 

@@ -113,10 +113,15 @@ def read_pcd(filename: str) -> Optional[np.ndarray]:
             # mirror the reference's tolerance: missing trailing values
             # parse as 0.0 rather than failing the whole file
             tokens = tokens + [b"0"] * (num_points * n_fields - len(tokens))
-        vals = np.array(
-            [float(t) for t in tokens[: num_points * n_fields]],
-            dtype=np.float32,
-        ).reshape(num_points, n_fields)
+        try:
+            vals = np.array(
+                [float(t) for t in tokens[: num_points * n_fields]],
+                dtype=np.float32,
+            ).reshape(num_points, n_fields)
+        except ValueError:
+            # non-numeric token: malformed body -> None per the
+            # documented contract (not an uncaught ValueError)
+            return None
         return np.ascontiguousarray(vals[:, [x_idx, y_idx, z_idx]])
 
     if data_format == "binary":

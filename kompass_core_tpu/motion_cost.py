@@ -6,6 +6,7 @@ probability, and reference-tracking costs — over recorded/simulated paths.
 Vectorized numpy.
 """
 
+import logging
 import math
 from typing import Optional
 
@@ -287,6 +288,16 @@ class ReferenceCost(MotionCost):
             path_point = PathExecutor.get_closest_point(
                 reference, point_x, point_y
             )
+            if path_point is None:
+                # robustness divergence: get_closest_point returns None
+                # for an empty reference path and the reference
+                # (motion_cost.py:315-322) crashes dereferencing it —
+                # report a zero cost with a logged error instead
+                logging.error(
+                    "ReferenceCost.point_cost called with an empty "
+                    "reference path; returning zero cost"
+                )
+                return (0.0, 0.0)
         else:
             path_point = reference
         displacement = math.hypot(

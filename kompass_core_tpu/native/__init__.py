@@ -190,6 +190,13 @@ def cubic_spline_eval(s, y, sq) -> np.ndarray:
     y = np.ascontiguousarray(y, np.float64)
     sq = np.ascontiguousarray(sq, np.float64)
     if lib is None:
+        if len(s) < 2:
+            # kh_cubic_spline's degenerate-knot guard: constant y[0]
+            # (or zero for an empty knot set) — the numpy fallback's
+            # clip would otherwise index [-1] and emit NaN, breaking
+            # the arithmetic-identical-fallback guarantee
+            fill = float(y[0]) if len(s) == 1 else 0.0
+            return np.full(len(sq), fill, np.float64)
         from ..datatypes.path import _eval_natural_cubic, _natural_cubic_coeffs
 
         return _eval_natural_cubic(s, y, _natural_cubic_coeffs(s, y), sq)

@@ -6,6 +6,7 @@ orientation errors, time-to-goal, success), and aggregate/export results.
 """
 
 import json
+import math
 import os
 from typing import Dict, List, Optional
 
@@ -242,6 +243,15 @@ class MotionEvaluation(RobotSim):
     def export(self, file_dir: str, name: str = "motion_evaluation"):
         os.makedirs(file_dir, exist_ok=True)
         path = os.path.join(file_dir, f"{name}.json")
+        # avg_time_to_goal is +inf when no test reached its goal;
+        # json.dump would emit the non-standard literal `Infinity`
+        # (invalid strict JSON) — export null instead
+        def _finite(v):
+            if isinstance(v, float) and not math.isfinite(v):
+                return None
+            return v
+
+        data = {k: _finite(v) for k, v in self.avg_results.to_dict().items()}
         with open(path, "w") as f:
-            json.dump(self.avg_results.to_dict(), f, indent=2)
+            json.dump(data, f, indent=2)
         return path

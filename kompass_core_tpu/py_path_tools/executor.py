@@ -295,30 +295,40 @@ class PathExecutor:
     def _get_interpolation_start_index(self) -> int:
         """Walk back until >=3 points are available for the spline,
         augmenting the path with midpoints when too sparse (reference
-        ``executor.py:418-440``). Divergence: the reference recurses after
-        augmenting without re-anchoring, so a robot at the path start
-        (execution_index 0) augments forever; one augmentation pass is
-        performed here and the start anchor is re-derived from it."""
+        ``executor.py:418-440``). Divergence: ``spline_start_index < 0``
+        only happens at ``execution_index == 0``, where the reference
+        recurses after augmenting without re-anchoring and so augments
+        forever (RecursionError); exactly ONE densifying pass is
+        performed here instead, and the anchor is the path start."""
         spline_start_index = self.execution_index - 1
         while (spline_start_index > 0) and (
             (self.execution_index - spline_start_index) <= 3
         ):
             spline_start_index -= 1
-        if spline_start_index < 0 and self.execution_index > 0:
+        if spline_start_index < 0:
             logging.debug("Augmenting path points to interpolate")
             if self._augment_path_points():
-                self.execution_index *= 2
-                return self._get_interpolation_start_index()
+                return 0
         return spline_start_index
 
     def _augment_path_points(self) -> bool:
         """Insert midpoints between consecutive path points (reference
-        ``executor.py:442-458``)."""
+        ``executor.py:442-458``). The midpoint is built explicitly
+        rather than via ``(p1 + p2) / 2``: PathPoint.__truediv__ keeps
+        the reference's quirk of NOT dividing the heading, so the
+        operator form would give the midpoint the SUM of the endpoint
+        headings (never observable in the reference — its augmentation
+        path cannot complete, see _get_interpolation_start_index)."""
         if len(self.ref_path) > 1:
             new_path = []
             for i in range(len(self.ref_path) - 1):
-                new_path.append(self.ref_path[i])
-                new_path.append((self.ref_path[i] + self.ref_path[i + 1]) / 2)
+                a, b = self.ref_path[i], self.ref_path[i + 1]
+                new_path.append(a)
+                new_path.append(PathPoint(
+                    x=(a.x + b.x) / 2.0,
+                    y=(a.y + b.y) / 2.0,
+                    heading=(a.heading + b.heading) / 2.0,
+                ))
             new_path.append(self.ref_path[-1])
             self.ref_path = new_path
             return True
@@ -329,6 +339,11 @@ class PathExecutor:
     ) -> bool:
         """Build/refresh the moving spline segment around the robot
         (reference ``executor.py:460-570``)."""
+        # reference quirk kept verbatim (executor.py:475-481):
+        # closest_point is only ever assigned in __init__ with s=0.0 and
+        # never updated, so this early-return is dead and every call
+        # rebuilds the spline; a caller may mutate executor.closest_point
+        # to opt into the reuse, exactly as upstream
         if self.closest_point:
             if (
                 self.closest_point.s <= self.params.min_interpolation_dist
@@ -371,6 +386,12 @@ class PathExecutor:
                     )
                     _delta_dist += _seg_length
                 _arc_dist += _seg_length
+                # `i == start_index` is the reference's own comparison
+                # (executor.py:533-535) of the loop OFFSET against the
+                # ABSOLUTE start index: for start_index > 0 the segment's
+                # first knot is not anchored at the segment start and the
+                # unrelated offset i == start_index is appended
+                # unconditionally — kept verbatim (quirk, not corrected)
                 if (_delta_dist > self.params.spline_segment_length) or (
                     i == start_index
                 ):

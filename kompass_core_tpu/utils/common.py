@@ -87,7 +87,15 @@ def setup_logging(
     for module_name in disable_module_debug or []:
         logging.getLogger(module_name).setLevel(logging.WARNING)
 
+    # divergence from reference utils/common.py:110-115 (which appends a
+    # new FileHandler every call): re-configuration replaces the previous
+    # file sink instead of duplicating every record — same
+    # remove-then-add pattern as utils/logger.set_log_file
+    root = logging.getLogger()
+    for h in [h for h in root.handlers if isinstance(h, logging.FileHandler)]:
+        root.removeHandler(h)
+        h.close()
     handler = logging.FileHandler(
         os.path.join(log_dir, f"{log_file_name}.log")
     )
-    logging.getLogger().addHandler(handler)
+    root.addHandler(handler)

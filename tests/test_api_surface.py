@@ -1113,3 +1113,15 @@ def test_motion_cost_params_rejects_negative_margins():
     params = MotionCostsParams()
     built = params.build(0.3)
     assert built["static_collision"].margin == params.collision_margin
+
+
+def test_read_pcd_ascii_corrupt_token_returns_none(tmp_path):
+    """A non-numeric body token is a malformed file -> None per the
+    documented contract, not an uncaught ValueError (round-5 review)."""
+    from kompass_core_tpu.datatypes.pcd import read_pcd
+
+    bad = tmp_path / "corrupt.pcd"
+    bad.write_text(
+        "FIELDS x y z\nSIZE 4 4 4\nPOINTS 1\nDATA ascii\n1.0 2.0 x3\n"
+    )
+    assert read_pcd(str(bad)) is None

@@ -218,3 +218,28 @@ def test_require_backend_or_cpu_force_env():
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "cpu" in r.stdout.lower()
+
+
+def test_setup_logging_reconfigure_replaces_file_handler(tmp_path):
+    """Calling setup_logging twice must leave exactly ONE file sink on
+    the root logger (the reference appends a second handler and logs
+    every record twice — round-5 review, divergence annotated)."""
+    import logging
+
+    from kompass_core_tpu.utils.common import setup_logging
+
+    root = logging.getLogger()
+    before = list(root.handlers)
+    try:
+        setup_logging(str(tmp_path), "first", logging.INFO)
+        setup_logging(str(tmp_path), "second", logging.INFO)
+        file_handlers = [
+            h for h in root.handlers if isinstance(h, logging.FileHandler)
+        ]
+        assert len(file_handlers) == 1
+        assert file_handlers[0].baseFilename.endswith("second.log")
+    finally:
+        for h in list(root.handlers):
+            if h not in before:
+                root.removeHandler(h)
+                h.close()

@@ -200,3 +200,27 @@ def test_stale_library_degrades_to_fallback(monkeypatch):
     ys = np.zeros(10, np.float32)
     found, tx, ty, idx = N.find_lookahead(xs, ys, 0, 0.0, 0.0, 0.5)
     assert found and abs(tx - 0.5) < 1e-6
+
+
+def test_cubic_spline_fallback_degenerate_knots_match_native(lib):
+    """n < 2 knots: the C++ kernel outputs the constant y[0] (or zero
+    for empty); the numpy fallback must match instead of emitting NaN
+    through its clipped [-1] index (round-5 review)."""
+    import os
+
+    import kompass_core_tpu.native as N
+
+    sq = np.array([0.0, 1.0, 2.0])
+    one_s, one_y = np.array([5.0]), np.array([7.5])
+    native_out = native.cubic_spline_eval(one_s, one_y, sq)
+    lib_save = N._lib
+    N._lib = None
+    try:
+        os.environ["KOMPASS_TPU_NO_NATIVE"] = "1"
+        fb_out = native.cubic_spline_eval(one_s, one_y, sq)
+    finally:
+        N._lib = lib_save
+        os.environ.pop("KOMPASS_TPU_NO_NATIVE", None)
+    np.testing.assert_array_equal(native_out, np.full(3, 7.5))
+    np.testing.assert_array_equal(fb_out, np.full(3, 7.5))
+    assert not np.isnan(fb_out).any()

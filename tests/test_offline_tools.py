@@ -203,3 +203,56 @@ def test_obstacles_data_full_api():
     obs.remove_obstacle_by_object_id(42)
     assert len(obs) == 2
     obs.check_attributes_equal_length()
+
+
+def test_motion_evaluation_export_all_fail_is_strict_json(tmp_path):
+    """avg_time_to_goal is +inf when no test reached its goal; the
+    exported file must still be STRICT JSON (null, not the non-standard
+    `Infinity` literal) — round-5 review."""
+    import json
+
+    from kompass_core_tpu.performance import MotionEvaluation, MotionResult
+
+    ev = MotionEvaluation()
+    r = MotionResult()
+    r.reached_end = False
+    ev.avg_results.add_test(r)
+    path = ev.export(str(tmp_path))
+
+    def _no_constants(_):
+        raise AssertionError("non-standard JSON constant in export")
+
+    data = json.loads(open(path).read(), parse_constant=_no_constants)
+    assert data["avg_time_to_goal"] is None
+    assert data["success_rate"] == 0.0
+
+
+def test_reference_cost_empty_path_returns_zero_not_crash():
+    """round-5 review: the reference crashes dereferencing None when the
+    reference path is empty; this build logs and returns zero cost."""
+    from kompass_core_tpu.motion_cost import ReferenceCost
+
+    cost = ReferenceCost(1.0)
+    d, h = cost.point_cost(1.0, 2.0, 0.5, [])
+    assert (d, h) == (0.0, 0.0)
+
+
+def test_sparse_path_augments_and_interpolates():
+    """A 4-point sparse path at the mission start (execution_index 0)
+    must densify via ONE augmentation pass and interpolate — the
+    augmentation branch used to be unreachable, so sparse paths failed
+    with 'Need more points' forever (round-5 review). The reference
+    recurses forever on this input."""
+    from kompass_core_tpu.py_path_tools.executor import PathExecutor
+
+    ex = PathExecutor()
+    ex.start_path_recording()
+    for x in [0.0, 1.0, 2.0, 3.0]:
+        ex.record_path_point(x, 0.0, 0.0, 0.5)
+    n_before = len(ex.ref_path)
+    ok = ex.interpolate_path_spline(0.0, 0.0)
+    assert len(ex.ref_path) > n_before  # densified
+    assert ok, "sparse path must interpolate after augmentation"
+    # midpoints carry the MEAN heading, not the operator-quirk sum
+    h = [p.heading for p in ex.ref_path]
+    assert max(abs(v) for v in h) <= max(abs(v) for v in h[::2]) + 1e-9
