@@ -200,7 +200,7 @@ def bench_device_fleet_v2(log, sizes=(64, 256, 1024)):
         # chains (4 + 8 + 24): identical (executable, input) re-dispatches
         # may be cache-served on this runtime (see the measurement-
         # integrity note in CLAUDE.md), which would collapse the slope
-        n_variants = 4 + 8 + 24
+        n_variants = 1 + 4 + 8 + 24  # compile + warm + lo + hi chains
         variants = []
         for k in range(n_variants):
             inp = np.zeros((fleet._n, 4 + 3 + R), np.float32)
@@ -211,15 +211,16 @@ def bench_device_fleet_v2(log, sizes=(64, 256, 1024)):
             variants.append(jax.device_put(inp))
         for v in variants:
             float(np.asarray(v[0, 0]))
+        next_variant = iter(range(n_variants))
         t0 = time.time()
+        # the compile dispatch consumes the iterator's first variant so
+        # the warmup chain never repeats an identical (executable, input)
         fleet._tick_fn(fleet._paths, fleet._cfg, fleet._carry,
-                       fleet._angles, variants[0])
+                       fleet._angles, variants[next(next_variant)])
         log(
             f"fleet_v2 n={n} (in-program chunks of "
             f"{fleet._chunk or fleet._n}): compile {time.time()-t0:.1f}s"
         )
-
-        next_variant = iter(range(n_variants))
 
         def chain(m):
             t0 = time.time()
@@ -258,7 +259,7 @@ def bench_closed_loop_latency(log, ticks_per_chain=50, chains=20):
     R = fleet._scan_rays
     rng = np.random.default_rng(2)
     variants = []
-    for k in range(64):
+    for k in range(65):  # 64 chain variants + a dedicated compile variant
         inp = np.zeros((1, 4 + 3 + R), np.float32)
         inp[:, 0] = 1e-4 * k
         inp[:, 4] = 0.5
@@ -269,7 +270,10 @@ def bench_closed_loop_latency(log, ticks_per_chain=50, chains=20):
     paths, cfg, ang = fleet._paths, fleet._cfg, fleet._angles
     carry0 = fleet._carry
     t0 = time.time()
-    fleet._tick_fn(paths, cfg, carry0, ang, variants[0])
+    # dedicated compile variant: chain(m, salt=0) starts at (carry0,
+    # variants[0]) and must never duplicate the compile dispatch (the
+    # identical-pair rule in CLAUDE.md)
+    fleet._tick_fn(paths, cfg, carry0, ang, variants[64])
     log(f"closed-loop: compile {time.time()-t0:.1f}s")
 
     def chain(m, salt):
@@ -282,7 +286,7 @@ def bench_closed_loop_latency(log, ticks_per_chain=50, chains=20):
         for k in range(m):
             carry, o = fleet._tick_fn(
                 paths, cfg, carry, ang,
-                variants[(salt * 13 + k) % len(variants)],
+                variants[(salt * 13 + k) % 64],
             )
         float(np.asarray(o[0, 2]))
         return time.time() - t0

@@ -103,7 +103,9 @@ def main(n: int = 1024, rays: int = 512, unrolls=(1, 2, 4, 16)):
                 inp[:, 7:] = rng.uniform(2.5, 9.0, (fleet._n, R))
                 variants.append(jax.device_put(inp))
             for v in variants:
-                float(np.asarray(v)[0, 0])  # force resident
+                # device-side scalar slice: np.asarray(v)[0, 0] would
+                # pull each full ~2 MB buffer through the tunnel
+                float(np.asarray(v[0, 0]))  # force resident
             fleet._tick_fn(
                 fleet._paths, fleet._cfg, fleet._carry, fleet._angles,
                 variants[0],

@@ -296,10 +296,13 @@ def main(repeats: int = 10):
     results = []
 
     spec, variants = _dwa_baseline_buffers(n_var)
+    # k-span 256: the published protocol for the DWA pair (CLAUDE.md /
+    # DEVICE_LOOP.json k8_k264 entries) — the earlier (8, 72) span's
+    # ~8 ms K-delta sat inside the tunnel jitter band on degraded days
     results.append(measure_device_loop(
         "DWA_2025x30_device_loop",
         lambda k: make_dwa_device_loop(spec, k),
-        variants, ks=(8, 72), repeats=repeats,
+        variants, ks=(8, 264), repeats=repeats,
     ))
 
     # moving-obstacle variant of the same workload: the tunnel-immune
@@ -323,7 +326,7 @@ def main(repeats: int = 10):
     results.append(measure_device_loop(
         "DWA_2025x30_moving_device_loop",
         lambda k: make_dwa_device_loop(mov_spec, k),
-        mov_variants, ks=(8, 72), repeats=repeats,
+        mov_variants, ks=(8, 264), repeats=repeats,
     ))
 
     from ..ops.critical_zone import build_critical_zone

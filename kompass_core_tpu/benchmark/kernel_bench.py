@@ -125,11 +125,11 @@ def bench_full_solve(backends=("xla", "pallas", "pallas_vpu"), B=64):
 
     import os
 
-    sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)
-        )))
-    )
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    if root not in sys.path:  # same guard as runner.bench_fleet
+        sys.path.insert(0, root)
     from bench import build_scenario, build_spec
     from kompass_core_tpu.parallel.fleet import make_fleet_solver
 

@@ -36,33 +36,47 @@ def shootout():
     )
     rng = np.random.default_rng(0)
     out, ref = {}, None
-    for name, env in (
-        ("full", {"KOMPASS_TPU_LOOKUP": "full"}),
-        ("banded_w512", {"KOMPASS_TPU_LOOKUP": "banded",
-                         "KOMPASS_TPU_BAND_WIN": "512"}),
-        ("pallas_w512", {"KOMPASS_TPU_LOOKUP": "pallas",
-                         "KOMPASS_TPU_BAND_WIN": "512"}),
-    ):
-        os.environ.update(env)
-        fn = jax.jit(partial(scan_to_grid, spec))  # fresh trace per mode
-        variants = [
-            jax.device_put(rng.uniform(0.5, 9.5, 3600).astype(np.float32))
-            for _ in range(slope_variants_needed())
-        ]
-        for v in variants:
-            float(np.asarray(v[0]))
-        probe = np.asarray(fn(variants[0]))
-        if ref is None:
-            ref = (np.asarray(variants[0]), probe)
-        else:
-            assert np.array_equal(
-                np.asarray(fn(jax.device_put(ref[0]))), ref[1]
-            ), f"{name} output differs from full"
-        r = measure_throughput_slope(
-            name, fn, variants, lambda o: int(np.asarray(o)[0, 0])
-        )
-        out[name] = r["mean_ms"]
-        print(name, round(r["mean_ms"], 4), "ms", flush=True)
+    # the lookup mode is process-global config: save/restore it so code
+    # running after the shoot-out (e.g. the runner suite in the same
+    # process) traces the DEFAULT whole-grid dot, not the last mode
+    _saved = {k: os.environ.get(k)
+              for k in ("KOMPASS_TPU_LOOKUP", "KOMPASS_TPU_BAND_WIN")}
+    try:
+        for name, env in (
+            ("full", {"KOMPASS_TPU_LOOKUP": "full"}),
+            ("banded_w512", {"KOMPASS_TPU_LOOKUP": "banded",
+                             "KOMPASS_TPU_BAND_WIN": "512"}),
+            ("pallas_w512", {"KOMPASS_TPU_LOOKUP": "pallas",
+                             "KOMPASS_TPU_BAND_WIN": "512"}),
+        ):
+            os.environ.update(env)
+            fn = jax.jit(partial(scan_to_grid, spec))  # fresh trace per mode
+            variants = [
+                jax.device_put(
+                    rng.uniform(0.5, 9.5, 3600).astype(np.float32)
+                )
+                for _ in range(slope_variants_needed())
+            ]
+            for v in variants:
+                float(np.asarray(v[0]))
+            probe = np.asarray(fn(variants[0]))
+            if ref is None:
+                ref = (np.asarray(variants[0]), probe)
+            else:
+                assert np.array_equal(
+                    np.asarray(fn(jax.device_put(ref[0]))), ref[1]
+                ), f"{name} output differs from full"
+            r = measure_throughput_slope(
+                name, fn, variants, lambda o: int(np.asarray(o)[0, 0])
+            )
+            out[name] = r["mean_ms"]
+            print(name, round(r["mean_ms"], 4), "ms", flush=True)
+    finally:
+        for k, v in _saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     print(json.dumps(out))
     return out
 

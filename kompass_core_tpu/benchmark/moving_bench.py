@@ -22,6 +22,14 @@ import numpy as np
 
 
 def _scenario_buffer(spec, robot_index=0, rng=None):
+    """BASELINE-shaped packed scenario. Sibling builders exist in
+    ``bench.build_scenario``, ``__graft_entry__._scenario_buffer`` and
+    ``runner._dwa_workload`` with deliberately different segment/scan
+    content: each harness publishes DELTAS against its own control
+    measured in the same session, so only the spec SHAPES must agree
+    (asserted against packed_input_size below) — not the buffer bytes.
+    Do not 'unify' them into one builder: that would change every
+    compiled workload and orphan the committed artifacts."""
     from ..models import (
         AngularCtrlLimits, LinearCtrlLimits, RobotCtrlLimits,
     )

@@ -12,7 +12,8 @@ benchmark and platform. Workloads mirror the reference's named benchmarks
   * CriticalZone_100k_Cloud — safety factor over a 100k cloud
   * CriticalZone_Dense_Scan — 3600 rays in the slowdown band
   * DWA_2025x30             — full solve, BASELINE workload
-  * DWA_Fleet_256           — 256-scenario fleet tick throughput
+  * DWA_Fleet_64            — fleet tick throughput at the measured
+                              batch-64 optimum (BATCH_CLIFF.json)
 """
 
 import json
@@ -288,6 +289,13 @@ class BenchmarkRunner:
             jax.device_put(np.float32(10.0 + 1e-4 * k))
             for k in range(slope_variants_needed())
         ]
+        # force EVERYTHING resident before timing (the protocol's
+        # residency rule): a transfer landing inside a timed chain would
+        # add a full tunnel round trip to that chain
+        for a in args:
+            float(np.asarray(a.ravel()[0]))  # device-side scalar slice
+        for v in variants:
+            float(np.asarray(v))
         self.results.append(
             measure_throughput_slope(
                 "CostEvaluator_5k_Trajs",
