@@ -221,10 +221,10 @@ class DWA(Follower):
         self._custom_costs: List = []
 
         # sensor-to-body 2D transform (position + quaternion yaw)
-        q = np.asarray(config.proximity_sensor_rotation_to_robot, dtype=np.float64)
-        self._sensor_yaw = math.atan2(
-            2.0 * (q[3] * q[2] + q[0] * q[1]),
-            1.0 - 2.0 * (q[1] * q[1] + q[2] * q[2]),
+        from ..utils.geometry import yaw_from_quaternion
+
+        self._sensor_yaw = yaw_from_quaternion(
+            config.proximity_sensor_rotation_to_robot
         )
         self._sensor_pos = np.asarray(
             config.proximity_sensor_position_to_robot, dtype=np.float64

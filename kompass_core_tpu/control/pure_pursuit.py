@@ -22,6 +22,7 @@ from ..native import find_lookahead
 from ..ops.solver import COLLISION_MARGIN_FACTOR
 from ..models.robot import restrict_velocity_to_limits
 from ..utils.angles import normalize_to_minus_pi_pi
+from ..utils.geometry import yaw_from_quaternion
 from ..utils.config import base_validators
 from .follower import Follower, FollowerConfig, FollowingTarget
 from .result import FollowingResult, FollowingStatus, VelocityCommand
@@ -83,12 +84,8 @@ class PurePursuit(Follower):
         self._config = config
         # sensor-to-body 2D transform, honored like the reference wrapper
         # (control/pure_pursuit.py:143) and DWA's derivation
-        q = np.asarray(
-            config.proximity_sensor_rotation_to_robot, dtype=np.float64
-        )
-        self._sensor_yaw = math.atan2(
-            2.0 * (q[3] * q[2] + q[0] * q[1]),
-            1.0 - 2.0 * (q[1] * q[1] + q[2] * q[2]),
+        self._sensor_yaw = yaw_from_quaternion(
+            config.proximity_sensor_rotation_to_robot
         )
         self._sensor_pos = np.asarray(
             config.proximity_sensor_position_to_robot, dtype=np.float64
@@ -172,15 +169,24 @@ class PurePursuit(Follower):
     def _find_safe_command(self, nominal: VelocityCommand, dt: float):
         for reverse in (False, True):
             base_vx = -nominal.vx if reverse else nominal.vx
+            # reference quirk kept verbatim (pure_pursuit.cpp:167-186):
+            # ONE mutable candidate per phase — the omni lateral trial
+            # sets candidate.vy = nominal.vy + off and the next offset's
+            # "omega-only" trial inherits that stale vy, so omni omega
+            # trials after the first are compound (vy_prev, omega_new)
+            # candidates. Each phase (forward/reverse) resets the
+            # candidate to nominal (pure_pursuit.cpp:189).
+            vy = nominal.vy
             for off in self._search_offsets:
                 cand = VelocityCommand(
-                    vx=base_vx, vy=nominal.vy, omega=nominal.omega + off
+                    vx=base_vx, vy=vy, omega=nominal.omega + off
                 )
                 if not self._check_command_collisions(cand, dt):
                     return cand
                 if self._is_omni:
+                    vy = nominal.vy + off
                     cand = VelocityCommand(
-                        vx=base_vx, vy=nominal.vy + off, omega=nominal.omega
+                        vx=base_vx, vy=vy, omega=nominal.omega
                     )
                     if not self._check_command_collisions(cand, dt):
                         return cand
@@ -299,8 +305,15 @@ class PurePursuit(Follower):
         current_state: RobotState,
         laser_scan=None,
         point_cloud=None,
+        local_map=None,
         **_,
     ) -> bool:
+        """One controller iteration. ``local_map`` ([N, >=2] obstacle
+        points already in the WORLD frame, e.g. occupied mapper cells)
+        takes priority over the raw sensor inputs, mirroring the
+        reference wrapper's overload dispatch
+        (``control/pure_pursuit.py:175-190``) — silently dropping it
+        would run the pursuit law with no collision gate at all."""
         self.set_current_state(
             current_state.x, current_state.y, current_state.yaw, current_state.speed
         )
@@ -309,7 +322,13 @@ class PurePursuit(Follower):
             current_state.vy,
             current_state.omega,
         )
-        if laser_scan is not None or point_cloud is not None:
+        if local_map is not None:
+            pts = np.atleast_2d(np.asarray(local_map, np.float32))[:, :2]
+            # drop non-finite rows: one NaN defeats every collision
+            # comparison (same rule as DWA._gather_obstacles)
+            self._obstacles_world = pts[np.isfinite(pts).all(axis=1)]
+            self._result = self.execute_with_sensor(self._control_time_step)
+        elif laser_scan is not None or point_cloud is not None:
             self._update_obstacles(laser_scan, point_cloud)
             self._result = self.execute_with_sensor(self._control_time_step)
         else:

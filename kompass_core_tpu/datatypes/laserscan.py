@@ -6,11 +6,11 @@ queries used by the emergency stop tests.
 """
 
 import math
-from typing import Union
 
 import numpy as np
 from attrs import define, field
 
+from ..utils.angles import normalize_to_0_2pi
 from ..utils.config import BaseAttrs, base_validators
 
 
@@ -22,11 +22,24 @@ class LaserScanData(BaseAttrs):
     generated from angle_min/angle_max/angle_increment.
     """
 
-    angle_min: float = field(default=0.0)
-    angle_max: float = field(default=2 * math.pi)
-    angle_increment: float = field(default=0.01 * math.pi)
-    time_increment: float = field(default=1e-3)
-    scan_time: float = field(default=1e-3)
+    angle_min: float = field(
+        default=0.0,
+        validator=base_validators.in_range(-2 * math.pi, 2 * math.pi),
+    )
+    angle_max: float = field(
+        default=2 * math.pi,
+        validator=base_validators.in_range(-2 * math.pi, 2 * math.pi),
+    )
+    angle_increment: float = field(
+        default=0.01 * math.pi,
+        validator=base_validators.in_range(-math.pi, math.pi),
+    )
+    time_increment: float = field(
+        default=1e-3, validator=base_validators.in_range(0.0, 1e3)
+    )
+    scan_time: float = field(
+        default=1e-3, validator=base_validators.in_range(0.0, 1e3)
+    )
     range_min: float = field(
         default=0.0, validator=base_validators.in_range(0.0, 1e3)
     )
@@ -51,14 +64,10 @@ class LaserScanData(BaseAttrs):
             self.angles = self.angles[:n]
             self.ranges = self.ranges[:n]
 
-    @staticmethod
-    def _to_0_2pi(value: Union[float, np.ndarray]):
-        return np.mod(value, 2 * math.pi)
-
     def _zone_mask(self, right_angle: float, left_angle: float) -> np.ndarray:
-        angles = self._to_0_2pi(self.angles)
-        left = self._to_0_2pi(left_angle)
-        right = self._to_0_2pi(right_angle)
+        angles = normalize_to_0_2pi(self.angles)
+        left = normalize_to_0_2pi(left_angle)
+        right = normalize_to_0_2pi(right_angle)
         if right > left:
             return (angles <= left) | (angles >= right)
         return (angles <= left) & (angles >= right)

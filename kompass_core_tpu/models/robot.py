@@ -179,16 +179,19 @@ class MotionModel2D(BaseAttrs):
     y_dot = a_yx * vx * sin(yaw) + a_yy * vy * cos(yaw)
     yaw_dot = a_w * omega
 
-    Defaults (all 1.0) give the ideal unicycle model, identical to the
-    reference rollout kinematics ``datatypes/path.h:24-30``. Constructible
-    from a :class:`MotionModel2DParams` (reference ``models.py:48-57``) or
-    from keyword fields directly.
+    Defaults match ``MotionModel2DParams`` (and the reference,
+    ``models.py:48-57``, which default-constructs the params): the vx/yaw
+    gains are 1.0 and the vy gains are 0.0 ("default 0 for non-holonomic
+    motion", ``models.py:24-37``) — so ``MotionModel2D()`` and
+    ``MotionModel2D(MotionModel2DParams())`` are the same ideal unicycle
+    model. Constructible from a :class:`MotionModel2DParams` or from
+    keyword fields directly.
     """
 
     x_dot_prop_vx: float = field(default=1.0)
-    x_dot_prop_vy: float = field(default=1.0)
+    x_dot_prop_vy: float = field(default=0.0)
     y_dot_prop_vx: float = field(default=1.0)
-    y_dot_prop_vy: float = field(default=1.0)
+    y_dot_prop_vy: float = field(default=0.0)
     yaw_dot_prop_omega: float = field(default=1.0)
 
     def __init__(self, params: Optional[MotionModel2DParams] = None, **kwargs):

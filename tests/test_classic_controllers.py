@@ -191,3 +191,105 @@ def test_dwa_degenerate_path_message_clears_got_path():
                                  ranges=np.full(32, 10.0)),
     )
     assert out is False
+
+
+def test_pure_pursuit_local_map_feeds_collision_gate(robot, ctrl_limits):
+    """round-5 review: loop_step used to silently drop local_map, so
+    map-based callers (the reference wrapper's highest-priority overload,
+    control/pure_pursuit.py:175-178) got NO collision gate at all."""
+    controller = PurePursuit(
+        robot=robot,
+        ctrl_limits=ctrl_limits,
+        config=PurePursuitConfig(wheel_base=robot.wheelbase),
+        control_time_step=0.1,
+    )
+    controller.set_path(np.array([[0.0, 0.0], [3.0, 0.0]]))
+    state = robot.state
+    state.x, state.y, state.yaw = 0.0, 0.0, 0.0
+    state.vx = 0.5
+    # world-frame wall 0.35 m ahead, one NaN row that must be dropped
+    ys = np.linspace(-0.6, 0.6, 25)
+    wall = np.stack([np.full(25, 0.35), ys], axis=1)
+    wall = np.vstack([wall, [np.nan, 0.0]])
+    ok = controller.loop_step(current_state=state, local_map=wall)
+    assert ok
+    assert controller._obstacles_world is not None
+    assert len(controller._obstacles_world) == 25  # NaN row dropped
+    cmd = controller._result.velocity_command
+    assert not controller._check_command_collisions(cmd, 0.1)
+
+
+def test_pure_pursuit_omni_safe_search_keeps_stale_vy_quirk(ctrl_limits):
+    """Reference findSafeCommand (pure_pursuit.cpp:167-186) mutates ONE
+    candidate per phase: after an omni lateral trial sets
+    vy = nominal.vy + off, the next offset's omega trial inherits that
+    stale vy. Pin the exact candidate sequence."""
+    from kompass_core_tpu.control.result import VelocityCommand
+
+    omni = Robot(
+        robot_type=RobotType.OMNI,
+        geometry_type=RobotGeometry.Type.CYLINDER,
+        geometry_params=np.array([0.1, 0.4]),
+    )
+    controller = PurePursuit(
+        robot=omni,
+        ctrl_limits=ctrl_limits,
+        config=PurePursuitConfig(
+            wheel_base=0.3, max_search_candidates=4, path_search_step=0.2
+        ),
+        control_time_step=0.1,
+    )
+    seen = []
+
+    def record(cmd, dt):
+        seen.append((round(cmd.vx, 6), round(cmd.vy, 6), round(cmd.omega, 6)))
+        return True  # everything collides -> walk the whole sequence
+
+    controller._check_command_collisions = record
+    nominal = VelocityCommand(vx=0.5, vy=0.1, omega=0.3)
+    out = controller._find_safe_command(nominal, 0.1)
+    assert (out.vx, out.vy, out.omega) == (0.0, 0.0, 0.0)
+    offs = controller._search_offsets  # [+0.2, -0.2, +0.6, -0.6]
+    expect_forward = [
+        (0.5, 0.1, 0.3 + offs[0]),          # omega trial, fresh vy
+        (0.5, 0.1 + offs[0], 0.3),          # lateral trial
+        (0.5, 0.1 + offs[0], 0.3 + offs[1]),  # omega trial w/ STALE vy
+        (0.5, 0.1 + offs[1], 0.3),
+        (0.5, 0.1 + offs[1], 0.3 + offs[2]),
+        (0.5, 0.1 + offs[2], 0.3),
+        (0.5, 0.1 + offs[2], 0.3 + offs[3]),
+        (0.5, 0.1 + offs[3], 0.3),
+    ]
+    got_forward = seen[: len(expect_forward)]
+    assert got_forward == [
+        tuple(round(v, 6) for v in e) for e in expect_forward
+    ]
+    # reverse phase resets the candidate to nominal (vy fresh again)
+    rev0 = seen[len(expect_forward)]
+    assert rev0 == (-0.5, 0.1, round(0.3 + offs[0], 6))
+
+
+def test_motion_model_defaults_match_params_defaults():
+    """round-5 review: MotionModel2D() and
+    MotionModel2D(MotionModel2DParams()) must be the SAME model — the
+    reference defaults the vy gains to 0 for non-holonomic motion."""
+    from kompass_core_tpu.models import MotionModel2D, MotionModel2DParams
+
+    a = MotionModel2D()
+    b = MotionModel2D(MotionModel2DParams())
+    for f in ("x_dot_prop_vx", "x_dot_prop_vy", "y_dot_prop_vx",
+              "y_dot_prop_vy", "yaw_dot_prop_omega"):
+        assert getattr(a, f) == getattr(b, f), f
+    assert a.x_dot_prop_vy == 0.0 and a.y_dot_prop_vy == 0.0
+
+
+def test_laserscan_rejects_out_of_range_angles():
+    """round-5 review: the reference validates the angle/time fields
+    (laserscan.py:31-52); a garbage angle_min/increment used to be
+    accepted and silently generate a bogus angle ring."""
+    with pytest.raises(ValueError):
+        LaserScanData(angle_min=100.0)
+    with pytest.raises(ValueError):
+        LaserScanData(angle_increment=50.0)
+    with pytest.raises(ValueError):
+        LaserScanData(scan_time=-1.0)
