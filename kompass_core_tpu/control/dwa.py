@@ -55,6 +55,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def segment_capacity(
+    path_segment_length: float, interp_dist: float,
+    base_horizon_s: float, vx_max: float,
+) -> int:
+    """Padded tracked-segment capacity shared by the single-robot DWA
+    and DeviceFleet: the dynamic lookahead can reach
+    ``ceil(base_horizon * v_max / interp) + 1`` points (dwa.cpp:208-233),
+    floored by the configured segment point count (follower.cpp:54-59),
+    +1 start slot, rounded to the 64-lane grid. ONE copy so the two
+    entry points cannot size the shared dwa_solve segment-window
+    contract differently (round-5 review)."""
+    lookahead_pts = max(
+        int(path_segment_length / interp_dist) + 1,
+        int(math.ceil(base_horizon_s * vx_max / interp_dist)) + 1,
+    )
+    return _round_up(lookahead_pts + 1, 64)
+
+
 @define
 class DWAConfig(FollowerConfig):
     """DWA parameters (defaults per reference ``control/dwa.py:22-143``)."""
@@ -183,18 +201,10 @@ class DWA(Follower):
         # static tracked-segment capacity: the dynamic lookahead can reach
         # ceil(base_horizon * v_max / interp_dist) + 1 points (dwa.cpp:208-233)
         interp = config.max_point_interpolation_distance
-        lookahead_pts = max(
-            self.max_segment_size,
-            int(
-                math.ceil(
-                    self._base_horizon
-                    * self.ctrl_limits.vx_limits.max_vel
-                    / interp
-                )
-            )
-            + 1,
+        seg_size = segment_capacity(
+            config.path_segment_length, interp, self._base_horizon,
+            self.ctrl_limits.vx_limits.max_vel,
         )
-        seg_size = _round_up(lookahead_pts + 1, 64)
 
         # BOX robots get the exact oriented-rectangle collision check;
         # the circumscribed circle would block corridors the box passes

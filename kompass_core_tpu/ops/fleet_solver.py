@@ -571,9 +571,15 @@ def _fleet_robot_step(
     cmd_vy = jnp.where(rotate, 0.0, res.velocities[0, 1])
     cmd_w = jnp.where(rotate, rot_omega, res.velocities[0, 2])
     found = rotate | res.found
-    cmd_vx = jnp.where(now_reached, 0.0, cmd_vx)
-    cmd_vy = jnp.where(now_reached, 0.0, cmd_vy)
-    cmd_w = jnp.where(now_reached, 0.0, cmd_w)
+    # a not-found tick must emit a ZERO command, not the inadmissible
+    # argmin sample (all costs +inf -> argmin=0 = max-reverse, max-spin):
+    # the host stack discards found=False commands and holds, but the
+    # on-device k-tick loops integrate cmd directly — a boxed-in robot
+    # would otherwise march on garbage and broadcast it to peers
+    # (round-5 review)
+    cmd_vx = jnp.where(found & ~now_reached, cmd_vx, 0.0)
+    cmd_vy = jnp.where(found & ~now_reached, cmd_vy, 0.0)
+    cmd_w = jnp.where(found & ~now_reached, cmd_w, 0.0)
 
     # --- fused critical-zone gate (critical_zone_check.cpp:87-119) ---
     if safety_row is None:
@@ -744,29 +750,13 @@ def make_fleet_tick(
     _check_peer_cfg(fleet_spec, peer_cfg)
 
     def tick(paths, cfg, carry, angles, inputs, safety_arg=None):
-        if spec.dynamic_box and cfg.collision_box2 is None:
-            # None is an empty pytree — vmap would pass it through and the
-            # solver would silently fall back to the circle model with the
-            # radius double-counted (it is folded into collision_margin
-            # under the dynamic-box convention)
-            raise ValueError(
-                "dynamic_box fleet spec requires FleetConfig.collision_box2"
-            )
-        if safety and safety_arg is None:
-            raise ValueError(
-                "tick built with safety=True requires a FleetSafety arg"
-            )
-        states = inputs[:, 0:4]
-        vels = inputs[:, 4:7]
+        states, vels, ranges, tracked = _split_tick_inputs(
+            fleet_spec, cfg, inputs, safety, safety_arg
+        )
         M = fleet_spec.tracked_obstacles
         if M:
-            ranges = inputs[:, 7 : inputs.shape[1] - 4 * M]
-            tracked = inputs[:, inputs.shape[1] - 4 * M :].reshape(
-                inputs.shape[0], M, 4
-            )
             trk_extra = (tracked,)
         else:
-            ranges = inputs[:, 7:]
             trk_extra = ()
         safety_extra = (safety_arg,) if safety else ()
 
@@ -909,6 +899,40 @@ def _gather_peer_state(mesh, axis_name, sv_loc):
     return sv[:, 0:4], sv[:, 4:7], n_loc * mesh.shape[axis_name], row_ids
 
 
+def _split_tick_inputs(fleet_spec, cfg, inputs, safety, safety_arg):
+    """Shared validation + packed-input split for the three tick
+    programs (single tick, k-tick, k-tick-with-peers):
+    ``[N, 7 + R (+ 4M)]`` -> ``(states, vels, ranges, tracked_or_None)``.
+    ONE copy of the column layout so a future packed-layout change
+    cannot silently desynchronize the programs (round-5 review — the
+    same hazard class _gather_peer_state closed for the peer block)."""
+    spec = fleet_spec.solver
+    if spec.dynamic_box and cfg.collision_box2 is None:
+        # None is an empty pytree — vmap would pass it through and the
+        # solver would silently fall back to the circle model with the
+        # radius double-counted (it is folded into collision_margin
+        # under the dynamic-box convention)
+        raise ValueError(
+            "dynamic_box fleet spec requires FleetConfig.collision_box2"
+        )
+    if safety and safety_arg is None:
+        raise ValueError(
+            "tick program built with safety=True requires a FleetSafety arg"
+        )
+    states = inputs[:, 0:4]
+    vels = inputs[:, 4:7]
+    M = fleet_spec.tracked_obstacles
+    if M:
+        ranges = inputs[:, 7 : inputs.shape[1] - 4 * M]
+        tracked = inputs[:, inputs.shape[1] - 4 * M :].reshape(
+            inputs.shape[0], M, 4
+        )
+    else:
+        ranges = inputs[:, 7:]
+        tracked = None
+    return states, vels, ranges, tracked
+
+
 def _peer_points_builder(peer_cfg, n_rows):
     """Closure pieces for the peer-avoidance point set (shared by the
     single-tick and k-tick programs): returns (fn(states)->[N*block, 2],
@@ -1004,25 +1028,10 @@ def make_fleet_ticks_on_device(
 
     def ticks_peer(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
                    angles, inputs, safety_arg=None):
-        if spec.dynamic_box and cfg.collision_box2 is None:
-            raise ValueError(
-                "dynamic_box fleet spec requires FleetConfig.collision_box2"
-            )
-        if safety and safety_arg is None:
-            raise ValueError(
-                "ticks built with safety=True require a FleetSafety arg"
-            )
-        states = inputs[:, 0:4]
-        vels = inputs[:, 4:7]
+        states, vels, ranges, tracked_all = _split_tick_inputs(
+            fleet_spec, cfg, inputs, safety, safety_arg
+        )
         M = fleet_spec.tracked_obstacles
-        if M:
-            ranges = inputs[:, 7 : inputs.shape[1] - 4 * M]
-            tracked_all = inputs[:, inputs.shape[1] - 4 * M :].reshape(
-                inputs.shape[0], M, 4
-            )
-        else:
-            ranges = inputs[:, 7:]
-            tracked_all = None
         n = inputs.shape[0]
         safety_extra = (safety_arg,) if safety else ()
         # n_glob sizes the peer point set; the gather itself happens
@@ -1120,26 +1129,11 @@ def make_fleet_ticks_on_device(
 
     def ticks(paths: FleetPaths, cfg: FleetConfig, carry: FleetCarry,
               angles, inputs, safety_arg=None):
-        if spec.dynamic_box and cfg.collision_box2 is None:
-            raise ValueError(
-                "dynamic_box fleet spec requires FleetConfig.collision_box2"
-            )
-        if safety and safety_arg is None:
-            raise ValueError(
-                "ticks built with safety=True require a FleetSafety arg"
-            )
-        states = inputs[:, 0:4]
-        vels = inputs[:, 4:7]
+        states, vels, ranges, tracked_all = _split_tick_inputs(
+            fleet_spec, cfg, inputs, safety, safety_arg
+        )
         M = fleet_spec.tracked_obstacles
-        if M:
-            ranges = inputs[:, 7 : inputs.shape[1] - 4 * M]
-            tracked_all = inputs[:, inputs.shape[1] - 4 * M :].reshape(
-                inputs.shape[0], M, 4
-            )
-            trk_extra = (tracked_all,)
-        else:
-            ranges = inputs[:, 7:]
-            trk_extra = ()
+        trk_extra = (tracked_all,) if M else ()
         safety_extra = (safety_arg,) if safety else ()
 
         def one(paths_row_tuple, cfg_row, carry_row, s, v, r, a, *ex):

@@ -292,19 +292,30 @@ def _rollout(spec: SolverSpec, params: SolverParams, state, vels):
     dx = (vx * c - vy * s) * dt
     dy = (vx * s + vy * c) * dt
     # prefix sums as a triangular matmul: rides the MXU instead of the
-    # VPU's sequential scan (T is tiny, the matmul is ~free)
+    # VPU's sequential scan (T is tiny, the matmul is ~free).
+    # precision=HIGHEST is REQUIRED: preferred_element_type only sets the
+    # accumulator — under the TPU default the dx/dy INPUTS are truncated
+    # to bf16 (~2^-9 relative, mm-scale position error over 30 steps),
+    # which CPU-based parity tests cannot see (XLA CPU is true f32).
+    # Same pitfall the mapper lookup and the sweep shoot-out document.
     tril = jnp.tril(jnp.ones((T - 1, T - 1), jnp.float32)).T
     px = jnp.concatenate(
         [
             jnp.full((vels.shape[0], 1), x0),
-            x0 + jnp.dot(dx, tril, preferred_element_type=jnp.float32),
+            x0 + jnp.dot(
+                dx, tril, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ),
         ],
         axis=1,
     )
     py = jnp.concatenate(
         [
             jnp.full((vels.shape[0], 1), y0),
-            y0 + jnp.dot(dy, tril, preferred_element_type=jnp.float32),
+            y0 + jnp.dot(
+                dy, tril, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ),
         ],
         axis=1,
     )
@@ -821,10 +832,14 @@ def dwa_solve(
                 params.time_step, pt_mask,
             )
             d2_obs = jnp.minimum(d2_obs, d2_mov)
-        if d2_seg is not None:
+        if d2_seg is not None and not moving:
             # same freeze for the pallas-precomputed segment sweep — the
             # XLA path recomputes from the truncated px/py inside
-            # _path_cost, so only the fused-kernel field needs the patch
+            # _path_cost, so only the fused-kernel field needs the patch.
+            # Skipped under `moving`: the backend-matched re-sweep above
+            # already recomputed d2_seg FROM the frozen positions, where
+            # this patch is a bit-identical no-op (the segment field has
+            # no time term) that would only cost an extra one-hot sum
             d2s_lf = jnp.sum(
                 jnp.where(lf_sel, d2_seg, 0.0), axis=1, keepdims=True
             )
@@ -1070,6 +1085,20 @@ def pack_solver_input(
     Pass ``window=None`` with ``current_vel``/``limits_vec`` when the spec
     uses device-window mode. ``obs_vel_xy`` fills the trailing velocity
     block of a ``moving_obstacles`` spec (omitted -> zeros == static)."""
+    # the window argument must match the spec's window mode — the wrong
+    # combination writes a misaligned buffer that _unpack_inputs parses
+    # as a nonsense velocity grid with no error (round-5 review; same
+    # guard style as the obs_vel_xy/moving_obstacles check below)
+    if spec.device_window and window is not None:
+        raise ValueError(
+            "spec.device_window=True: pass window=None with "
+            "current_vel/limits_vec, not a host-sampled window"
+        )
+    if not spec.device_window and window is None:
+        raise ValueError(
+            "spec.device_window=False: pass a host-sampled window "
+            "(window=None is only valid for device-window specs)"
+        )
     buf[0:3] = state
     buf[3] = obs_count
     buf[4] = seg_count

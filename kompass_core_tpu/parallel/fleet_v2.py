@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..control.dwa import DWAConfig, _round_up
+from ..control.dwa import DWAConfig, _round_up, segment_capacity
 from ..datatypes.path import ReferencePath
 from ..models import Robot, RobotCtrlLimits, RobotGeometry, RobotType
 from ..ops.fleet_solver import (
@@ -119,11 +119,9 @@ class DeviceFleet:
         base_h = config.prediction_horizon * dt
         interp = config.max_point_interpolation_distance
         fleet_vx_max = max(lim.vx_limits.max_vel for lim in limits_list)
-        lookahead_pts = max(
-            int(config.path_segment_length / interp) + 1,
-            int(math.ceil(base_h * fleet_vx_max / interp)) + 1,
+        seg_size = segment_capacity(
+            config.path_segment_length, interp, base_h, fleet_vx_max
         )
-        seg_size = _round_up(lookahead_pts + 1, 64)
 
         # collision shapes: all-circle fleets use the cheap point sweep;
         # any BOX robot switches the whole fleet to the dynamic
@@ -438,6 +436,15 @@ class DeviceFleet:
         Resets the WHOLE fleet's follower carry. To re-route a single
         robot mid-mission without touching the others, use
         ``update_path``."""
+        if len(paths) != self.num_robots:
+            # a short list would silently leave the tail robots on the
+            # default 1-point PAD path (no goal, no path cost — they
+            # drive on garbage with found=True); extra rows would write
+            # into mesh pad slots
+            raise ValueError(
+                f"set_paths got {len(paths)} paths for a "
+                f"{self.num_robots}-robot fleet"
+            )
         N = self._n
         P = self.spec.path_capacity
         cap = P + self.spec.solver.seg_size

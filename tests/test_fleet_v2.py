@@ -1128,3 +1128,13 @@ def test_tick_before_set_paths_raises_clearly():
             3, np.zeros((2, 4), np.float32), np.zeros((2, 3), np.float32),
             np.full((2, N_RAYS), 10.0, np.float32), angles,
         )
+
+
+def test_set_paths_requires_one_path_per_robot():
+    """round-5 review: a short path list used to leave tail robots on
+    the default PAD path, driving on garbage with found=True."""
+    import pytest
+
+    _, fleet = _make(2)
+    with pytest.raises(ValueError, match="2-robot"):
+        fleet.set_paths([np.array([[0.0, 0.0], [1.0, 0.0]])])

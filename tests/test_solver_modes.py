@@ -553,3 +553,40 @@ def test_device_window_zero_axis_survives_velocity_noise():
     vy_vals = np.asarray(window.vy_vals)
     assert vy_mask[0], "vy=0 slot must stay valid under velocity noise"
     assert abs(float(vy_vals[0])) < 1e-6
+
+
+def test_pack_solver_input_rejects_window_mode_mismatch():
+    """round-5 review: the wrong window/device_window combination used
+    to write a silently misaligned buffer (parsed as a nonsense
+    velocity grid); both directions must raise."""
+    import dataclasses
+
+    import pytest
+
+    from kompass_core_tpu.ops.solver import (
+        SolverSpec, pack_solver_input, packed_input_size,
+    )
+
+    spec = SolverSpec(
+        is_omni=False, n_vx=3, n_vy=1, n_omega=3, max_points=6,
+        num_ctrl_points=3, scan_size=16, seg_size=8, drop_samples=True,
+    )
+    dev_spec = dataclasses.replace(spec, device_window=True)
+    buf = np.zeros(packed_input_size(dev_spec), np.float32)
+    common = dict(
+        params_vec=np.zeros(12, np.float32), state=(0.0, 0.0, 0.0),
+        obs_xy=np.zeros((16, 2), np.float32), obs_count=0,
+        seg_x=np.zeros(8, np.float32), seg_y=np.zeros(8, np.float32),
+        seg_arc=np.zeros(8, np.float32), seg_count=2,
+        seg_total_len=1.0, ref_total_len=1.0, active_points=6,
+    )
+    with pytest.raises(ValueError, match="device_window"):
+        pack_solver_input(
+            dev_spec, buf, window=object(), **common
+        )
+    with pytest.raises(ValueError, match="device_window"):
+        pack_solver_input(
+            spec, np.zeros(packed_input_size(spec), np.float32),
+            window=None, current_vel=(0.0, 0.0, 0.0),
+            limits_vec=np.zeros(9, np.float32), **common
+        )

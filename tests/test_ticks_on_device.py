@@ -117,3 +117,29 @@ def test_per_tick_axis_evolves():
     # carry would repeat the same command every tick
     vx = out["vx"][0]
     assert np.std(vx) > 1e-3, vx
+
+
+def test_boxed_in_robot_holds_instead_of_marching():
+    """round-5 review: when no sample is admissible (found=False), the
+    emitted command must be ZERO — the k-tick loop integrates cmd
+    directly, so a boxed-in robot would otherwise march on the
+    inadmissible argmin sample (max-reverse, max-spin) and broadcast
+    that garbage to peers."""
+    fleet = _fleet(1)
+    states, vels, ranges, angles = _inputs(1)
+    # wall of obstacles 0.15 m away in EVERY direction: every rollout's
+    # first step collides, drop mode drops all samples
+    ranges = np.full((1, N_RAYS), 0.15)
+    out = fleet.run_ticks_on_device(5, states, vels, ranges, angles)
+    assert not out["found"].any(), "no sample should be admissible"
+    np.testing.assert_array_equal(out["vx"], np.zeros((1, 5)))
+    np.testing.assert_array_equal(out["omega"], np.zeros((1, 5)))
+    # the on-device state must HOLD at the initial pose
+    np.testing.assert_allclose(
+        out["final_states"][0, :3], states[0, :3], atol=1e-6
+    )
+    # single-tick path agrees
+    out1 = fleet.tick(states, vels, ranges, angles)
+    assert not out1["found"].any()
+    assert abs(float(out1["vx"][0])) < 1e-9
+    assert abs(float(out1["omega"][0])) < 1e-9
